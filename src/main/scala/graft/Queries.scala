@@ -1,0 +1,1049 @@
+package graft
+
+import graft.functions.ScalarFunctions._
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.operators.{Anomaly, Dedup, Similarity}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The operator catalog: every SURVEY.md §2 operator (and the LLM-data-
+  * pipeline extensions) expressed as a verifiable query over the driver's
+  * parquet tables, paired with a semantically identical DuckDB oracle.
+  *
+  * Determinism rules (required for cross-engine hash-matching, and equally
+  * for reproducible runs on a real cluster where partitioning varies):
+  *   - money sums run through decimal(18,2) (exact, order-insensitive)
+  *     and cast back to double — bit-identical in any engine;
+  *   - arbitrary-precision doubles are aggregated as floor(x*100) integer
+  *     units;
+  *   - every query ends in a total ORDER BY;
+  *   - ties in top-k / window ranks are broken by a key column.
+  */
+object Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  /** Exact, order-insensitive sum of a ≤2-decimal double column. */
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  // SQL fragment: the same exact sum in DuckDB.
+  private def sqlDsum(x: String): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(18,2))) AS DOUBLE)"
+
+  // ---------------------------------------------------------------------
+  // Relational core (S/P/J/A/T/U/W operators of SURVEY §2)
+  // ---------------------------------------------------------------------
+
+  /** A3-style global pricing summary (TPC-H Q1 flavor): filter pushdown,
+    * hash agg with partial aggregation, exact decimal sums. */
+  def q1PricingSummary(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1Sql: String =
+    s"""SELECT l_returnflag, l_linestatus,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  ${sqlDsum("l_extendedprice")} AS sum_base,
+       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc,
+       |  count(*) AS n
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+       |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** S1/S2 — scan with predicate + projection pushdown (PushedFilters +
+    * pruned ReadSchema visible in the physical plan). */
+  def s1ScanPrune(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_quantity") > 45)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  val s1Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
+      |WHERE l_quantity > 45 ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** S3/P5 — sentinel-null scrubbing ('' / NULL / NONE / INCONNU / ...). */
+  def s3SentinelScrub(s: SparkSession, dir: String): DataFrame = {
+    val raw = when(col("s_suppkey") % 7 === 0, lit("NULL"))
+      .when(col("s_suppkey") % 7 === 1, lit(" none "))
+      .when(col("s_suppkey") % 7 === 2, lit("Inconnu"))
+      .when(col("s_suppkey") % 7 === 3, lit(""))
+      .otherwise(col("s_name"))
+    t(s, dir, "supplier")
+      .withColumn("raw", raw)
+      .select(col("s_suppkey"), col("raw"), sentinelToNull(col("raw")).as("scrubbed"))
+      .orderBy("s_suppkey")
+  }
+
+  val s3Sql: String =
+    """WITH r AS (
+      |  SELECT s_suppkey, CASE s_suppkey % 7 WHEN 0 THEN 'NULL' WHEN 1 THEN ' none '
+      |    WHEN 2 THEN 'Inconnu' WHEN 3 THEN '' ELSE s_name END AS raw
+      |  FROM supplier)
+      |SELECT s_suppkey, raw,
+      |  CASE WHEN raw IS NULL OR upper(trim(raw)) IN ('','NULL','NONE','INCONNU','UNKNOWN','NAN')
+      |       THEN NULL ELSE raw END AS scrubbed
+      |FROM r ORDER BY s_suppkey""".stripMargin
+
+  /** P4 — positive-value predicate + exact integer-unit aggregation over
+    * arbitrary-precision doubles. */
+  def p4PositiveFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .where(col("value") > 0)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100)).cast("long").as("cents"))
+      .orderBy("event_type")
+
+  val p4Sql: String =
+    """SELECT event_type, count(*) AS n, CAST(SUM(floor(value*100)) AS BIGINT) AS cents
+      |FROM events WHERE value > 0 GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** P6 — multi-source products: groups spanning >1 distinct source. */
+  def p6MultiSource(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(countDistinct("l_suppkey").as("n_src"), count(lit(1)).as("n_off"))
+      .where(col("n_src") > 1)
+      .orderBy("l_partkey")
+
+  val p6Sql: String =
+    """SELECT l_partkey, count(DISTINCT l_suppkey) AS n_src, count(*) AS n_off
+      |FROM lineitem GROUP BY l_partkey HAVING count(DISTINCT l_suppkey) > 1
+      |ORDER BY l_partkey""".stripMargin
+
+  /** §2.3 — offers joined against per-group aggregates. Implemented as a
+    * window (one shuffle, no self-join); the oracle uses the equivalent
+    * group-by + join formulation. */
+  def j1StatsJoin(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_partkey")
+    val mean = (sum(dec(col("l_extendedprice"))).over(w).cast("double")
+      / count(lit(1)).over(w))
+    t(s, dir, "lineitem")
+      .withColumn("mean_price", mean)
+      .where(col("l_extendedprice") > col("mean_price") * 1.8)
+      .select("l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice", "mean_price")
+      .orderBy("l_partkey", "l_orderkey", "l_linenumber")
+  }
+
+  val j1Sql: String =
+    s"""WITH g AS (
+       |  SELECT l_partkey AS pk, ${sqlDsum("l_extendedprice")} / count(*) AS mean_price
+       |  FROM lineitem GROUP BY l_partkey)
+       |SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice, mean_price
+       |FROM lineitem JOIN g ON l_partkey = g.pk
+       |WHERE l_extendedprice > mean_price * 1.8
+       |ORDER BY l_partkey, l_orderkey, l_linenumber""".stripMargin
+
+  /** A1 — merge-by-key fold: per-brand product merge with source-set union
+    * and longest-name tie-break (deterministic: longest, then greatest). */
+  def a1MergeProducts(s: SparkSession, dir: String): DataFrame = {
+    val part = t(s, dir, "part")
+    val li = t(s, dir, "lineitem")
+    part.join(li, part("p_partkey") === li("l_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        countDistinct("l_partkey").as("n_products"),
+        count(lit(1)).as("n_offers"),
+        concat_ws(",", sort_array(collect_set(col("l_returnflag")))).as("sources"),
+        max(struct(length(col("p_name")).as("len"), col("p_name").as("name")))
+          .getField("name").as("top_name"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .orderBy("p_brand")
+  }
+
+  val a1Sql: String =
+    """SELECT p_brand, count(DISTINCT l_partkey) AS n_products, count(*) AS n_offers,
+      |  string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag) AS sources,
+      |  first(p_name ORDER BY length(p_name) DESC, p_name DESC) AS top_name,
+      |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+      |FROM part JOIN lineitem ON p_partkey = l_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  /** A2 — deterministic first-seen-wins dedup via row_number over an
+    * explicit ordering (the reference's insertion-order semantics made
+    * partition-stable). */
+  def a2OfferDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_partkey", "l_suppkey")
+      .orderBy("l_orderkey", "l_linenumber")
+    t(s, dir, "lineitem")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .agg(count(lit(1)).as("n_kept"),
+        countDistinct("l_partkey").as("n_products"),
+        dsum(col("l_extendedprice")).as("sum_price"))
+  }
+
+  val a2Sql: String =
+    s"""WITH d AS (
+       |  SELECT *, row_number() OVER (PARTITION BY l_partkey, l_suppkey
+       |    ORDER BY l_orderkey, l_linenumber) AS rn
+       |  FROM lineitem)
+       |SELECT count(*) AS n_kept, count(DISTINCT l_partkey) AS n_products,
+       |  ${sqlDsum("l_extendedprice")} AS sum_price
+       |FROM d WHERE rn = 1""".stripMargin
+
+  /** A4/T1 — distribution sorted desc by count. */
+  def a4Distribution(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("o_orderpriority"))
+
+  val a4Sql: String =
+    """SELECT o_orderpriority, count(*) AS n FROM orders
+      |GROUP BY o_orderpriority ORDER BY n DESC, o_orderpriority""".stripMargin
+
+  /** A6/Z2 — per-group stats: mean/std/median/min/max/count, all exact or
+    * determinstically derived from exact sums. */
+  def a6GroupStats(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        dsum(col("l_extendedprice")).as("s1"),
+        sum(dec(col("l_extendedprice")) * dec(col("l_extendedprice"))).cast("double").as("s2"),
+        median(col("l_extendedprice")).as("med"))
+      .where(col("n") >= 3)
+      .withColumn("mean_price", col("s1") / col("n"))
+      .withColumn("std_price",
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
+      .withColumn("price_range",
+        concat(floor(col("min_price")).cast("long").cast("string"), lit("-"),
+          floor(col("max_price")).cast("long").cast("string")))
+      .select("l_partkey", "n", "min_price", "max_price", "mean_price",
+        "std_price", "med", "price_range")
+      .orderBy("l_partkey")
+
+  val a6Sql: String =
+    s"""WITH g AS (
+       |  SELECT l_partkey, count(*) AS n,
+       |    min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+       |    ${sqlDsum("l_extendedprice")} AS s1,
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+       |    median(l_extendedprice) AS med
+       |  FROM lineitem GROUP BY l_partkey HAVING count(*) >= 3)
+       |SELECT l_partkey, n, min_price, max_price,
+       |  s1 / n AS mean_price,
+       |  sqrt((s2 - s1*s1/n) / (n-1)) AS std_price, med,
+       |  CAST(CAST(floor(min_price) AS BIGINT) AS VARCHAR) || '-' || CAST(CAST(floor(max_price) AS BIGINT) AS VARCHAR) AS price_range
+       |FROM g ORDER BY l_partkey""".stripMargin
+
+  /** T2 — top-5 by count with deterministic tie-break. */
+  def t2Top5Brands(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part").groupBy("p_brand").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("p_brand")).limit(5)
+
+  val t2Sql: String =
+    """SELECT p_brand, count(*) AS n FROM part GROUP BY p_brand
+      |ORDER BY n DESC, p_brand LIMIT 5""".stripMargin
+
+  /** T4 — top-10 gravest deviations (sort + limit = partial top-k). */
+  def t4TopDeviation(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_partkey")
+    val mean = sum(dec(col("l_extendedprice"))).over(w).cast("double") / count(lit(1)).over(w)
+    t(s, dir, "lineitem")
+      .withColumn("mean_price", mean)
+      .withColumn("deviation", abs(col("l_extendedprice") - col("mean_price")) / col("mean_price") * 100.0)
+      .orderBy(desc("deviation"), col("l_orderkey"), col("l_linenumber"))
+      .limit(10)
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), round(col("deviation"), 2).as("deviation_pct"))
+  }
+
+  val t4Sql: String =
+    s"""WITH g AS (
+       |  SELECT l_partkey AS pk, ${sqlDsum("l_extendedprice")} / count(*) AS mean_price
+       |  FROM lineitem GROUP BY l_partkey),
+       |d AS (
+       |  SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice,
+       |    abs(l_extendedprice - mean_price) / mean_price * 100.0 AS deviation
+       |  FROM lineitem JOIN g ON l_partkey = g.pk)
+       |SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice,
+       |  round(deviation, 2) AS deviation_pct
+       |FROM d ORDER BY deviation DESC, l_orderkey, l_linenumber LIMIT 10""".stripMargin
+
+  /** §2.7 — unionByName of heterogeneous sources + aggregate. */
+  def u1UnionParties(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(lit("customer").as("kind"),
+      col("c_name").as("name"), col("c_acctbal").as("bal"))
+    val sp = t(s, dir, "supplier").select(lit("supplier").as("kind"),
+      col("s_name").as("name"), col("s_acctbal").as("bal"))
+    c.unionByName(sp).groupBy("kind")
+      .agg(count(lit(1)).as("n"), min("name").as("min_name"),
+        max("name").as("max_name"), dsum(col("bal")).as("sum_bal"))
+      .orderBy("kind")
+  }
+
+  val u1Sql: String =
+    s"""WITH u AS (
+       |  SELECT 'customer' AS kind, c_name AS name, c_acctbal AS bal FROM customer
+       |  UNION ALL
+       |  SELECT 'supplier' AS kind, s_name AS name, s_acctbal AS bal FROM supplier)
+       |SELECT kind, count(*) AS n, min(name) AS min_name, max(name) AS max_name,
+       |  ${sqlDsum("bal")} AS sum_bal
+       |FROM u GROUP BY kind ORDER BY kind""".stripMargin
+
+  /** §2.7 — window functions: row_number + running sum per user. */
+  def w1RunningWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    t(s, dir, "events")
+      .where(col("user_id") % 50 === 0)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_cents",
+        sum(floor(col("value") * 100)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("long"))
+      .select("user_id", "event_id", "rn", "running_cents")
+      .orderBy("user_id", "event_id")
+  }
+
+  val w1Sql: String =
+    """SELECT user_id, event_id,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn,
+      |  CAST(SUM(floor(value*100)) OVER (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+      |FROM events WHERE user_id % 50 = 0 ORDER BY user_id, event_id""".stripMargin
+
+  /** §2.9 — batch equivalent of the streaming hourly windowed aggregation
+    * (the same groupBy(window(...)) plan Structured Streaming runs
+    * incrementally; see graft.streaming.EventStream). The events table
+    * carries nanosecond timestamps (read as long nanos via
+    * spark.sql.legacy.parquet.nanosAsLong); the hour bucket is computed in
+    * exact integer arithmetic. */
+  def st1HourlyEvents(s: SparkSession, dir: String): DataFrame = {
+    val tsNs = col("ts").cast("long")
+    val sec = (tsNs - tsNs % 1000000000L) / 1000000000L
+    val hourEpoch = (sec - sec % 3600).cast("long")
+    t(s, dir, "events")
+      .groupBy(hourEpoch.as("hour_epoch"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(floor(col("value") * 100)).cast("long").as("cents"))
+      .orderBy("hour_epoch", "event_type")
+  }
+
+  val st1Sql: String =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch, event_type,
+      |  count(*) AS n, CAST(SUM(floor(value*100)) AS BIGINT) AS cents
+      |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Scalar-function queries (F1..F12) over synthesized inputs
+  // ---------------------------------------------------------------------
+
+  /** F1 — naive clean_price over synthesized marketplace price strings. */
+  def f1CleanPrice(s: SparkSession, dir: String): DataFrame = {
+    val k = col("p_partkey")
+    val raw = when(k % 6 === 0, concat(floor(col("p_retailprice")).cast("long").cast("string"), lit(" DH")))
+      .when(k % 6 === 1, concat(lit("13,"), lpad((k % 1000).cast("string"), 3, "0")))
+      .when(k % 6 === 2, concat((k % 900 + 100).cast("string"), lit("."),
+        lpad((k % 100).cast("string"), 2, "0"), lit(" MAD")))
+      .when(k % 6 === 3, lit("NULL"))
+      .when(k % 6 === 4, lit(null).cast("string"))
+      .otherwise((k % 5000).cast("string"))
+    t(s, dir, "part")
+      .withColumn("raw", raw)
+      .select(col("p_partkey"), col("raw"), cleanPrice(col("raw")).as("price"))
+      .orderBy("p_partkey")
+  }
+
+  val f1Sql: String =
+    """WITH r AS (
+      |  SELECT p_partkey, CASE p_partkey % 6
+      |    WHEN 0 THEN CAST(CAST(floor(p_retailprice) AS BIGINT) AS VARCHAR) || ' DH'
+      |    WHEN 1 THEN '13,' || lpad(CAST(p_partkey % 1000 AS VARCHAR), 3, '0')
+      |    WHEN 2 THEN CAST(p_partkey % 900 + 100 AS VARCHAR) || '.' || lpad(CAST(p_partkey % 100 AS VARCHAR), 2, '0') || ' MAD'
+      |    WHEN 3 THEN 'NULL'
+      |    WHEN 4 THEN NULL
+      |    ELSE CAST(p_partkey % 5000 AS VARCHAR) END AS raw
+      |  FROM part)
+      |SELECT p_partkey, raw,
+      |  coalesce(CAST(nullif(regexp_extract(replace(regexp_replace(raw, '[^0-9,.]', '', 'g'), ',', '.'), '[0-9]+\.?[0-9]*', 0), '') AS DOUBLE), 0.0) AS price
+      |FROM r ORDER BY p_partkey""".stripMargin
+
+  /** F2 — European-format-aware price parsing. */
+  def f2PriceEuropean(s: SparkSession, dir: String): DataFrame = {
+    val k = col("p_partkey")
+    val k1 = (k % 90 + 10).cast("string")
+    val k2 = lpad((k % 1000).cast("string"), 3, "0")
+    val raw = when(k % 5 === 0, concat(k1, lit("."), k2, lit(",00")))
+      .when(k % 5 === 1, concat(k1, lit(","), k2))
+      .when(k % 5 === 2, concat(k1, lit(" DH")))
+      .when(k % 5 === 3, concat(k1, lit("."), lpad((k % 100).cast("string"), 2, "0")))
+      .otherwise(lit(""))
+    t(s, dir, "part")
+      .withColumn("raw", raw)
+      .select(col("p_partkey"), col("raw"), extractPriceFixed(col("raw")).as("price"))
+      .orderBy("p_partkey")
+  }
+
+  val f2Sql: String =
+    """WITH r AS (
+      |  SELECT p_partkey,
+      |    CAST(p_partkey % 90 + 10 AS VARCHAR) AS k1,
+      |    lpad(CAST(p_partkey % 1000 AS VARCHAR), 3, '0') AS k2,
+      |    lpad(CAST(p_partkey % 100 AS VARCHAR), 2, '0') AS k3
+      |  FROM part),
+      |r2 AS (
+      |  SELECT p_partkey, CASE p_partkey % 5
+      |    WHEN 0 THEN k1 || '.' || k2 || ',00'
+      |    WHEN 1 THEN k1 || ',' || k2
+      |    WHEN 2 THEN k1 || ' DH'
+      |    WHEN 3 THEN k1 || '.' || k3
+      |    ELSE '' END AS raw
+      |  FROM r),
+      |s AS (SELECT p_partkey, raw, regexp_replace(raw, '[^0-9,.]', '', 'g') AS st FROM r2),
+      |n AS (
+      |  SELECT p_partkey, raw,
+      |    CASE WHEN st LIKE '%,%' AND st LIKE '%.%' THEN replace(replace(st, '.', ''), ',', '.')
+      |         WHEN st LIKE '%,%' THEN replace(st, ',', '')
+      |         ELSE st END AS norm
+      |  FROM s)
+      |SELECT p_partkey, raw,
+      |  coalesce(CAST(nullif(regexp_extract(norm, '[0-9]+\.?[0-9]*', 0), '') AS DOUBLE), 0.0) AS price
+      |FROM n ORDER BY p_partkey""".stripMargin
+
+  // WHEN-chain over the shared brand map, generated from the single Scala
+  // source of truth so ordering can never diverge between engines.
+  private val brandWhenChainSql: String =
+    BrandMap.map { case (key, canon) =>
+      s"WHEN contains(lc, '$key') THEN '$canon'"
+    }.mkString("\n    ")
+
+  /** F3 — brand normalization via the ordered substring map. */
+  def f3BrandNormalize(s: SparkSession, dir: String): DataFrame = {
+    val k = col("p_partkey")
+    val raw = when(k % 10 === 0, lit("samsung galaxy s24"))
+      .when(k % 10 === 1, lit("REDMI Note 12"))
+      .when(k % 10 === 2, lit("Hauwei P30 lite"))
+      .when(k % 10 === 3, lit(" Honor 90 "))
+      .when(k % 10 === 4, lit("iphone 15 pro"))
+      .when(k % 10 === 5, lit("Tecno Spark"))
+      .when(k % 10 === 6, lit(""))
+      .when(k % 10 === 7, lit("NULL"))
+      .when(k % 10 === 8, lit(null).cast("string"))
+      .otherwise(col("p_brand"))
+    t(s, dir, "part")
+      .withColumn("raw", raw)
+      .select(col("p_partkey"), col("raw"), normalizeBrand(col("raw")).as("brand"))
+      .orderBy("p_partkey")
+  }
+
+  val f3Sql: String =
+    s"""WITH r AS (
+       |  SELECT p_partkey, CASE p_partkey % 10
+       |    WHEN 0 THEN 'samsung galaxy s24' WHEN 1 THEN 'REDMI Note 12'
+       |    WHEN 2 THEN 'Hauwei P30 lite' WHEN 3 THEN ' Honor 90 '
+       |    WHEN 4 THEN 'iphone 15 pro' WHEN 5 THEN 'Tecno Spark'
+       |    WHEN 6 THEN '' WHEN 7 THEN 'NULL' WHEN 8 THEN NULL
+       |    ELSE p_brand END AS raw
+       |  FROM part),
+       |l AS (SELECT p_partkey, raw, lower(trim(coalesce(raw,''))) AS lc FROM r)
+       |SELECT p_partkey, raw,
+       |  CASE WHEN raw IS NULL OR upper(trim(raw)) IN ('','NULL','NONE','INCONNU','UNKNOWN','NAN') THEN 'Unknown'
+       |    $brandWhenChainSql
+       |    ELSE upper(substr(trim(raw),1,1)) || lower(substr(trim(raw),2)) END AS brand
+       |FROM l ORDER BY p_partkey""".stripMargin
+
+  /** F5 — model extraction: field passthrough + ordered regex cascade. */
+  def f5ModelExtract(s: SparkSession, dir: String): DataFrame = {
+    val k = col("p_partkey")
+    val title = when(k % 6 === 0, lit("Samsung Galaxy S24 Ultra 512GB"))
+      .when(k % 6 === 1, lit("Xiaomi Redmi Note 12 Pro"))
+      .when(k % 6 === 2, lit("iPhone 15 Pro Max"))
+      .when(k % 6 === 3, lit("Telephone portable pas cher"))
+      .when(k % 6 === 4, lit("Samsung promo"))
+      .otherwise(concat(lit("Oppo Reno "), (k % 20).cast("string")))
+    val brand = when(k % 6 === 0, lit("Samsung")).when(k % 6 === 1, lit("Xiaomi"))
+      .when(k % 6 === 2, lit("Apple")).when(k % 6 === 3, lit(null).cast("string"))
+      .when(k % 6 === 4, lit("Samsung")).otherwise(lit("Oppo"))
+    val model = when(k % 6 === 4, lit("SM-S936B")).otherwise(lit(null).cast("string"))
+    t(s, dir, "part")
+      .withColumn("title", title).withColumn("brand", brand).withColumn("model", model)
+      .select(col("p_partkey"), col("title"),
+        extractModel(col("model"), col("title"), col("brand")).as("model_out"))
+      .orderBy("p_partkey")
+  }
+
+  val f5Sql: String =
+    """WITH r AS (
+      |  SELECT p_partkey,
+      |    CASE p_partkey % 6 WHEN 0 THEN 'Samsung Galaxy S24 Ultra 512GB'
+      |      WHEN 1 THEN 'Xiaomi Redmi Note 12 Pro' WHEN 2 THEN 'iPhone 15 Pro Max'
+      |      WHEN 3 THEN 'Telephone portable pas cher' WHEN 4 THEN 'Samsung promo'
+      |      ELSE 'Oppo Reno ' || CAST(p_partkey % 20 AS VARCHAR) END AS title,
+      |    CASE p_partkey % 6 WHEN 0 THEN 'Samsung' WHEN 1 THEN 'Xiaomi'
+      |      WHEN 2 THEN 'Apple' WHEN 3 THEN NULL WHEN 4 THEN 'Samsung'
+      |      ELSE 'Oppo' END AS brand,
+      |    CASE p_partkey % 6 WHEN 4 THEN 'SM-S936B' ELSE NULL END AS model
+      |  FROM part),
+      |ff AS (
+      |  SELECT p_partkey, title,
+      |    CASE WHEN model IS NOT NULL AND upper(trim(model)) NOT IN ('','NULL','NONE','INCONNU','UNKNOWN','NAN')
+      |      THEN (CASE WHEN upper(trim(regexp_replace(regexp_replace(model,'[^A-Za-z0-9]+',' ','g'),'\s+',' ','g'))) IN ('','NULL','NONE','INCONNU','UNKNOWN','NAN')
+      |              THEN 'Unknown'
+      |              ELSE upper(trim(regexp_replace(regexp_replace(model,'[^A-Za-z0-9]+',' ','g'),'\s+',' ','g'))) END)
+      |      ELSE NULL END AS from_field,
+      |    regexp_replace(replace(upper(coalesce(title,'')), upper(coalesce(brand,' ')), ' '), '[^A-Z0-9 ]+', ' ', 'g') AS tnb
+      |  FROM r),
+      |c AS (
+      |  SELECT p_partkey, title, from_field,
+      |    coalesce(
+      |      nullif(trim(regexp_extract(tnb, '[A-Z]+ ?[0-9]+[A-Z0-9 ]*', 0)), ''),
+      |      nullif(trim(regexp_extract(tnb, '[0-9]+ ?[A-Z]+[A-Z0-9 ]*', 0)), ''),
+      |      nullif(trim(regexp_extract(tnb, '[A-Z]{2,}', 0)), '')) AS raw
+      |  FROM ff)
+      |SELECT p_partkey, title,
+      |  coalesce(from_field,
+      |    nullif(trim(regexp_replace(regexp_replace(raw, '\b(ULTRA|PRO|PLUS|MAX|MINI|LITE)\b', ' ', 'g'), '\s+', ' ', 'g')), ''),
+      |    'Unknown') AS model_out
+      |FROM c ORDER BY p_partkey""".stripMargin
+
+  /** F6 — product-id slug with token and md5 fallbacks. */
+  def f6ProductId(s: SparkSession, dir: String): DataFrame = {
+    val k = col("p_partkey")
+    val brand = when(k % 5 === 0, lit("Samsung")).when(k % 5 === 1, lit("Apple"))
+      .when(k % 5 === 2, lit("")).when(k % 5 === 3, lit("Xiaomi")).otherwise(col("p_brand"))
+    val model = when(k % 5 === 0, lit("S24 Ultra")).when(k % 5 === 1, lit("Unknown"))
+      .when(k % 5 === 2, lit(null).cast("string")).when(k % 5 === 3, lit("Redmi Note 12"))
+      .otherwise(col("p_name"))
+    val title = when(k % 5 === 1, lit("galaxy s24 ultra"))
+      .when(k % 5 === 2, lit("Telephone pas cher")).otherwise(col("p_name"))
+    t(s, dir, "part")
+      .withColumn("brand", brand).withColumn("model", model).withColumn("title", title)
+      .select(col("p_partkey"), productId(col("brand"), col("model"), col("title")).as("product_id"))
+      .orderBy("p_partkey")
+  }
+
+  val f6Sql: String =
+    """WITH r AS (
+      |  SELECT p_partkey,
+      |    CASE p_partkey % 5 WHEN 0 THEN 'Samsung' WHEN 1 THEN 'Apple' WHEN 2 THEN ''
+      |      WHEN 3 THEN 'Xiaomi' ELSE p_brand END AS brand,
+      |    CASE p_partkey % 5 WHEN 0 THEN 'S24 Ultra' WHEN 1 THEN 'Unknown' WHEN 2 THEN NULL
+      |      WHEN 3 THEN 'Redmi Note 12' ELSE p_name END AS model,
+      |    CASE p_partkey % 5 WHEN 1 THEN 'galaxy s24 ultra' WHEN 2 THEN 'Telephone pas cher'
+      |      ELSE p_name END AS title
+      |  FROM part),
+      |sl AS (
+      |  SELECT p_partkey,
+      |    regexp_replace(lower(coalesce(brand,'')), '[^a-z0-9]', '', 'g') AS b,
+      |    regexp_replace(lower(coalesce(model,'')), '[^a-z0-9]', '', 'g') AS m,
+      |    regexp_replace(regexp_extract(lower(coalesce(title,'')), '\b[a-z]+[0-9]+\w*\b', 0), '[^a-z0-9]', '', 'g') AS tok,
+      |    'title_' || substr(md5(coalesce(title,'')), 1, 8) AS md5fb
+      |  FROM r)
+      |SELECT p_partkey,
+      |  concat_ws('_', b,
+      |    CASE WHEN m <> '' AND m <> 'unknown' THEN m
+      |         WHEN tok <> '' THEN tok ELSE md5fb END) AS product_id
+      |FROM sl ORDER BY p_partkey""".stripMargin
+
+  /** F7 — FR/EN condition mapping. */
+  def f7Condition(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val raw = when(k % 9 === 0, lit("Neuf sous blister"))
+      .when(k % 9 === 1, lit("Comme neuf"))
+      .when(k % 9 === 2, lit("excellent état"))
+      .when(k % 9 === 3, lit("bon état"))
+      .when(k % 9 === 4, lit("moyen"))
+      .when(k % 9 === 5, lit("mauvais état - endommagé"))
+      .when(k % 9 === 6, lit("Reconditionné"))
+      .when(k % 9 === 7, lit(""))
+      .otherwise(lit(null).cast("string"))
+    t(s, dir, "orders")
+      .withColumn("raw", raw)
+      .select(col("o_orderkey"), col("raw"), determineCondition(col("raw")).as("condition"))
+      .orderBy("o_orderkey")
+  }
+
+  val f7Sql: String =
+    """WITH r AS (
+      |  SELECT o_orderkey, CASE o_orderkey % 9
+      |    WHEN 0 THEN 'Neuf sous blister' WHEN 1 THEN 'Comme neuf'
+      |    WHEN 2 THEN 'excellent état' WHEN 3 THEN 'bon état' WHEN 4 THEN 'moyen'
+      |    WHEN 5 THEN 'mauvais état - endommagé' WHEN 6 THEN 'Reconditionné'
+      |    WHEN 7 THEN '' ELSE NULL END AS raw
+      |  FROM orders),
+      |l AS (SELECT o_orderkey, raw, lower(trim(coalesce(raw,''))) AS lc FROM r)
+      |SELECT o_orderkey, raw,
+      |  CASE WHEN raw IS NULL OR upper(trim(raw)) IN ('','NULL','NONE','INCONNU','UNKNOWN','NAN') THEN 'used'
+      |    WHEN contains(lc,'comme neuf') OR contains(lc,'like new') THEN 'like new'
+      |    WHEN contains(lc,'reconditionn') OR contains(lc,'refurbished') THEN 'refurbished'
+      |    WHEN contains(lc,'neuf') OR contains(lc,'new') OR contains(lc,'nouveau') THEN 'new'
+      |    WHEN contains(lc,'bon') OR contains(lc,'good') OR contains(lc,'excellent') THEN 'good'
+      |    WHEN contains(lc,'moyen') OR contains(lc,'fair') OR contains(lc,'acceptable') THEN 'fair'
+      |    WHEN contains(lc,'mauvais') OR contains(lc,'poor') OR contains(lc,'endommag') THEN 'poor'
+      |    ELSE 'used' END AS condition
+      |FROM l ORDER BY o_orderkey""".stripMargin
+
+  /** F8 — rating extraction from heterogeneous formats. */
+  def f8Rating(s: SparkSession, dir: String): DataFrame = {
+    val k = col("c_custkey")
+    val raw = when(k % 6 === 0, lit("4.5 out of 5"))
+      .when(k % 6 === 1, lit("3/5"))
+      .when(k % 6 === 2, concat((k % 5).cast("string"), lit(","), (k % 10).cast("string")))
+      .when(k % 6 === 3, lit(""))
+      .when(k % 6 === 4, lit(null).cast("string"))
+      .otherwise(lit("No rating yet 2024"))
+    t(s, dir, "customer")
+      .withColumn("raw", raw)
+      .select(col("c_custkey"), col("raw"), extractRating(col("raw")).as("rating"))
+      .orderBy("c_custkey")
+  }
+
+  val f8Sql: String =
+    """WITH r AS (
+      |  SELECT c_custkey, CASE c_custkey % 6
+      |    WHEN 0 THEN '4.5 out of 5' WHEN 1 THEN '3/5'
+      |    WHEN 2 THEN CAST(c_custkey % 5 AS VARCHAR) || ',' || CAST(c_custkey % 10 AS VARCHAR)
+      |    WHEN 3 THEN '' WHEN 4 THEN NULL ELSE 'No rating yet 2024' END AS raw
+      |  FROM customer)
+      |SELECT c_custkey, raw,
+      |  coalesce(
+      |    CAST(nullif(regexp_extract(raw, '([0-9]+\.?[0-9]*)\s*out of', 1), '') AS DOUBLE),
+      |    CAST(nullif(regexp_extract(raw, '([0-9]+\.?[0-9]*)\s*/', 1), '') AS DOUBLE),
+      |    CAST(nullif(regexp_extract(raw, '([0-9]+\.?[0-9]*)', 1), '') AS DOUBLE),
+      |    0.0) AS rating
+      |FROM r ORDER BY c_custkey""".stripMargin
+
+  /** F12 — storage/ram/screen spec extraction from free text. */
+  def f12Specs(s: SparkSession, dir: String): DataFrame = {
+    val k = col("p_partkey")
+    val text = when(k % 4 === 0, lit("Smartphone 128 Go stockage 8 go ram écran 6.5\" neuf"))
+      .when(k % 4 === 1, lit("256GB storage dual sim"))
+      .when(k % 4 === 2, concat((k % 512).cast("string"), lit(" go ram")))
+      .otherwise(col("p_name"))
+    t(s, dir, "part")
+      .withColumn("text", text)
+      .select(col("p_partkey"), col("text"),
+        specStorage(col("text")).as("storage"),
+        specRam(col("text")).as("ram"),
+        specScreen(col("text")).as("screen"))
+      .orderBy("p_partkey")
+  }
+
+  val f12Sql: String =
+    """WITH r AS (
+      |  SELECT p_partkey, CASE p_partkey % 4
+      |    WHEN 0 THEN 'Smartphone 128 Go stockage 8 go ram écran 6.5" neuf'
+      |    WHEN 1 THEN '256GB storage dual sim'
+      |    WHEN 2 THEN CAST(p_partkey % 512 AS VARCHAR) || ' go ram'
+      |    ELSE p_name END AS text
+      |  FROM part)
+      |SELECT p_partkey, text,
+      |  nullif(regexp_extract(lower(text), '([0-9]+)\s*(go|gb)', 1), '') AS storage,
+      |  nullif(regexp_extract(lower(text), '([0-9]+)\s*go\s*ram', 1), '') AS ram,
+      |  nullif(regexp_extract(lower(text), '([0-9]+[.,]?[0-9]*)"', 1), '') AS screen
+      |FROM r ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // Anomaly detection (Z1–Z6)
+  // ---------------------------------------------------------------------
+
+  private val zStatsSql: String =
+    s"""SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice AS p,
+       |    count(*) OVER w AS n,
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s1,
+       |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS s2
+       |  FROM lineitem WINDOW w AS (PARTITION BY l_partkey)""".stripMargin
+
+  private val zMetricsSql: String =
+    """SELECT l_partkey, l_orderkey, l_linenumber, p, n,
+      |    s1 / n AS mean,
+      |    CASE WHEN n > 1 THEN sqrt((s2 - s1*s1/n) / (n-1)) END AS std
+      |  FROM st""".stripMargin
+
+  /** Z3 (z-score rule) — flagged offers with group stats and metrics. */
+  def z3ZscoreAnomalies(s: SparkSession, dir: String): DataFrame =
+    Anomaly.zScoreAnomalies(t(s, dir, "lineitem"), Seq("l_partkey"), "l_extendedprice",
+        k = 2.0, minGroupSize = 3)
+      .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), round(col("market_mean"), 2).as("mean_r"),
+        round(col("market_std"), 2).as("std_r"), round(col("z_score"), 4).as("z_r"),
+        col("anomaly_type"))
+      .orderBy("l_partkey", "l_orderkey", "l_linenumber")
+
+  val z3Sql: String =
+    s"""WITH st AS ($zStatsSql),
+       |m AS ($zMetricsSql),
+       |z AS (
+       |  SELECT *, CASE WHEN std > 0 THEN abs(p - mean) / std END AS z
+       |  FROM m)
+       |SELECT l_partkey, l_orderkey, l_linenumber, p AS l_extendedprice,
+       |  round(mean, 2) AS mean_r, round(std, 2) AS std_r, round(z, 4) AS z_r,
+       |  CASE WHEN p > mean THEN 'trop_haut' ELSE 'trop_bas' END AS anomaly_type
+       |FROM z WHERE n >= 3 AND z > 2.0
+       |ORDER BY l_partkey, l_orderkey, l_linenumber""".stripMargin
+
+  /** Z5 — one-row anomaly-run summary. */
+  def z5AnomalySummary(s: SparkSession, dir: String): DataFrame =
+    Anomaly.summary(
+      Anomaly.zScoreAnomalies(t(s, dir, "lineitem"), Seq("l_partkey"), "l_extendedprice",
+        k = 2.0, minGroupSize = 3),
+      Seq("l_partkey"))
+
+  val z5Sql: String =
+    s"""WITH st AS ($zStatsSql),
+       |m AS ($zMetricsSql),
+       |z AS (
+       |  SELECT *, CASE WHEN std > 0 THEN abs(p - mean) / std END AS z,
+       |    abs(p - mean) / mean * 100.0 AS dev,
+       |    CASE WHEN p > mean THEN 'trop_haut' ELSE 'trop_bas' END AS anomaly_type
+       |  FROM m),
+       |f AS (SELECT * FROM z WHERE n >= 3 AND z > 2.0)
+       |SELECT count(*) AS total_anomalies,
+       |  count(DISTINCT l_partkey) AS groups_with_anomalies,
+       |  CAST(SUM(CASE WHEN anomaly_type = 'trop_haut' THEN 1 ELSE 0 END) AS BIGINT) AS n_trop_haut,
+       |  CAST(SUM(CASE WHEN anomaly_type = 'trop_bas' THEN 1 ELSE 0 END) AS BIGINT) AS n_trop_bas,
+       |  CAST(SUM(floor(dev * 100.0)) AS BIGINT) AS sum_dev_centi
+       |FROM f""".stripMargin
+
+  /** Z6 (IQR rule) — per-group outlier counts via quartile fences. */
+  def z6IqrOutliers(s: SparkSession, dir: String): DataFrame =
+    Anomaly.iqrAnomalies(t(s, dir, "lineitem"), Seq("l_partkey"), "l_extendedprice",
+        k = 1.5, minGroupSize = 3)
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_outliers"))
+      .orderBy("l_partkey")
+
+  val z6Sql: String =
+    """WITH q AS (
+      |  SELECT l_partkey AS pk, count(*) AS n,
+      |    quantile_cont(l_extendedprice, 0.25) AS q1,
+      |    quantile_cont(l_extendedprice, 0.75) AS q3
+      |  FROM lineitem GROUP BY l_partkey HAVING count(*) >= 3),
+      |f AS (
+      |  SELECT l_partkey FROM lineitem JOIN q ON l_partkey = q.pk
+      |  WHERE l_extendedprice < q1 - 1.5 * (q3 - q1)
+      |     OR l_extendedprice > q3 + 1.5 * (q3 - q1))
+      |SELECT l_partkey, count(*) AS n_outliers FROM f
+      |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // LLM-data-pipeline operators over documents / embeddings
+  // ---------------------------------------------------------------------
+
+  private val normSql =
+    "trim(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9]+', ' ', 'g'))"
+
+  /** D1 — exact-dedup fingerprint groups (md5 of normalized text). */
+  def d1DedupExact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("fp", fingerprint(col("text")))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
+      .orderBy("fp")
+
+  val d1Sql: String =
+    s"""SELECT md5($normSql) AS fp, count(*) AS n_docs, min(doc_id) AS keep_id
+       |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
+
+  /** D2 — MinHash+LSH near-duplicate pairs (bands=4, rows=2, thr=0.5). */
+  def d2MinhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(length(normalizeText(col("text"))) > 0)
+    Dedup.minhashNearDup(docs, "text", "doc_id", bands = 4, rowsPerBand = 2, threshold = 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  val d2Sql: String =
+    s"""WITH norm AS (SELECT doc_id, $normSql AS nt FROM documents),
+       |tok AS (SELECT DISTINCT doc_id, unnest(string_split(nt, ' ')) AS tok FROM norm WHERE nt <> ''),
+       |seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+       |mh AS (
+       |  SELECT doc_id, seed, min(substr(md5(CAST(seed AS VARCHAR) || ':' || tok), 1, 16)) AS h
+       |  FROM tok CROSS JOIN seeds GROUP BY doc_id, seed),
+       |bandkey AS (
+       |  SELECT doc_id, seed // 2 AS band, string_agg(h, '|' ORDER BY seed) AS key
+       |  FROM mh GROUP BY doc_id, seed // 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bandkey a JOIN bandkey b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.id_a, c.id_b, count(*) AS i
+       |  FROM cand c JOIN tok ta ON ta.doc_id = c.id_a
+       |              JOIN tok tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+       |  GROUP BY c.id_a, c.id_b),
+       |j AS (
+       |  SELECT i.id_a, i.id_b, round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
+       |  FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+
+  /** D3 — portable 16-bit SimHash signatures. */
+  def d3Simhash(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .where(length(normalizeText(col("text"))) > 0)
+      .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  val d3Sql: String = {
+    val hx = "strpos('0123456789abcdef', substr(md5(t.tok), %d, 1)) - 1"
+    s"""WITH norm AS (SELECT doc_id, $normSql AS nt FROM documents),
+       |tok AS (SELECT DISTINCT doc_id, unnest(string_split(nt, ' ')) AS tok FROM norm WHERE nt <> ''),
+       |bits AS (SELECT unnest(generate_series(0, 15)) AS i),
+       |tb AS (
+       |  SELECT t.doc_id, b.i,
+       |    CAST(floor(((${hx.format(1)}) * 4096 + (${hx.format(2)}) * 256 + (${hx.format(3)}) * 16 + (${hx.format(4)})) / (CAST(1 AS BIGINT) << b.i)) AS BIGINT) % 2 AS bit
+       |  FROM tok t CROSS JOIN bits b),
+       |sums AS (SELECT doc_id, i, SUM(2 * bit - 1) AS sgn FROM tb GROUP BY doc_id, i)
+       |SELECT doc_id,
+       |  CAST(SUM(CASE WHEN sgn > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS simhash
+       |FROM sums GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  /** D4 — exact word-bigram Jaccard within language blocks. */
+  def d4NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", "lang",
+        n = 2, threshold = 0.05)
+      .orderBy("id_a", "id_b")
+
+  val d4Sql: String =
+    s"""WITH norm AS (SELECT doc_id, lang, $normSql AS nt FROM documents),
+       |tk AS (SELECT doc_id, lang, string_split(nt, ' ') AS toks, len(string_split(nt, ' ')) AS k FROM norm WHERE nt <> ''),
+       |e AS (SELECT doc_id, lang, toks, k FROM tk UNION ALL SELECT doc_id, lang, [nt], 1 FROM norm WHERE nt = ''),
+       |sh AS (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN k <= 2 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(0, k - 1), i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')) END AS gr
+       |  FROM e),
+       |g AS (SELECT DISTINCT doc_id, lang, unnest(gr) AS gram FROM sh),
+       |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+       |  FROM g a JOIN g b ON a.lang = b.lang AND a.gram = b.gram AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |j AS (
+       |  SELECT i.id_a, i.id_b, round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
+       |  FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b)
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.05 ORDER BY id_a, id_b""".stripMargin
+
+  /** D5 — brute-force cosine top-k over the embedding column. */
+  def d5CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.bruteForceTopK(
+        emb.where(col("vec_id") < 1000), emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val d5Sql: String = {
+    val dotProd = "list_reduce(list_transform(list_zip(%s, %s), s -> s[1] * s[2]), (a, b) -> a + b)"
+    s"""WITH q AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |  FROM embeddings WHERE vec_id < 5),
+       |c AS (SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM embeddings WHERE vec_id < 1000),
+       |sc AS (
+       |  SELECT query_id, neighbor_id,
+       |    round(${dotProd.format("qv", "cv")} / (sqrt(${dotProd.format("qv", "qv")}) * sqrt(${dotProd.format("cv", "cv")})), 4) AS cos
+       |  FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+       |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  private def sqlList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** X1 — language-id confusion matrix (stopword-hit heuristic vs label). */
+  def x1LangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), TextFunctions.langId(col("text")).as("pred"))
+      .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred")
+
+  val x1Sql: String =
+    s"""WITH norm AS (SELECT doc_id, lang, $normSql AS nt FROM documents),
+       |h AS (
+       |  SELECT lang,
+       |    len(list_filter(string_split(nt, ' '), x -> x IN ${sqlList(TextFunctions.StopwordsEn)})) AS en,
+       |    len(list_filter(string_split(nt, ' '), x -> x IN ${sqlList(TextFunctions.StopwordsFr)})) AS fr,
+       |    len(list_filter(string_split(nt, ' '), x -> x IN ${sqlList(TextFunctions.StopwordsEs)})) AS es
+       |  FROM norm),
+       |p AS (
+       |  SELECT lang, CASE WHEN en = 0 AND fr = 0 AND es = 0 THEN 'und'
+       |    WHEN en >= fr AND en >= es THEN 'en' WHEN fr >= es THEN 'fr'
+       |    ELSE 'es' END AS pred
+       |  FROM h)
+       |SELECT lang, pred, count(*) AS n FROM p GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
+
+  /** X2 — per-document quality metrics. */
+  def x2Quality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("chars"),
+        tokenCount(col("text")).as("n_tok"),
+        round(punctRatio(col("text")), 4).as("punct_r"),
+        round(upperRatio(col("text")), 4).as("upper_r"),
+        round(stopwordRatio(col("text")), 4).as("stop_r"),
+        qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  val x2Sql: String = {
+    val allStops = sqlList(TextFunctions.StopwordsEn ++ TextFunctions.StopwordsFr ++ TextFunctions.StopwordsEs)
+    s"""WITH b AS (
+       |  SELECT doc_id, coalesce(text,'') AS s, $normSql AS nt FROM documents),
+       |m AS (
+       |  SELECT doc_id, s, nt, length(s) AS chars,
+       |    CASE WHEN nt = '' THEN 0 ELSE len(string_split(nt, ' ')) END AS n_tok,
+       |    CASE WHEN length(s) = 0 THEN 0.0
+       |         ELSE CAST(length(regexp_replace(s, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(s) END AS punct_r,
+       |    CASE WHEN length(regexp_replace(s, '[^A-Za-z]', '', 'g')) = 0 THEN 0.0
+       |         ELSE CAST(length(regexp_replace(s, '[^A-Z]', '', 'g')) AS DOUBLE) / length(regexp_replace(s, '[^A-Za-z]', '', 'g')) END AS upper_r,
+       |    CASE WHEN nt = '' THEN 0.0
+       |         ELSE CAST(len(list_filter(string_split(nt, ' '), x -> x IN $allStops)) AS DOUBLE) / len(string_split(nt, ' ')) END AS stop_r,
+       |    CASE WHEN nt = '' THEN 0.0
+       |         ELSE CAST(length(replace(nt, ' ', '')) AS DOUBLE) / len(string_split(nt, ' ')) END AS mwl
+       |  FROM b)
+       |SELECT doc_id, chars, n_tok, round(punct_r, 4) AS punct_r, round(upper_r, 4) AS upper_r,
+       |  round(stop_r, 4) AS stop_r,
+       |  round((CASE WHEN chars >= 200 THEN 1.0 ELSE CAST(chars AS DOUBLE) / 200.0 END) * 0.4
+       |      + (CASE WHEN punct_r <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+       |      + (CASE WHEN stop_r >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.2
+       |      + (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2, 4) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** X3 — whitespace + BPE-ish token counting. */
+  def x3TokenCount(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).as("n_ws"),
+        bpeTokenCount(col("text")).as("n_bpe"))
+      .orderBy("doc_id")
+
+  val x3Sql: String =
+    s"""WITH norm AS (SELECT doc_id, $normSql AS nt, coalesce(text,'') AS s FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN nt = '' THEN 0 ELSE len(string_split(nt, ' ')) END AS n_ws,
+       |  len(regexp_extract_all(s, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_bpe
+       |FROM norm ORDER BY doc_id""".stripMargin
+
+  /** X4 — document fingerprints (rolling-hash flavor: md5 of normalized
+    * text + 64-bit prefix). */
+  def x4Fingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+        md5_16(normalizeText(col("text"))).as("fp64"))
+      .orderBy("doc_id")
+
+  val x4Sql: String =
+    s"""SELECT doc_id, md5($normSql) AS fp, substr(md5($normSql), 1, 16) AS fp64
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** M1 — multimodal column plumbing: opaque binary payload + deterministic
+    * stub "decode" into typed metadata (byte size, fake width/height/frames
+    * derived from content hash). The real decode is a mapPartitions stub in
+    * graft.operators.Multimodal; this query verifies the schema/metadata
+    * path end-to-end. */
+  def m1MultimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val h = md5(col("text"))
+    val hv = (i: Int) => conv(substring(h, i, 2), 16, 10).cast("long")
+    t(s, dir, "documents")
+      .select(col("doc_id"), octet_length(col("text")).as("n_bytes"),
+        (hv(1) % 192 + 64).as("width"),
+        (hv(3) % 192 + 64).as("height"),
+        (hv(5) % 30 + 1).as("frames"))
+      .orderBy("doc_id")
+  }
+
+  val m1Sql: String = {
+    val hx = (i: Int) => s"(strpos('0123456789abcdef', substr(md5(text), $i, 1)) - 1)"
+    def hv(i: Int) = s"(${hx(i)} * 16 + ${hx(i + 1)})"
+    s"""SELECT doc_id, strlen(text) AS n_bytes,
+       |  ${hv(1)} % 192 + 64 AS width,
+       |  ${hv(3)} % 192 + 64 AS height,
+       |  ${hv(5)} % 30 + 1 AS frames
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // Registry
+  // ---------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "s1_scan_prune" -> s1ScanPrune,
+    "s3_sentinel_scrub" -> s3SentinelScrub,
+    "p4_positive_filter" -> p4PositiveFilter,
+    "p6_multi_source" -> p6MultiSource,
+    "j1_stats_join" -> j1StatsJoin,
+    "a1_merge_products" -> a1MergeProducts,
+    "a2_offer_dedup" -> a2OfferDedup,
+    "a4_distribution" -> a4Distribution,
+    "a6_group_stats" -> a6GroupStats,
+    "t2_top5_brands" -> t2Top5Brands,
+    "t4_top_deviation" -> t4TopDeviation,
+    "u1_union_parties" -> u1UnionParties,
+    "w1_running_window" -> w1RunningWindow,
+    "st1_hourly_events" -> st1HourlyEvents,
+    "f1_clean_price" -> f1CleanPrice,
+    "f2_price_european" -> f2PriceEuropean,
+    "f3_brand_normalize" -> f3BrandNormalize,
+    "f5_model_extract" -> f5ModelExtract,
+    "f6_product_id" -> f6ProductId,
+    "f7_condition" -> f7Condition,
+    "f8_rating" -> f8Rating,
+    "f12_specs" -> f12Specs,
+    "z3_zscore_anomalies" -> z3ZscoreAnomalies,
+    "z5_anomaly_summary" -> z5AnomalySummary,
+    "z6_iqr_outliers" -> z6IqrOutliers,
+    "d1_dedup_exact" -> d1DedupExact,
+    "d2_minhash_neardup" -> d2MinhashNearDup,
+    "d3_simhash" -> d3Simhash,
+    "d4_ngram_jaccard" -> d4NgramJaccard,
+    "d5_cosine_topk" -> d5CosineTopK,
+    "x1_lang_id" -> x1LangId,
+    "x2_quality" -> x2Quality,
+    "x3_token_count" -> x3TokenCount,
+    "x4_fingerprint" -> x4Fingerprint,
+    "m1_multimodal_meta" -> m1MultimodalMeta
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "s1_scan_prune" -> s1Sql,
+    "s3_sentinel_scrub" -> s3Sql,
+    "p4_positive_filter" -> p4Sql,
+    "p6_multi_source" -> p6Sql,
+    "j1_stats_join" -> j1Sql,
+    "a1_merge_products" -> a1Sql,
+    "a2_offer_dedup" -> a2Sql,
+    "a4_distribution" -> a4Sql,
+    "a6_group_stats" -> a6Sql,
+    "t2_top5_brands" -> t2Sql,
+    "t4_top_deviation" -> t4Sql,
+    "u1_union_parties" -> u1Sql,
+    "w1_running_window" -> w1Sql,
+    "st1_hourly_events" -> st1Sql,
+    "f1_clean_price" -> f1Sql,
+    "f2_price_european" -> f2Sql,
+    "f3_brand_normalize" -> f3Sql,
+    "f5_model_extract" -> f5Sql,
+    "f6_product_id" -> f6Sql,
+    "f7_condition" -> f7Sql,
+    "f8_rating" -> f8Sql,
+    "f12_specs" -> f12Sql,
+    "z3_zscore_anomalies" -> z3Sql,
+    "z5_anomaly_summary" -> z5Sql,
+    "z6_iqr_outliers" -> z6Sql,
+    "d1_dedup_exact" -> d1Sql,
+    "d2_minhash_neardup" -> d2Sql,
+    "d3_simhash" -> d3Sql,
+    "d4_ngram_jaccard" -> d4Sql,
+    "d5_cosine_topk" -> d5Sql,
+    "x1_lang_id" -> x1Sql,
+    "x2_quality" -> x2Sql,
+    "x3_token_count" -> x3Sql,
+    "x4_fingerprint" -> x4Sql,
+    "m1_multimodal_meta" -> m1Sql
+  )
+}

@@ -1,0 +1,200 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import scala.collection.immutable.ListMap
+
+/** Scalar cleaning/extraction functions of the marketeye reference,
+  * re-expressed as pure Catalyst column expressions (codegen'd, no UDFs).
+  *
+  * Reference semantics (file:line cited per function) from
+  * SARA-MAGGAG/ETL-marketeye_airflow — see SURVEY.md §2.4. Every function
+  * here is Catalyst-visible so predicate pushdown / constant folding /
+  * whole-stage codegen apply; at 100 TB these run inside the parquet scan
+  * stage with zero extra shuffles.
+  */
+object ScalarFunctions {
+
+  /** Sentinel strings the reference treats as missing.
+    * Ref: avito_extractor.py:94,151,241,246,286. */
+  private val Sentinels = Seq("", "NULL", "NONE", "INCONNU", "UNKNOWN", "NAN")
+
+  /** P5 — null out sentinel values: ''/'NULL'/'NONE'/'INCONNU'/'UNKNOWN'
+    * (case-insensitive, trimmed). Ref: dag :106,141; avito_extractor.py:94. */
+  def sentinelToNull(c: Column): Column =
+    when(c.isNull || upper(trim(c)).isin(Sentinels: _*), lit(null)).otherwise(c)
+
+  /** True when a string column is present and non-sentinel. */
+  def isPresent(c: Column): Column =
+    c.isNotNull && !upper(trim(c)).isin(Sentinels: _*)
+
+  /** F10 — safe_string: null→"", passthrough otherwise (numbers already cast
+    * upstream). Ref: base_extractor.py:32-38. */
+  def safeString(c: Column): Column = coalesce(c.cast("string"), lit(""))
+
+  /** F1 — clean_price, naive path (bug-for-bug): strip all but [0-9,.],
+    * turn ',' into '.', take the FIRST `\d+\.?\d*` match, cast to double,
+    * else 0.0.  Preserves the reference bug where "13,875" (thousands
+    * comma) parses as 13.875.  Ref: dag:61-71; base_extractor.py:89-101. */
+  def cleanPrice(c: Column): Column = {
+    val stripped = regexp_replace(c.cast("string"), "[^0-9,\\.]", "")
+    val dotted   = regexp_replace(stripped, ",", ".")
+    val first    = regexp_extract(dotted, "\\d+\\.?\\d*", 0)
+    coalesce(nullif(first, lit("")).cast("double"), lit(0.0))
+  }
+
+  /** F2 — _extract_price_fixed (robust European formats): if both ',' and
+    * '.' present → '.' is thousands sep (drop it) and ',' is decimal;
+    * if only ',' present → ',' is thousands sep (drop it).
+    * "4.500,00"→4500.0, "4,500"→4500.0, "250 DH"→250.0.
+    * Ref: avito_extractor.py:197-231. */
+  def extractPriceFixed(c: Column): Column = {
+    val s = regexp_replace(c.cast("string"), "[^0-9,\\.]", "")
+    val both    = s.contains(",") && s.contains(".")
+    val commaOnly = s.contains(",") && !s.contains(".")
+    val norm = when(both, regexp_replace(regexp_replace(s, "\\.", ""), ",", "."))
+      .when(commaOnly, regexp_replace(s, ",", ""))
+      .otherwise(s)
+    val first = regexp_extract(norm, "\\d+\\.?\\d*", 0)
+    coalesce(nullif(first, lit("")).cast("double"), lit(0.0))
+  }
+
+  /** Brand substring→canonical map, first hit wins in insertion order.
+    * Ref: config/pipeline_config.py:22-34 + dag:73-96 (incl. typo keys). */
+  val BrandMap: ListMap[String, String] = ListMap(
+    "samsung" -> "Samsung", "samsng" -> "Samsung", "galaxy" -> "Samsung",
+    "iphone" -> "Apple", "apple" -> "Apple",
+    "xiaomi" -> "Xiaomi", "redmi" -> "Xiaomi", "poco" -> "Xiaomi",
+    "huawei" -> "Huawei", "hauwei" -> "Huawei", "honor" -> "Honor",
+    "oppo" -> "Oppo", "realme" -> "Realme", "vivo" -> "Vivo",
+    "oneplus" -> "OnePlus", "one plus" -> "OnePlus",
+    "pixel" -> "Google", "google" -> "Google",
+    "nokia" -> "Nokia", "sony" -> "Sony", "lg" -> "LG",
+    "tecno" -> "Tecno", "infinix" -> "Infinix", "itel" -> "Itel",
+    "motorola" -> "Motorola", "lenovo" -> "Lenovo", "alcatel" -> "Alcatel"
+  )
+
+  /** F3 — normalize_brand: null/sentinel→"Unknown"; else first substring hit
+    * in [[BrandMap]] (insertion order); else Title Case of the raw value.
+    * Ref: dag:73-96; base_extractor.py:40-51. */
+  def normalizeBrand(c: Column): Column = {
+    val lc = lower(trim(c))
+    val mapped = BrandMap.foldRight(initcap(lower(trim(c)))) {
+      case ((key, canon), fallback) => when(lc.contains(key), lit(canon)).otherwise(fallback)
+    }
+    when(!isPresent(c), lit("Unknown")).otherwise(mapped)
+  }
+
+  /** Scan a free-text title for a brand key; null when no key matches.
+    * Stage 2/3 of F4. Ref: avito_extractor.py:107-139. */
+  def brandFromTitle(title: Column): Column = {
+    val lc = lower(coalesce(title, lit("")))
+    BrandMap.foldRight(lit(null).cast("string"): Column) {
+      case ((key, canon), fallback) => when(lc.contains(key), lit(canon)).otherwise(fallback)
+    }
+  }
+
+  /** F4 — 3-stage Avito brand: explicit field → title scan → model scan →
+    * "Unknown". Ref: avito_extractor.py:90-145. */
+  def extractBrandFixed(brand: Column, title: Column, model: Column): Column =
+    coalesce(
+      when(isPresent(brand), normalizeBrand(brand)),
+      brandFromTitle(title),
+      brandFromTitle(model),
+      lit("Unknown"))
+
+  /** Marketing words stripped from models on the fixed path.
+    * Ref: avito_extractor.py:171. */
+  private val MarketingWords = "\\b(ULTRA|PRO|PLUS|MAX|MINI|LITE)\\b"
+
+  /** F11 — clean_model_name: non-alnum→space, collapse, UPPER, ""→Unknown.
+    * Ref: base_extractor.py:141-150. */
+  def cleanModelName(c: Column): Column = {
+    val cleaned = upper(trim(regexp_replace(
+      regexp_replace(c, "[^A-Za-z0-9]+", " "), "\\s+", " ")))
+    when(!isPresent(cleaned), lit("Unknown")).otherwise(cleaned)
+  }
+
+  /** F5 — extract model from the `model` field when present, else from the
+    * title via an ordered regex cascade (first match wins), uppercased with
+    * marketing words stripped; else "Unknown".
+    * Ref: avito_extractor.py:147-195; base_extractor.py:53-87. */
+  def extractModel(model: Column, title: Column, brand: Column): Column = {
+    val fromField = when(isPresent(model), cleanModelName(model))
+    // strip the brand (canonical + raw) from the title before pattern scan
+    val t0 = upper(coalesce(title, lit("")))
+    val tNoBrand = regexp_replace(
+      replace(t0, upper(coalesce(brand, lit(" "))), lit(" ")),
+      "[^A-Z0-9 ]+", " ")
+    // ordered patterns, ref avito_extractor.py:158-166
+    val patterns = Seq(
+      "[A-Z]+ ?\\d+[A-Z0-9 ]*", // S24 ULTRA, NOTE 12
+      "\\d+ ?[A-Z]+[A-Z0-9 ]*", // 12 PRO
+      "[A-Z]{2,}")              // bare series word
+    val cascade = patterns.map(p => nullif(trim(regexp_extract(tNoBrand, p, 0)), lit("")))
+    val raw = coalesce(cascade: _*)
+    val cleaned = nullif(trim(regexp_replace(
+      regexp_replace(raw, MarketingWords, " "), "\\s+", " ")), lit(""))
+    coalesce(fromField, cleaned, lit("Unknown"))
+  }
+
+  /** Slug: lowercase, keep [a-z0-9] only. */
+  def slug(c: Column): Column = regexp_replace(lower(coalesce(c, lit(""))), "[^a-z0-9]", "")
+
+  /** F6 — create_product_id = "{slug(brand)}_{slug(model)}"; when the model
+    * slug is empty/unknown, fall back to the first token-with-digits of the
+    * title, then to "title_{md5(title)[:8]}".
+    * Ref: base_extractor.py:103-114; avito_extractor.py:251-280. */
+  def productId(brand: Column, model: Column, title: Column): Column = {
+    val b = slug(brand)
+    val m = slug(model)
+    val titleToken = slug(regexp_extract(lower(coalesce(title, lit(""))), "\\b[a-z]+\\d+\\w*\\b", 0))
+    val md5Fb = concat(lit("title_"), substring(md5(coalesce(title, lit(""))), 1, 8))
+    val mFinal = when(m =!= "" && m =!= "unknown", m)
+      .when(titleToken =!= "", titleToken)
+      .otherwise(md5Fb)
+    concat_ws("_", b, mFinal)
+  }
+
+  /** F7 — determine_condition: FR/EN substring map; sentinel→'used'.
+    * Ref: avito_extractor.py:282-304; dag:196-219. */
+  def determineCondition(c: Column): Column = {
+    val lc = lower(trim(coalesce(c, lit(""))))
+    when(!isPresent(c), lit("used"))
+      .when(lc.contains("comme neuf") || lc.contains("like new"), lit("like new"))
+      .when(lc.contains("reconditionn") || lc.contains("refurbished"), lit("refurbished"))
+      .when(lc.contains("neuf") || lc.contains("new") || lc.contains("nouveau"), lit("new"))
+      .when(lc.contains("bon") || lc.contains("good") || lc.contains("excellent"), lit("good"))
+      .when(lc.contains("moyen") || lc.contains("fair") || lc.contains("acceptable"), lit("fair"))
+      .when(lc.contains("mauvais") || lc.contains("poor") || lc.contains("endommag"), lit("poor"))
+      .otherwise(lit("used"))
+  }
+
+  /** F8 — extract_rating: "4.5 out of 5"→4.5; "4.5/5"→4.5; first decimal in
+    * the string; else 0.0. Ref: jumia_extractor.py:56-78. */
+  def extractRating(c: Column): Column = {
+    val s = c.cast("string")
+    coalesce(
+      nullif(regexp_extract(s, "(\\d+\\.?\\d*)\\s*out of", 1), lit("")).cast("double"),
+      nullif(regexp_extract(s, "(\\d+\\.?\\d*)\\s*/", 1), lit("")).cast("double"),
+      nullif(regexp_extract(s, "(\\d+\\.?\\d*)", 1), lit("")).cast("double"),
+      lit(0.0))
+  }
+
+  /** F9 — Avito URL builder: keep if it already points at avito.ma, else
+    * rebuild from the ad id, else homepage. Ref: avito_extractor.py:306-316. */
+  def buildAvitoUrl(url: Column, adId: Column): Column =
+    when(coalesce(url, lit("")).contains("avito.ma"), url)
+      .when(isPresent(adId), concat(lit("https://www.avito.ma/vi/"), adId.cast("string"), lit(".htm")))
+      .otherwise(lit("https://www.avito.ma"))
+
+  /** F12 (Jumia regex specs) — storage/ram/screen pulled from title+descr.
+    * Ref: jumia_extractor.py:80-111; dag:440-448. */
+  def specStorage(text: Column): Column =
+    nullif(regexp_extract(lower(text), "(\\d+)\\s*(go|gb)", 1), lit(""))
+  def specRam(text: Column): Column =
+    nullif(regexp_extract(lower(text), "(\\d+)\\s*go\\s*ram", 1), lit(""))
+  def specScreen(text: Column): Column =
+    nullif(regexp_extract(lower(text), "(\\d+[.,]?\\d*)\"", 1), lit(""))
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Per-group price-anomaly detection, re-engineered from the reference's
+  * committed artifacts (SURVEY.md §2.8, Z1–Z6):
+  *
+  *   - group offers by a product key, require a minimum group size (Z6);
+  *   - per group: mean / sample-std / median / count / min / max (Z2);
+  *   - per offer: deviation_percent = |p−μ|/μ·100, z_score = |p−μ|/σ (Z3);
+  *   - classify trop_haut / trop_bas (Z4); two pluggable flagging rules:
+  *     z-score (k·σ, the 18:42 reference run) and IQR fences (the 20:19
+  *     run's distribution-shaped rule).
+  *
+  * Scale notes: group stats are computed with window functions over a
+  * single hash-partition of the group key — one shuffle, no self-join, and
+  * the same shuffle serves the per-offer metrics. Sums run in decimal
+  * (exact, order-insensitive) then cast to double, so results are
+  * deterministic under any partitioning — required both for the DuckDB
+  * oracle hash-match and for reproducible runs on a 1000-executor cluster.
+  */
+object Anomaly {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Adds deterministic per-group stats columns (n, mean, std) over the
+    * given keys without a self-join. std is sample std (ddof=1), computed
+    * from exact decimal sums — matches pandas .std() per the reference
+    * artifacts (SURVEY.md §2.8 Z2). */
+  def withGroupStats(df: DataFrame, keys: Seq[String], priceCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    val p = col(priceCol)
+    val n = count(lit(1)).over(w)
+    val s1 = sum(dec(p)).over(w).cast("double")
+    val s2 = sum(dec(p) * dec(p)).over(w).cast("double")
+    df.withColumn("n_offers", n)
+      .withColumn("s1x", s1)
+      .withColumn("s2x", s2)
+      .withColumn("market_mean", col("s1x") / col("n_offers"))
+      .withColumn("market_std",
+        when(col("n_offers") > 1,
+          sqrt((col("s2x") - col("s1x") * col("s1x") / col("n_offers")) / (col("n_offers") - 1)))
+          .otherwise(lit(null).cast("double")))
+      .drop("s1x", "s2x")
+  }
+
+  /** Per-offer anomaly metrics given group stats columns present. */
+  def withMetrics(df: DataFrame, priceCol: String): DataFrame = {
+    val p = col(priceCol)
+    df.withColumn("deviation_percent",
+        abs(p - col("market_mean")) / col("market_mean") * 100.0)
+      .withColumn("z_score",
+        when(col("market_std") > 0, abs(p - col("market_mean")) / col("market_std")))
+      .withColumn("anomaly_type",
+        when(p > col("market_mean"), lit("trop_haut")).otherwise(lit("trop_bas")))
+  }
+
+  /** Z-score rule (the 18:42 reference run): flag |p−μ| > k·σ within
+    * groups of at least minGroupSize. */
+  def zScoreAnomalies(offers: DataFrame, keys: Seq[String], priceCol: String,
+                      k: Double = 2.0, minGroupSize: Int = 3): DataFrame = {
+    val stats = withMetrics(withGroupStats(offers, keys, priceCol), priceCol)
+    stats.where(col("n_offers") >= minGroupSize && col("z_score") > k)
+  }
+
+  /** IQR-fence rule (box-plot criterion consistent with the 20:19 run):
+    * flag p outside [q1 − k·iqr, q3 + k·iqr]. Quartiles need a group agg
+    * (no window percentile) — computed once per group and joined back;
+    * the group table is |groups| rows, so Spark broadcasts it. */
+  def iqrAnomalies(offers: DataFrame, keys: Seq[String], priceCol: String,
+                   k: Double = 1.5, minGroupSize: Int = 3): DataFrame = {
+    val p = col(priceCol)
+    val q = offers.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_offers"),
+        percentile(p, lit(0.25)).as("q1"),
+        percentile(p, lit(0.75)).as("q3"))
+      .where(col("n_offers") >= minGroupSize)
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("lo", col("q1") - lit(k) * col("iqr"))
+      .withColumn("hi", col("q3") + lit(k) * col("iqr"))
+    offers.join(broadcast(q), keys)
+      .where(p < col("lo") || p > col("hi"))
+  }
+
+  /** Z5 — run-level summary of a flagged-anomaly frame (one row).
+    * mean deviation is reported as an exact integer of centi-percent
+    * (floor(dev·100) summed) so it is order-insensitive. */
+  def summary(flagged: DataFrame, keys: Seq[String]): DataFrame =
+    flagged.agg(
+      count(lit(1)).as("total_anomalies"),
+      countDistinct(col(keys.head), keys.tail.map(col): _*).as("groups_with_anomalies"),
+      sum(when(col("anomaly_type") === "trop_haut", 1L).otherwise(0L)).as("n_trop_haut"),
+      sum(when(col("anomaly_type") === "trop_bas", 1L).otherwise(0L)).as("n_trop_bas"),
+      sum(floor(col("deviation_percent") * 100.0)).cast("long").as("sum_dev_centi"))
+}

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, designed for the
+  * 100 TB regime:
+  *
+  *  - exact: one shuffle on a 16-byte fingerprint (not the document text),
+  *    so shuffle volume is O(rows·16B) regardless of document size.
+  *  - MinHash+LSH: signatures computed map-side per document (no shuffle),
+  *    then one shuffle keyed on (band, bandKey) whose fan-in is bounded by
+  *    bucket size; only candidate pairs are verified — never all O(n²).
+  *  - SimHash: 64-bit signature map-side; near-dup = Hamming distance on
+  *    longs, groupable by prefix for banding.
+  *
+  * Portable (md5-based) hashing is used so results hash-match an external
+  * SQL oracle; swap [[graft.functions.TextFunctions.hash64]] in for raw
+  * throughput once verified.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the lowest-id document per normalized-text
+    * fingerprint. Deterministic winner (min id), single hash shuffle. */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
+    df.withColumn("fp", fingerprint(col(textCol)))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("fp", "rn")
+  }
+
+  /** Exact-dup groups: fingerprint → number of docs and the kept id. */
+  def exactDupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.withColumn("fp", fingerprint(col(textCol)))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+      .where(col("n_docs") > 1)
+
+  /** MinHash signature array (numHashes entries) over the distinct token
+    * set. Hash family: md5("{seed}:{token}") — deterministic, portable,
+    * uniformly distributed; min taken lexicographically over 16-hex-char
+    * strings (equivalent to min over 64-bit unsigned ints). Map-side only. */
+  def minhashSignature(text: Column, numHashes: Int): Column = {
+    val toks = array_distinct(tokens(text))
+    val sigs = (0 until numHashes).map { seed =>
+      array_min(transform(toks, t => md5_16(concat(lit(s"$seed:"), t))))
+    }
+    array(sigs: _*)
+  }
+
+  /** Candidate near-dup pairs via LSH banding of minhash signatures.
+    * numHashes = bands * rowsPerBand. Two docs land in the same bucket iff
+    * one full band of their signatures agrees. Returns (id_a, id_b) with
+    * id_a < id_b, distinct. The only shuffle is the band-bucket self-join.
+    */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        bands: Int, rowsPerBand: Int): DataFrame = {
+    val sigCol = minhashSignature(col(textCol), bands * rowsPerBand)
+    val banded = df
+      .select(col(idCol).as("doc"), sigCol.as("sig"))
+      .select(col("doc"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+      ).as(Seq("band", "key")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard over distinct-token sets for given candidate pairs.
+    * Joins the (small) candidate list back to token sets; broadcast when
+    * the candidate set is small relative to the corpus. */
+  def verifyJaccard(df: DataFrame, candidates: DataFrame,
+                    textCol: String, idCol: String, threshold: Double): DataFrame = {
+    val sets = df.select(col(idCol).as("id"), array_distinct(tokens(col(textCol))).as("toks"))
+    candidates
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("uni", size(col("toks_a")) + size(col("toks_b")) - col("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Full MinHash-LSH near-dedup: candidates → verify → pairs above
+    * threshold. */
+  def minhashNearDup(df: DataFrame, textCol: String, idCol: String,
+                     bands: Int = 8, rowsPerBand: Int = 2,
+                     threshold: Double = 0.7): DataFrame =
+    verifyJaccard(df, minhashCandidates(df, textCol, idCol, bands, rowsPerBand),
+      textCol, idCol, threshold)
+
+  /** Portable 16-bit SimHash: per token take the first 4 hex chars of md5
+    * as a 16-bit value; signature bit i is the sign of the sum over tokens
+    * of (2·bit_i − 1). Expressible identically in any SQL engine (no
+    * bitwise ops needed — arithmetic shifts via floor-div). */
+  def simhash16(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    val hexVal = (t: Column) => {
+      // value of md5(t)[0:4] parsed as base-16 via conv
+      conv(substring(md5(t), 1, 4), 16, 10).cast("long")
+    }
+    val bitSum = (i: Int) =>
+      aggregate(toks, lit(0L),
+        (acc, t) => acc + (floor(hexVal(t) / math.pow(2, i).toLong).cast("long") % 2L) * 2L - 1L)
+    (0 until 16).map(i => when(bitSum(i) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  /** Production 64-bit SimHash on xxhash64 (codegen'd, Spark-only). */
+  def simhash64(text: Column): Column = {
+    val toks = array_distinct(tokens(text))
+    val bitSum = (i: Int) =>
+      aggregate(toks, lit(0L),
+        (acc, t) => acc + (shiftright(xxhash64(t), i) % 2L + 2L) % 2L * 2L - 1L)
+    (0 until 64).map(i => when(bitSum(i) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  /** Exact n-gram Jaccard over all pairs within a blocking key (e.g. lang).
+    * The blocking key bounds the quadratic blow-up; at scale, block on an
+    * LSH bucket instead of a raw attribute. */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        blockCol: String, n: Int, threshold: Double): DataFrame = {
+    val sets = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      array_distinct(shingles(col(textCol), n)).as("gr"))
+    sets.as("a").join(sets.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        size(array_intersect(col("a.gr"), col("b.gr"))).as("inter"),
+        (size(col("a.gr")) + size(col("b.gr"))).as("tot"))
+      .withColumn("jaccard", round(col("inter").cast("double") / (col("tot") - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}
