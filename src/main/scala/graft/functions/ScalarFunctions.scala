@@ -120,7 +120,8 @@ object ScalarFunctions {
     * title via an ordered regex cascade (first match wins), uppercased with
     * marketing words stripped; else "Unknown".
     * Ref: avito_extractor.py:147-195; base_extractor.py:53-87. */
-  def extractModel(model: Column, title: Column, brand: Column): Column = {
+  def extractModel(model: Column, title: Column, brand: Column,
+                   stripMarketing: Boolean = true): Column = {
     val fromField = when(isPresent(model), cleanModelName(model))
     // strip the brand (canonical + raw) from the title before pattern scan
     val t0 = upper(coalesce(title, lit("")))
@@ -134,8 +135,10 @@ object ScalarFunctions {
       "[A-Z]{2,}")              // bare series word
     val cascade = patterns.map(p => nullif(trim(regexp_extract(tNoBrand, p, 0)), lit("")))
     val raw = coalesce(cascade: _*)
-    val cleaned = nullif(trim(regexp_replace(
-      regexp_replace(raw, MarketingWords, " "), "\\s+", " ")), lit(""))
+    // marketing-word stripping is an Avito-"fixed"-path behavior only
+    // (avito_extractor.py:171); Jumia/Electroplanet keep ULTRA/PRO/…
+    val stripped = if (stripMarketing) regexp_replace(raw, MarketingWords, " ") else raw
+    val cleaned = nullif(trim(regexp_replace(stripped, "\\s+", " ")), lit(""))
     coalesce(fromField, cleaned, lit("Unknown"))
   }
 

@@ -91,7 +91,10 @@ object Anomaly {
     flagged.agg(
       count(lit(1)).as("total_anomalies"),
       countDistinct(col(keys.head), keys.tail.map(col): _*).as("groups_with_anomalies"),
-      sum(when(col("anomaly_type") === "trop_haut", 1L).otherwise(0L)).as("n_trop_haut"),
-      sum(when(col("anomaly_type") === "trop_bas", 1L).otherwise(0L)).as("n_trop_bas"),
-      sum(floor(col("deviation_percent") * 100.0)).cast("long").as("sum_dev_centi"))
+      coalesce(sum(when(col("anomaly_type") === "trop_haut", 1L).otherwise(0L)), lit(0L))
+        .as("n_trop_haut"),
+      coalesce(sum(when(col("anomaly_type") === "trop_bas", 1L).otherwise(0L)), lit(0L))
+        .as("n_trop_bas"),
+      coalesce(sum(floor(col("deviation_percent") * 100.0)).cast("long"), lit(0L))
+        .as("sum_dev_centi"))
 }

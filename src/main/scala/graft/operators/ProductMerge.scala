@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A1/A2 — the merge-by-product_id fold, the heart of the reference
+  * pipeline (merge_data, M/dags/marketeye_etl_dag.py:618-741;
+  * _merge_products, M/plugins/marketeye_operators.py:182-214).
+  *
+  * Reference semantics preserved:
+  *   - ids normalized lower/space→underscore before grouping (dag:644-650);
+  *   - empty-id products dropped (dag:656-659);
+  *   - offers concatenated across sources; per-product (source,url) dedup
+  *     (DAG path, dag:671-681) and/or global (source,price,url) dedup
+  *     (plugin path, marketeye_operators.py:216-235), both first-seen-wins;
+  *   - specifications merged first-non-null-wins in encounter order;
+  *   - source sets unioned; longest product_name wins, first-seen on ties;
+  *   - the first-seen product contributes brand/model/category.
+  *
+  * Spark-first design: the reference's "insertion order" does not exist in
+  * a distributed shuffle, so encounter order is made explicit — a rank from
+  * the configured source order plus data-derived tiebreaks — and the whole
+  * fold is ONE hash aggregation (collect + array_sort + higher-order
+  * expressions). No typed Aggregator, no UDF: everything stays inside
+  * Tungsten rows, and group state is bounded by offers-per-product (≈1000
+  * max in the reference), so it spills safely at 100 TB.
+  */
+object ProductMerge {
+
+  /** Source priority on the plugin path (marketeye_operators.py:138). */
+  val PluginOrder: Seq[String] = Seq("Jumia", "Avito", "Electroplanet")
+  /** Source priority on the DAG path (dag:627). */
+  val DagOrder: Seq[String] = Seq("Avito", "Jumia", "Electroplanet")
+
+  /** Id normalization before grouping (dag:644-650). */
+  def normalizeId(c: Column): Column = regexp_replace(lower(trim(c)), " ", "_")
+
+  private def rankOf(order: Seq[String]): Column =
+    order.zipWithIndex.foldRight(lit(order.size): Column) { case ((s, i), fb) =>
+      when(col("offer.source") === s, lit(i)).otherwise(fb)
+    }
+
+  /** Merge unified single/multi-offer product frames into one document per
+    * normalized product_id.
+    *
+    * @param dedupPerProduct drop later offers with a duplicate (source,url)
+    *                        within the product (DAG path A2b)
+    * @param dedupGlobal     drop offers whose (source,price,url) was seen
+    *                        anywhere before (plugin path A2); products left
+    *                        with no offers disappear
+    */
+  def merge(products: DataFrame, sourceOrder: Seq[String] = PluginOrder,
+            dedupPerProduct: Boolean = true, dedupGlobal: Boolean = false): DataFrame = {
+    val exploded = products
+      .where(length(normalizeId(col("product_id"))) > 0)
+      .select(normalizeId(col("product_id")).as("product_id"),
+        col("brand"), col("model"), col("product_name"), col("category"),
+        col("specifications"), col("sources"), col("created_at"),
+        col("last_updated"), explode(col("offers")).as("offer"))
+      .withColumn("ord", struct(rankOf(sourceOrder).as("rank"),
+        coalesce(col("offer.scraped_at"), lit("")).as("t"),
+        coalesce(col("offer.url"), lit("")).as("u")))
+
+    val globallyDeduped = if (dedupGlobal) {
+      val w = Window.partitionBy(col("offer.source"), col("offer.price"), col("offer.url"))
+        .orderBy(col("ord"))
+      exploded.withColumn("grn", row_number().over(w)).where(col("grn") === 1).drop("grn")
+    } else exploded
+
+    val deduped = if (dedupPerProduct) {
+      val w = Window.partitionBy(col("product_id"), col("offer.source"), col("offer.url"))
+        .orderBy(col("ord"))
+      globallyDeduped.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
+    } else globallyDeduped
+
+    // rows carry a map column (specs), which is not orderable — sort with an
+    // explicit comparator over the orderable `ord` struct instead
+    val rows = array_sort(
+      collect_list(struct(
+        col("ord"), col("brand"), col("model"), col("product_name").as("name"),
+        col("category"), col("specifications").as("specs"), col("sources"),
+        col("created_at"), col("last_updated"), col("offer"))),
+      (l, r) => when(l.getField("ord") < r.getField("ord"), lit(-1))
+        .when(l.getField("ord") > r.getField("ord"), lit(1))
+        .otherwise(lit(0)))
+
+    deduped
+      .groupBy("product_id")
+      .agg(rows.as("rows"))
+      .select(
+        col("product_id"),
+        element_at(col("rows"), 1).getField("brand").as("brand"),
+        element_at(col("rows"), 1).getField("model").as("model"),
+        // longest name wins; first-seen on equal length (dag:707-710)
+        element_at(array_sort(transform(col("rows"),
+            r => struct((-length(r.getField("name"))).as("neglen"),
+              r.getField("ord").as("ord"), r.getField("name").as("name")))), 1)
+          .getField("name").as("product_name"),
+        element_at(col("rows"), 1).getField("category").as("category"),
+        // first-non-null-wins spec merge in encounter order (dag:684-691)
+        aggregate(col("rows"), map().cast("map<string,string>"),
+          (acc, r) => map_concat(acc,
+            map_filter(coalesce(r.getField("specs"), map().cast("map<string,string>")),
+              (k, v) => !map_contains_key(acc, k)))).as("specifications"),
+        transform(col("rows"), r => r.getField("offer")).as("offers"),
+        array_distinct(flatten(transform(col("rows"), r => r.getField("sources"))))
+          .as("sources"),
+        array_min(transform(col("rows"), r => r.getField("created_at"))).as("created_at"),
+        array_max(transform(col("rows"), r => r.getField("last_updated"))).as("last_updated"))
+  }
+}

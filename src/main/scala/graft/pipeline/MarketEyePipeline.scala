@@ -1,0 +1,108 @@
+package graft.pipeline
+
+import graft.operators.{Anomaly, ProductMerge, Statistics}
+import graft.report.Report
+import graft.schema.Schemas
+import graft.sinks.Sinks
+import graft.sources.JsonSource
+import graft.transform.Transforms
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** EP1 — the full pipeline as one Spark program: three source
+  * extract/transform stages (narrow), union, the single merge shuffle,
+  * then tiny statistics aggregations and fan-out sinks.
+  *
+  * Orchestration model (per BASELINE "Spark jobs orchestrated by Airflow"):
+  * an external scheduler invokes [[run]] per day via spark-submit; stage
+  * boundaries that the reference persisted as JSON files become either
+  * in-memory lineage (default — no re-parse between stages) or optional
+  * staged parquet (stageDir) when the orchestrator wants per-stage
+  * checkpointing and restartability.
+  *
+  * At 100 TB: each transform is a scan-stage projection; the merge is one
+  * hash-partitioned shuffle on product_id; statistics reuse the merged
+  * frame; sinks write partitioned output. Nothing collects data-grain rows
+  * to the driver except the few-row report aggregates.
+  */
+object MarketEyePipeline {
+
+  case class Config(
+      rawDir: String,
+      outDir: String,
+      runTs: String,                       // injected run timestamp (determinism)
+      sourceOrder: Seq[String] = ProductMerge.PluginOrder,
+      dedupPerProduct: Boolean = true,
+      dedupGlobal: Boolean = true,
+      anomalyMinGroup: Int = 3,
+      anomalyZ: Double = 2.0,
+      stageDir: Option[String] = None)     // optional per-stage checkpoints
+
+  case class Result(merged: DataFrame, statsJson: String, report: String,
+                    anomalyReport: String)
+
+  /** Extract + transform one source from the raw dir. */
+  def extract(spark: SparkSession, cfg: Config, source: String): DataFrame = source match {
+    case "Avito" =>
+      Transforms.avito(JsonSource.loadSource(spark, cfg.rawDir, "Avito",
+        Schemas.avitoSchema), cfg.runTs)
+    case "Jumia" =>
+      Transforms.jumia(JsonSource.loadSource(spark, cfg.rawDir, "Jumia",
+        Schemas.jumiaSchema), cfg.runTs)
+    case "Electroplanet" =>
+      Transforms.electroplanet(JsonSource.loadSource(spark, cfg.rawDir, "Electroplanet",
+        Schemas.electroplanetSchema), cfg.runTs)
+    case other => throw new IllegalArgumentException(s"unknown source: $other")
+  }
+
+  private def stage(df: DataFrame, cfg: Config, name: String): DataFrame =
+    cfg.stageDir match {
+      case Some(d) =>
+        df.write.mode("overwrite").parquet(s"$d/$name")
+        df.sparkSession.read.parquet(s"$d/$name")
+      case None => df
+    }
+
+  def run(spark: SparkSession, cfg: Config): Result = {
+    // extract (3 parallel narrow stages), union, merge (the one shuffle)
+    val unified = cfg.sourceOrder.map(s => stage(extract(spark, cfg, s), cfg, s"transformed_$s"))
+      .reduce(_ unionByName _)
+    val merged = stage(ProductMerge.merge(unified, cfg.sourceOrder,
+      cfg.dedupPerProduct, cfg.dedupGlobal), cfg, "merged").cache()
+
+    // stats + reports (tiny aggregates)
+    val statsRow = Statistics.globalPriceStats(merged).collect()(0)
+    val statsJson = {
+      val srcs = statsRow.getSeq[String](statsRow.fieldIndex("sources"))
+        .map(s => "\"" + s + "\"").mkString("[", ",", "]")
+      s"""{"total_products":${statsRow.getLong(0)},"total_offers":${statsRow.getLong(1)},
+         |"average_price":${statsRow.getDouble(2)},"min_price":${statsRow.getDouble(3)},
+         |"max_price":${statsRow.getDouble(4)},"sources":$srcs}""".stripMargin.replace("\n", "")
+    }
+    val report = Report.detailed(merged, cfg.runTs)
+
+    // anomaly run (Z1–Z6) at offer grain over (brand, model) groups
+    val offers = merged
+      .select(col("brand"), col("model"), col("product_id"), explode(col("offers")).as("o"))
+      .select(col("brand"), col("model"), col("product_id"),
+        col("o.price").as("price"), col("o.url").as("url"))
+      .where(col("price") > 0)
+    val flagged = Anomaly.zScoreAnomalies(offers, Seq("brand", "model"), "price",
+      cfg.anomalyZ, cfg.anomalyMinGroup)
+    val summary = Anomaly.summary(flagged, Seq("brand", "model")).collect()(0)
+    val topK = flagged
+      .orderBy(desc("deviation_percent"), col("url"))
+      .limit(10)
+      .select("product_id", "brand", "model", "price", "deviation_percent")
+      .collect().toSeq
+    val anomalyReport = Report.anomalies(summary, topK, cfg.runTs)
+
+    // load fan-out
+    Sinks.writeJson(merged, s"${cfg.outDir}/marketeye_final")
+    Sinks.writeBackup(merged, s"${cfg.outDir}/backups", cfg.runTs)
+    Sinks.writeCsv(merged, s"${cfg.outDir}/analysis_csv")
+    Sinks.writeRelationalFiles(merged, s"${cfg.outDir}/relational")
+
+    Result(merged, statsJson, report, anomalyReport)
+  }
+}

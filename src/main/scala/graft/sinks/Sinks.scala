@@ -1,0 +1,72 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** S4–S8 — output sinks for merged product documents.
+  *
+  * Scale notes: all sinks write partitioned, distributed output (JSONL /
+  * parquet / CSV parts, JDBC with per-partition connections) — the
+  * reference's single pretty-printed JSON array cannot exist at 100 TB, so
+  * the document sink is JSONL (semantically identical rows; array format
+  * only differs in framing bytes).
+  */
+object Sinks {
+
+  /** S4 — JSONL document sink (UTF-8, non-ASCII preserved — Spark writes
+    * raw UTF-8, matching ensure_ascii=False). */
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** S5 — timestamped backup copy (save_to_json_backup, dag:982-1010). */
+  def writeBackup(df: DataFrame, backupDir: String, runTs: String): String = {
+    val path = s"$backupDir/marketeye_backup_$runTs"
+    writeJson(df, path)
+    path
+  }
+
+  /** Flatten product documents to the relational (products, offers) pair
+    * used by the JDBC sink (dag:874-907); specifications serialized to a
+    * JSON string for parity with dag:881. */
+  def relational(merged: DataFrame): (DataFrame, DataFrame) = {
+    val products = merged.select(
+      col("product_id"), col("brand"), col("model"), col("product_name"),
+      to_json(col("specifications")).as("specifications"),
+      col("created_at"), col("last_updated").as("updated_at"))
+    val offers = merged.select(col("product_id"), explode(col("offers")).as("o"))
+      .select(col("product_id"), col("o.source").as("source"),
+        col("o.price").as("price"), col("o.currency").as("currency"),
+        col("o.condition").as("condition"), col("o.seller_type").as("seller_type"),
+        col("o.url").as("url"), col("o.scraped_at").as("scraped_at"))
+    (products, offers)
+  }
+
+  /** S6 — JDBC sink (PostgreSQL in the reference). Overwrites both tables;
+    * index DDL is the operator's caller's concern (plain JDBC on the
+    * driver). Offline environments: use [[writeRelationalFiles]]. */
+  def writeJdbc(merged: DataFrame, url: String, props: java.util.Properties): Unit = {
+    val (products, offers) = relational(merged)
+    products.write.mode(SaveMode.Overwrite).jdbc(url, "products", props)
+    offers.write.mode(SaveMode.Overwrite).jdbc(url, "offers", props)
+  }
+
+  /** S6/S7 fallback — relational pair as parquet staging dirs (the document
+    * store / warehouse loads from here when no connector is available). */
+  def writeRelationalFiles(merged: DataFrame, dir: String): Unit = {
+    val (products, offers) = relational(merged)
+    products.write.mode(SaveMode.Overwrite).parquet(s"$dir/products")
+    offers.write.mode(SaveMode.Overwrite).parquet(s"$dir/offers")
+  }
+
+  /** S8 — flat 13-column CSV analysis export
+    * (_generate_csv, marketeye_operators.py:329-365). */
+  def writeCsv(merged: DataFrame, path: String): Unit =
+    merged.select(col("product_id"), col("brand"), col("model"),
+        col("product_name"), col("category"), explode(col("offers")).as("o"))
+      .select(col("product_id"), col("brand"), col("model"), col("product_name"),
+        col("category"), col("o.source").as("source"), col("o.price").as("price"),
+        col("o.original_price").as("original_price"), col("o.currency").as("currency"),
+        col("o.condition").as("condition"), col("o.seller_type").as("seller_type"),
+        col("o.url").as("url"), col("o.scraped_at").as("scraped_at"))
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+}

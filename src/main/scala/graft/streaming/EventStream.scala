@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators — the continuous upgrade of the
+  * reference's @daily batch (SURVEY.md §2.9/§7.5). The batch pipeline's
+  * plans run unchanged here: same groupBy(window(...)) the batch
+  * st1_hourly_events query uses, made incremental with a watermark.
+  *
+  * Scale notes: state is keyed on (window, event_type) or product_id —
+  * partitioned across executors; watermarks bound state size; file-source
+  * ingestion reads new scrape drops per micro-batch (the reference's
+  * "new JSON file appeared in the raw dir" trigger, continuous instead of
+  * daily).
+  */
+object EventStream {
+
+  /** Windowed event aggregation with late-data handling: counts + value
+    * sums per (window, event_type). Append mode emits a window once its
+    * watermark passes — exactly-once per window downstream. */
+  def hourlyCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"),
+        col("total_value"))
+
+  /** File-source ingestion of scrape drops: stream new JSON files from a
+    * raw directory with an explicit schema (never inference on a stream). */
+  def fileSource(spark: SparkSession, dir: String,
+                 schema: org.apache.spark.sql.types.StructType,
+                 maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .schema(schema)
+      .json(dir)
+
+  case class PriceEvent(product_id: String, price: Double, ts: java.sql.Timestamp)
+  case class PriceState(product_id: String, n: Long, last_price: Double,
+                        min_price: Double, max_price: Double)
+
+  /** Custom state: running per-product price envelope via
+    * mapGroupsWithState — the streaming analog of the merge fold's
+    * per-product accumulation. State is one tiny struct per product. */
+  def priceEnvelope(events: Dataset[PriceEvent]): Dataset[PriceState] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.product_id)
+      .mapGroupsWithState[PriceState, PriceState](GroupStateTimeout.NoTimeout) {
+        (id: String, rows: Iterator[PriceEvent], state: GroupState[PriceState]) =>
+          val prev = state.getOption.getOrElse(PriceState(id, 0L, 0.0,
+            Double.MaxValue, Double.MinValue))
+          val next = rows.foldLeft(prev) { (st, e) =>
+            PriceState(id, st.n + 1, e.price,
+              math.min(st.min_price, e.price), math.max(st.max_price, e.price))
+          }
+          state.update(next)
+          next
+      }
+  }
+
+  /** Run a streaming frame to completion against a memory sink (local
+    * verification harness; production uses a real sink + trigger). */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update()): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    df.sparkSession.table(name)
+  }
+}

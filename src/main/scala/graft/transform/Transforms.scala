@@ -1,0 +1,158 @@
+package graft.transform
+
+import graft.functions.ScalarFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** P1 — per-source record → unified-product projections.
+  *
+  * Each transform is a pure column projection (narrow, codegen'd, no
+  * shuffle): a raw scraped record becomes one unified product document with
+  * a single offer, ready for the merge fold. Records whose transform fails
+  * (null/empty product essentials) are dropped, mirroring the reference's
+  * try/except-append (M/dags/marketeye_etl_dag.py:271-273).
+  *
+  * Plugin-path ("fixed") semantics are primary per SURVEY.md: European
+  * price formats, 3-stage brand extraction, md5 id fallback
+  * (M/scripts/data_processors/{avito,jumia,electroplanet}_extractor.py).
+  *
+  * `runTs` is injected (not now()) so runs are reproducible and tasks
+  * across a cluster agree on metadata timestamps.
+  */
+object Transforms {
+
+  private def offer(
+      source: String, price: Column, originalPrice: Column, condition: Column,
+      sellerType: Column, city: Column, area: Column, rating: Column,
+      reviews: Column, url: Column, sellerName: Column, scrapedAt: Column): Column =
+    struct(
+      lit(source).as("source"), price.as("price"),
+      originalPrice.as("original_price"), lit("MAD").as("currency"),
+      condition.as("condition"), sellerType.as("seller_type"),
+      city.as("city"), area.as("area"), rating.cast("string").as("rating"),
+      reviews.cast("string").as("reviews_count"), url.as("url"),
+      sellerName.as("seller_name"), scrapedAt.as("scraped_at"))
+
+  /** Null-safe map from (key, value) pairs, dropping null-valued entries —
+    * the reference only copies specs that are present
+    * (avito_extractor.py:233-249). */
+  private def specsMap(pairs: (String, Column)*): Column = {
+    val entries = pairs.map { case (k, v) =>
+      when(v.isNotNull, struct(lit(k).as("key"), v.cast("string").as("value")))
+    }
+    map_from_entries(filter(array(entries: _*), e => e.isNotNull))
+  }
+
+  private def unified(brand: Column, model: Column, name: Column,
+                      specs: Column, off: Column, source: String, runTs: String): Seq[Column] = Seq(
+    productId(brand, model, name).as("product_id"),
+    brand.as("brand"), model.as("model"),
+    coalesce(name, lit("")).as("product_name"),
+    lit("Smartphone").as("category"),
+    specs.as("specifications"),
+    array(off).as("offers"),
+    array(lit(source)).as("sources"),
+    lit(runTs).as("created_at"),
+    lit(runTs).as("last_updated"))
+
+  /** Avito: brand via 3-stage extraction (field → title → model), model via
+    * regex cascade, robust European price, condition map, location struct,
+    * URL rebuild (avito_extractor.py:19-84). */
+  def avito(raw: DataFrame, runTs: String): DataFrame = {
+    val brand = extractBrandFixed(col("brand"), col("title"), col("model"))
+    val model = extractModel(col("model"), col("title"), brand)
+    val off = offer("Avito",
+      price = extractPriceFixed(col("price")),
+      originalPrice = lit(null).cast("double"),
+      condition = determineCondition(col("condition")),
+      sellerType = coalesce(col("seller_type"), lit("PRIVATE")),
+      city = col("city"), area = col("area"),
+      rating = lit(null).cast("string"), reviews = lit(null).cast("string"),
+      url = buildAvitoUrl(col("url"), col("ad_id")),
+      sellerName = col("seller_name"), scrapedAt = col("list_time"))
+    val specs = specsMap(
+      "storage" -> sentinelToNull(col("storage")),
+      "ram" -> sentinelToNull(col("ram")),
+      "battery_health" -> sentinelToNull(col("battery_health")),
+      "color" -> sentinelToNull(col("color")),
+      "condition" -> sentinelToNull(col("condition")))
+    raw.select(unified(brand, model, col("title"), specs, off, "Avito", runTs): _*)
+      .where(length(col("product_id")) > 0)
+  }
+
+  /** Jumia: brand from field else title scan; storage/ram/screen regexes
+    * over title+description, overridden by the specs dict; naive price
+    * (preserves the "13,875" comma-decimal quirk, the committed golden
+    * output jumia_transformed.json); hardcoded condition "Neuf"
+    * (jumia_extractor.py:15-111). */
+  def jumia(raw: DataFrame, runTs: String): DataFrame = {
+    val brand = coalesce(
+      when(isPresent(col("brand")), normalizeBrand(col("brand"))),
+      brandFromTitle(col("title")), lit("Unknown"))
+    val model = extractModel(lit(null).cast("string"), col("title"), brand,
+      stripMarketing = false)
+    val text = concat_ws(" ", col("title"), col("description"))
+    val specFromDict = (keys: Seq[String]) => {
+      val entries = map_entries(coalesce(col("specs"), map()))
+      try_element_at(filter(entries,
+        e => keys.map(k => lower(e.getField("key")).contains(k)).reduce(_ || _)), lit(1))
+        .getField("value")
+    }
+    val specs = specsMap(
+      "storage" -> coalesce(specFromDict(Seq("stockage", "storage")), specStorage(text)),
+      "ram" -> coalesce(specFromDict(Seq("ram")), specRam(text)),
+      "screen" -> coalesce(specFromDict(Seq("écran", "screen")), specScreen(text)))
+    val off = offer("Jumia",
+      price = cleanPrice(col("price")),
+      originalPrice = cleanPrice(col("old_price")),
+      condition = lit("Neuf"),
+      sellerType = lit(null).cast("string"),
+      city = lit(null).cast("string"), area = lit(null).cast("string"),
+      rating = extractRating(col("rating")).cast("string"),
+      reviews = col("reviews_count_text"),
+      url = col("product_url"), sellerName = lit(null).cast("string"),
+      scrapedAt = col("scraped_at"))
+    raw.select(unified(brand, model, col("title"), specs, off, "Jumia", runTs): _*)
+      .where(length(col("product_id")) > 0)
+  }
+
+  /** French spec keys mapped to canonical names
+    * (electroplanet_extractor.py:57-77). */
+  val ElectroSpecKeys: Seq[(String, String)] = Seq(
+    "Capacité de stockage interne" -> "storage",
+    "Capacité de la RAM" -> "ram",
+    "Marque" -> "brand",
+    "Modèle" -> "model_code",
+    "Famille de processeur" -> "processor",
+    "Résolution de la caméra arrière (numerique)" -> "camera",
+    "Afficher le nom du marketing technologique" -> "display",
+    "Écran Gorilla Glass" -> "glass")
+
+  /** Electroplanet: model preferentially from the `Modèle` spec, rating
+    * kept as the raw string ("20" — deliberately unparsed,
+    * electroplanet_extractor.py:30), detailed_scraped_at preferred. */
+  def electroplanet(raw: DataFrame, runTs: String): DataFrame = {
+    val specsIn = coalesce(col("specifications"), map())
+    val modelField = try_element_at(specsIn, lit("Modèle"))
+    val brand = coalesce(
+      when(isPresent(col("brand")), normalizeBrand(col("brand"))),
+      when(isPresent(try_element_at(specsIn, lit("Marque"))), normalizeBrand(try_element_at(specsIn, lit("Marque")))),
+      brandFromTitle(col("name")), lit("Unknown"))
+    val model = extractModel(modelField, col("name"), brand, stripMarketing = false)
+    val specs = specsMap(ElectroSpecKeys.map { case (fr, canon) =>
+      canon -> try_element_at(specsIn, lit(fr))
+    }: _*)
+    val off = offer("Electroplanet",
+      price = extractPriceFixed(col("price")),
+      originalPrice = extractPriceFixed(col("old_price")),
+      condition = lit("Neuf"),
+      sellerType = lit(null).cast("string"),
+      city = lit(null).cast("string"), area = lit(null).cast("string"),
+      rating = col("reviews_summary").getField("average_rating"),
+      reviews = col("reviews_summary").getField("total_reviews").cast("string"),
+      url = col("product_url"), sellerName = col("store"),
+      scrapedAt = coalesce(col("detailed_scraped_at"), col("scraped_at")))
+    raw.select(unified(brand, model, col("name"), specs, off, "Electroplanet", runTs): _*)
+      .where(length(col("product_id")) > 0)
+  }
+}

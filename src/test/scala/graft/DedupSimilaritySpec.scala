@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "The quick brown fox jumps over the lazy dog!"), // exact dup modulo noise
+    (3L, "the quick brown fox jumps over a sleepy dog"),  // near dup
+    (4L, "completely different content about spark engines and shuffles"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: formatting-noise duplicates collapse, lowest id kept") {
+    val kept = Dedup.exact(docs, "text", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+    val groups = Dedup.exactDupGroups(docs, "text", "doc_id").collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH: identical docs always candidates; near-dups pass verify") {
+    val nonEmpty = docs.where(length(TextFunctions.normalizeText(col("text"))) > 0)
+    val pairs = Dedup.minhashNearDup(nonEmpty, "text", "doc_id",
+      bands = 8, rowsPerBand = 2, threshold = 0.5).collect()
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((1L, 2L))) // identical token sets → all bands equal
+    pairs.foreach(r => assert(r.getAs[Double]("jaccard") >= 0.5))
+    // doc 4 shares nothing → never paired
+    assert(!pairs.exists(r => r.getLong(0) == 4L || r.getLong(1) == 4L))
+  }
+
+  test("simhash: identical token sets equal; near-dups close in Hamming distance") {
+    val sh = docs.where(length(TextFunctions.normalizeText(col("text"))) > 0)
+      .select(col("doc_id"), Dedup.simhash64(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)))
+  }
+
+  test("ngram jaccard: near-dup above threshold within block") {
+    val blocked = docs.withColumn("blk", lit("all"))
+    val pairs = Dedup.ngramJaccardPairs(blocked, "text", "doc_id", "blk", 2, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("cosine top-k: exact ranking on constructed vectors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),   // closest to 0
+      (2L, Array(0.5f, 0.5f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))    // orthogonal
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0L),
+      "vec_id", "embedding", k = 3).collect()
+    assert(top.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L))
+    assert(top(0).getAs[Double]("cos") > 0.99)
+  }
+
+  test("LSH ANN: finds the true nearest neighbor via bucket probes") {
+    val rnd = new scala.util.Random(3)
+    val base = Array.fill(16)(rnd.nextFloat())
+    val corpus = (0L to 49L).map { i =>
+      (i, Array.tabulate(16)(d => rnd.nextFloat()))
+    } :+ ((50L, base.map(x => x + 0.01f))) // planted near-dup of the query
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    val queryDf = Seq((99L, base)).toDF("vec_id", "embedding")
+    val ann = Similarity.lshTopK(corpusDf, queryDf, "vec_id", "embedding",
+      k = 3, numPlanes = 8, dim = 16).collect()
+    assert(ann.nonEmpty)
+    assert(ann(0).getLong(1) == 50L, s"expected planted neighbor first, got ${ann.toSeq}")
+  }
+
+  test("multimodal: mapPartitions stub decode matches the column-expression twin") {
+    val withBytes = Multimodal.withPayload(docs.where(col("doc_id") === 1L), "text")
+    val viaRows = Multimodal.decodeMeta(withBytes).collect()(0)
+    val viaCols = Multimodal.metaColumns(docs.where(col("doc_id") === 1L), "doc_id", "text")
+      .collect()(0)
+    def num(n: String): Long = viaCols.getAs[Number](n).longValue
+    assert(viaRows.n_bytes.toLong == num("n_bytes"))
+    assert(viaRows.width.toLong == num("width"))
+    assert(viaRows.height.toLong == num("height"))
+    assert(viaRows.frames.toLong == num("frames"))
+  }
+}

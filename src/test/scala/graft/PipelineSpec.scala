@@ -1,0 +1,113 @@
+package graft
+
+import graft.pipeline.MarketEyePipeline
+import graft.operators.Statistics
+import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
+
+/** End-to-end pipeline replay over miniature 3-source JSON fixtures
+  * (FIXTURES.md shapes): extract → merge → stats → reports → sinks, with
+  * hand-computed expected values in the statistics.json shape. */
+class PipelineSpec extends SparkSuite {
+
+  private def write(dir: String, name: String, content: String): Unit =
+    Files.write(Paths.get(dir, name), content.getBytes(StandardCharsets.UTF_8))
+
+  // Avito: JSON array format, one record overlapping Jumia's galaxy s24
+  private val avitoJson =
+    """[
+      |{"ad_id":"1","title":"Samsung Galaxy S24 Ultra 512GB","price":"8.500,00","city":"Casablanca","area":"Maarif","seller_type":"STORE","seller_name":"Store1","url":"https://www.avito.ma/vi/1.htm","list_time":"2026-01-01T10:00:00","brand":"SAMSUNG","model":"S24 ULTRA","storage":"512GB","ram":"12GB","condition":"NEUF"},
+      |{"ad_id":"2","title":"iPhone 13 occasion","price":"4500 DH","city":"Rabat","brand":"NULL","model":"NULL","condition":"bon état"},
+      |{"ad_id":"3","title":"Telephone pas cher","price":"NULL","brand":null,"model":null}
+      |]""".stripMargin
+
+  // Jumia: NDJSON format, includes the 13,875 comma-quirk price
+  private val jumiaJson =
+    """{"title":"Samsung Galaxy S24 Ultra","brand":"Samsung","price":"13,875 MAD","old_price":"15,000 MAD","rating":"4.5 out of 5","reviews_count_text":"(2 avis)","product_url":"https://www.jumia.ma/s24.html","scraped_at":"2026-01-01 09:00:00","description":"256 Go 12 Go RAM","specs":{"Stockage":"512 Go"}}
+      |{"title":"Xiaomi Redmi Note 12","brand":"Xiaomi","price":"2,199 MAD","product_url":"https://www.jumia.ma/rn12.html","scraped_at":"2026-01-01 09:00:00","description":"128 Go"}""".stripMargin
+
+  private val electroJson =
+    """[
+      |{"product_url":"https://www.electroplanet.ma/p1.html","name":"SAMSUNG GALAXY S24 ULTRA 12GB","brand":"Samsung","price":"9 490 DH","old_price":"9 990 DH","is_promotion":true,"category":"android","store":"Electroplanet","scraped_at":"2026-01-01 02:21:12","detailed_scraped_at":"2026-01-01 02:22:20","specifications":{"Marque":"SAMSUNG","Modèle":"S24 ULTRA","Capacité de stockage interne":"512 Go","Capacité de la RAM":"12 Go"},"reviews_summary":{"average_rating":"20","total_reviews":1},"view_count":4}
+      |]""".stripMargin
+
+  test("EP1 end-to-end: extract, merge across 3 sources, stats, reports, sinks") {
+    val raw = tempDir("marketeye_raw")
+    val out = tempDir("marketeye_out")
+    write(raw, "avito_ads.json", avitoJson)
+    write(raw, "jumia_products.json", jumiaJson)
+    write(raw, "electroplanet_data.json", electroJson)
+
+    val cfg = MarketEyePipeline.Config(rawDir = raw, outDir = out,
+      runTs = "20260101_120000")
+    val res = MarketEyePipeline.run(spark, cfg)
+    val merged = res.merged.collect()
+
+    // 6 raw records; the S24 Ultra exists in all three sources → one
+    // product with 3 offers + iphone13 + redmi12 + 'telephone pas cher'
+    assert(merged.length == 4, merged.map(_.getAs[String]("product_id")).mkString(","))
+    val s24 = merged.find(_.getAs[String]("product_id") == "samsung_s24ultra").get
+    assert(s24.getSeq[String](s24.fieldIndex("sources")).toSet == Set("Avito", "Jumia", "Electroplanet"))
+    val s24offers = s24.getSeq[org.apache.spark.sql.Row](s24.fieldIndex("offers"))
+    assert(s24offers.length == 3)
+    // Jumia first in plugin order → its quirk price 13.875 is offer 1
+    assert(s24offers.head.getString(0) == "Jumia")
+    assert(s24offers.head.getDouble(1) == 13.875)
+    // specs merged: Jumia's dict storage first ("512 Go"), electro fills ram
+    val specs = s24.getAs[Map[String, String]]("specifications")
+    assert(specs("storage") == "512 Go")   // Jumia's dict value, first-seen
+    assert(specs("ram") == "12")           // Jumia regex over description
+
+    // multi-source invariant (offre_3 shape)
+    val multi = Statistics.multiSourceProducts(res.merged).collect()
+    assert(multi.length == 1 && multi(0).getString(0) == "samsung_s24ultra")
+
+    // stats json + reports render
+    assert(res.statsJson.contains("\"total_products\":4"))
+    assert(res.statsJson.contains("\"total_offers\":6"))
+    assert(res.report.contains("TOP 5 MARQUES"))
+    assert(res.anomalyReport.contains("RAPPORT D'ANOMALIES"))
+
+    // sinks wrote distributed output
+    assert(Files.list(Paths.get(out, "marketeye_final")).count() > 0)
+    assert(Files.list(Paths.get(out, "relational", "products")).count() > 0)
+    assert(Files.list(Paths.get(out, "analysis_csv")).count() > 0)
+
+    // A3 golden shape: avg over prices > 0 of the 6 offers
+    val stats = Statistics.globalPriceStats(res.merged).collect()(0)
+    val prices = merged.flatMap(r => r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("offers")))
+      .map(_.getDouble(1)).filter(_ > 0)
+    assert(stats.getLong(1) == 6)
+    assert(math.abs(stats.getDouble(2) - prices.sum / prices.length) < 1e-9)
+  }
+
+  test("S1 reader: array vs NDJSON autodetect; malformed lines dropped") {
+    val raw = tempDir("jsonsrc")
+    write(raw, "avito_mixed.json",
+      """{"ad_id":"1","title":"ok","price":"100"}
+        |not json at all
+        |{"ad_id":"2","title":"ok2","price":"200"}""".stripMargin)
+    val df = graft.sources.JsonSource.readJsonAuto(spark,
+      graft.schema.Schemas.avitoSchema, Seq(s"$raw/avito_mixed.json"))
+    assert(df.count() == 2)
+  }
+
+  test("S2 discovery: pattern filter per source") {
+    val raw = tempDir("disc")
+    Seq("avito_ads.json", "jumia_products.json", "electro_items.json", "readme.txt")
+      .foreach(f => write(raw, f, "[]"))
+    def names(src: String) =
+      graft.sources.JsonSource.discoverFiles(spark, raw, src).map(_.split('/').last)
+    assert(names("Avito") == Seq("avito_ads.json"))
+    assert(names("Jumia") == Seq("jumia_products.json"))
+    assert(names("Electroplanet") == Seq("electro_items.json"))
+  }
+
+  test("S3 scrubber: nan/none/null strings to real nulls") {
+    import spark.implicits._
+    val df = Seq(("NaN", "x"), ("none", "y"), ("ok", "NULL")).toDF("a", "b")
+    val got = graft.sources.JsonSource.scrubNaNStrings(df).collect()
+    assert(got(0).isNullAt(0) && got(1).isNullAt(0) && !got(2).isNullAt(0))
+    assert(got(2).isNullAt(1))
+  }
+}

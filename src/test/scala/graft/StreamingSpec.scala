@@ -1,0 +1,54 @@
+package graft
+
+import graft.streaming.EventStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("windowed streaming agg with watermark produces hourly counts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    mem.addData(
+      (java.sql.Timestamp.valueOf("2026-01-01 10:05:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:55:00"), "click", 2.0),
+      (java.sql.Timestamp.valueOf("2026-01-01 11:05:00"), "view", 3.0))
+    val out = EventStream.runToMemory(EventStream.hourlyCounts(df), "hourly")
+      .orderBy("window_start", "event_type").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("n") == 2) // two clicks in the 10:00 window
+    assert(out(0).getAs[Double]("total_value") == 3.0)
+    assert(out(1).getAs[String]("event_type") == "view")
+  }
+
+  test("stateful price envelope via mapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStream.PriceEvent]
+    mem.addData(
+      EventStream.PriceEvent("p1", 100.0, java.sql.Timestamp.valueOf("2026-01-01 10:00:00")),
+      EventStream.PriceEvent("p1", 50.0, java.sql.Timestamp.valueOf("2026-01-01 10:01:00")),
+      EventStream.PriceEvent("p2", 7.0, java.sql.Timestamp.valueOf("2026-01-01 10:02:00")))
+    val out = EventStream.runToMemory(EventStream.priceEnvelope(mem.toDS()).toDF(),
+      "envelope", OutputMode.Update())
+      .orderBy("product_id").collect()
+    val p1 = out.find(_.getString(0) == "p1").get
+    assert(p1.getAs[Long]("n") == 2)
+    assert(p1.getAs[Double]("min_price") == 50.0)
+    assert(p1.getAs[Double]("max_price") == 100.0)
+    assert(p1.getAs[Double]("last_price") == 50.0)
+  }
+
+  test("streaming file source ingests scrape drops incrementally") {
+    val raw = tempDir("stream_raw")
+    java.nio.file.Files.write(java.nio.file.Paths.get(raw, "drop1.json"),
+      """{"ad_id":"1","title":"t1","price":"100"}""".getBytes)
+    val stream = EventStream.fileSource(spark, raw, graft.schema.Schemas.avitoSchema)
+    assert(stream.isStreaming)
+    val out = EventStream.runToMemory(
+      stream.groupBy().agg(count(lit(1)).as("n")), "filesrc", OutputMode.Complete())
+    assert(out.collect()(0).getAs[Long]("n") == 1)
+  }
+}
