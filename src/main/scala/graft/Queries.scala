@@ -26,6 +26,12 @@ object Queries {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The documents table ships as a single parquet file → one input split;
+    * repartition before per-row-heavy text operators so they use the whole
+    * cluster (at real scale the source would already be many splits). */
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   /** Exact, order-insensitive sum of a ≤2-decimal double column. */
   private def dsum(c: Column): Column = sum(dec(c)).cast("double")
@@ -749,16 +755,21 @@ object Queries {
     s"""SELECT md5($normSql) AS fp, count(*) AS n_docs, min(doc_id) AS keep_id
        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
 
-  /** D2 — MinHash+LSH near-duplicate pairs (bands=4, rows=2, thr=0.5). */
+  /** D2 — MinHash+LSH near-duplicate pairs over word-bigram shingles
+    * (bands=4, rows=2, thr=0.2). */
   def d2MinhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents").where(length(normalizeText(col("text"))) > 0)
-    Dedup.minhashNearDup(docs, "text", "doc_id", bands = 4, rowsPerBand = 2, threshold = 0.5)
+    val d = docs(s, dir).where(length(normalizeText(col("text"))) > 0)
+    Dedup.minhashNearDup(d, "text", "doc_id", bands = 4, rowsPerBand = 2,
+        threshold = 0.2, shingleN = 2)
       .orderBy("id_a", "id_b")
   }
 
   val d2Sql: String =
     s"""WITH norm AS (SELECT doc_id, $normSql AS nt FROM documents),
-       |tok AS (SELECT DISTINCT doc_id, unnest(string_split(nt, ' ')) AS tok FROM norm WHERE nt <> ''),
+       |tk AS (SELECT doc_id, string_split(nt, ' ') AS toks, len(string_split(nt, ' ')) AS k FROM norm WHERE nt <> ''),
+       |sh AS (SELECT doc_id, CASE WHEN k <= 2 THEN [array_to_string(toks, ' ')]
+       |  ELSE list_transform(range(0, k - 1), i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')) END AS gr FROM tk),
+       |tok AS (SELECT DISTINCT doc_id, unnest(gr) AS tok FROM sh),
        |seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
        |mh AS (
        |  SELECT doc_id, seed, min(substr(md5(CAST(seed AS VARCHAR) || ':' || tok), 1, 16)) AS h
@@ -778,11 +789,11 @@ object Queries {
        |j AS (
        |  SELECT i.id_a, i.id_b, round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
        |  FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b)
-       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
 
   /** D3 — portable 16-bit SimHash signatures. */
   def d3Simhash(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    docs(s, dir)
       .where(length(normalizeText(col("text"))) > 0)
       .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
       .orderBy("doc_id")
@@ -804,7 +815,7 @@ object Queries {
 
   /** D4 — exact word-bigram Jaccard within language blocks. */
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.ngramJaccardPairs(t(s, dir, "documents"), "text", "doc_id", "lang",
+    Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id", "lang",
         n = 2, threshold = 0.05)
       .orderBy("id_a", "id_b")
 
@@ -857,7 +868,7 @@ object Queries {
 
   /** X1 — language-id confusion matrix (stopword-hit heuristic vs label). */
   def x1LangId(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    docs(s, dir)
       .select(col("lang"), TextFunctions.langId(col("text")).as("pred"))
       .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
       .orderBy("lang", "pred")
@@ -879,7 +890,7 @@ object Queries {
 
   /** X2 — per-document quality metrics. */
   def x2Quality(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    docs(s, dir)
       .select(col("doc_id"), length(col("text")).as("chars"),
         tokenCount(col("text")).as("n_tok"),
         round(punctRatio(col("text")), 4).as("punct_r"),

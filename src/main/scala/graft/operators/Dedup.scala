@@ -39,12 +39,19 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
       .where(col("n_docs") > 1)
 
-  /** MinHash signature array (numHashes entries) over the distinct token
-    * set. Hash family: md5("{seed}:{token}") — deterministic, portable,
+  /** Distinct gram set for minhash/jaccard: word n-gram shingles for n>1,
+    * plain tokens for n=1. Shingling is what makes minhash discriminative —
+    * over a small shared vocabulary, unigram token sets of unrelated
+    * documents overlap heavily and every banding bucket floods. */
+  def gramSet(text: Column, shingleN: Int): Column =
+    array_distinct(if (shingleN <= 1) tokens(text) else shingles(text, shingleN))
+
+  /** MinHash signature array (numHashes entries) over the distinct gram
+    * set. Hash family: md5("{seed}:{gram}") — deterministic, portable,
     * uniformly distributed; min taken lexicographically over 16-hex-char
     * strings (equivalent to min over 64-bit unsigned ints). Map-side only. */
-  def minhashSignature(text: Column, numHashes: Int): Column = {
-    val toks = array_distinct(tokens(text))
+  def minhashSignature(text: Column, numHashes: Int, shingleN: Int = 1): Column = {
+    val toks = gramSet(text, shingleN)
     val sigs = (0 until numHashes).map { seed =>
       array_min(transform(toks, t => md5_16(concat(lit(s"$seed:"), t))))
     }
@@ -57,10 +64,20 @@ object Dedup {
     * id_a < id_b, distinct. The only shuffle is the band-bucket self-join.
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        bands: Int, rowsPerBand: Int): DataFrame = {
-    val sigCol = minhashSignature(col(textCol), bands * rowsPerBand)
-    val banded = df
-      .select(col(idCol).as("doc"), sigCol.as("sig"))
+                        bands: Int, rowsPerBand: Int, shingleN: Int = 1): DataFrame = {
+    // Higher-order functions run interpreted (no whole-stage codegen), so
+    // Catalyst's project-collapsing would re-evaluate the O(k²) shingle
+    // build once per hash seed. Materialize the gram set once behind a
+    // shuffle barrier, then derive all numHashes minhashes from the bound
+    // array column.
+    val gramsOnce = df
+      .select(col(idCol).as("doc"), gramSet(col(textCol), shingleN).as("gr"))
+      .repartition(col("doc"))
+    val sigs = (0 until bands * rowsPerBand).map { seed =>
+      array_min(transform(col("gr"), t => md5_16(concat(lit(s"$seed:"), t))))
+    }
+    val banded = gramsOnce
+      .select(col("doc"), array(sigs: _*).as("sig"))
       .select(col("doc"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
@@ -73,14 +90,16 @@ object Dedup {
   }
 
   /** Exact Jaccard over distinct-token sets for given candidate pairs.
-    * Joins the (small) candidate list back to token sets; broadcast when
-    * the candidate set is small relative to the corpus. */
+    * The token-set side is broadcast (it is rows × small arrays, tiny next
+    * to the candidate-pair set), so the potentially huge candidate list
+    * streams through two map-side hash joins with full parallelism. */
   def verifyJaccard(df: DataFrame, candidates: DataFrame,
-                    textCol: String, idCol: String, threshold: Double): DataFrame = {
-    val sets = df.select(col(idCol).as("id"), array_distinct(tokens(col(textCol))).as("toks"))
+                    textCol: String, idCol: String, threshold: Double,
+                    shingleN: Int = 1): DataFrame = {
+    val sets = df.select(col(idCol).as("id"), gramSet(col(textCol), shingleN).as("toks"))
     candidates
-      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
-      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
+      .join(broadcast(sets.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "toks_a")), "id_a")
+      .join(broadcast(sets.withColumnRenamed("id", "id_b").withColumnRenamed("toks", "toks_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
       .withColumn("uni", size(col("toks_a")) + size(col("toks_b")) - col("inter"))
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
@@ -92,9 +111,10 @@ object Dedup {
     * threshold. */
   def minhashNearDup(df: DataFrame, textCol: String, idCol: String,
                      bands: Int = 8, rowsPerBand: Int = 2,
-                     threshold: Double = 0.7): DataFrame =
-    verifyJaccard(df, minhashCandidates(df, textCol, idCol, bands, rowsPerBand),
-      textCol, idCol, threshold)
+                     threshold: Double = 0.7, shingleN: Int = 1): DataFrame =
+    verifyJaccard(df,
+      minhashCandidates(df, textCol, idCol, bands, rowsPerBand, shingleN),
+      textCol, idCol, threshold, shingleN)
 
   /** Portable 16-bit SimHash: per token take the first 4 hex chars of md5
     * as a 16-bit value; signature bit i is the sign of the sum over tokens
@@ -123,19 +143,32 @@ object Dedup {
       .reduce(_ + _)
   }
 
-  /** Exact n-gram Jaccard over all pairs within a blocking key (e.g. lang).
-    * The blocking key bounds the quadratic blow-up; at scale, block on an
-    * LSH bucket instead of a raw attribute. */
+  /** Exact n-gram Jaccard over all pairs within a blocking key (e.g. lang),
+    * as an inverted-index join: explode shingles, equi-join on
+    * (block, gram), count shared grams per pair. Parallelism follows gram
+    * cardinality (high), not block cardinality (often tiny) — a dense
+    * per-block self-join with array intersections serializes onto one task
+    * per block and dies at scale. Pairs sharing zero grams have jaccard 0,
+    * so for any threshold > 0 the result is identical. */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: String, n: Int, threshold: Double): DataFrame = {
+    require(threshold > 0, "inverted-index jaccard requires a positive threshold")
+    // shuffle barrier: shingle sets are built once and the identical
+    // exchange is reused by both self-join branches (ReuseExchange)
     val sets = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      array_distinct(shingles(col(textCol), n)).as("gr"))
-    sets.as("a").join(sets.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        size(array_intersect(col("a.gr"), col("b.gr"))).as("inter"),
-        (size(col("a.gr")) + size(col("b.gr"))).as("tot"))
-      .withColumn("jaccard", round(col("inter").cast("double") / (col("tot") - col("inter")), 4))
+        array_distinct(shingles(col(textCol), n)).as("gr"))
+      .repartition(col("id"))
+    val grams = sets.select(col("id"), col("blk"), explode(col("gr")).as("gram"))
+    val sizes = sets.select(col("id"), size(col("gr")).as("sz"))
+    grams.as("a").join(grams.as("b"),
+        col("a.blk") === col("b.blk") && col("a.gram") === col("b.gram") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))), "id_a")
+      .join(broadcast(sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
