@@ -863,6 +863,43 @@ object Queries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** D6 — ANN cosine top-k via random-hyperplane LSH buckets (the scale
+    * path of d5). The hyperplanes come from a fixed-seed generator on the
+    * driver, so no SQL oracle can reproduce them — declared without
+    * `oracleSql` (driver records a rows-only check); its recall against the
+    * exact d5 ranking is asserted in DedupSimilaritySpec. */
+  def d6CosineLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.lshTopK(emb.where(col("vec_id") < 1000), emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5, numPlanes = 8, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+
+  private val stQueryId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** ST2 — the SAME hourly aggregation as st1, executed through the real
+    * Structured Streaming engine (file source → incremental aggregation →
+    * memory sink, complete mode) and hash-matched against the identical
+    * DuckDB oracle: streaming/batch parity is verified, not assumed. */
+  def st2StreamingHourly(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // the streaming file source wants a directory: stream the sf dir with a
+    // glob filter selecting only the events table
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val tsNs = col("ts").cast("long")
+    val sec = (tsNs - tsNs % 1000000000L) / 1000000000L
+    val hourEpoch = (sec - sec % 3600).cast("long")
+    val agg = stream
+      .groupBy(hourEpoch.as("hour_epoch"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(floor(col("value") * 100)).cast("long").as("cents"))
+    val name = s"st2_hourly_${stQueryId.incrementAndGet()}"
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name).orderBy("hour_epoch", "event_type")
+  }
+
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ",", ")")
 
@@ -1012,6 +1049,8 @@ object Queries {
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d5_cosine_topk" -> d5CosineTopK,
+    "d6_cosine_lsh" -> d6CosineLsh,
+    "st2_streaming_hourly" -> st2StreamingHourly,
     "x1_lang_id" -> x1LangId,
     "x2_quality" -> x2Quality,
     "x3_token_count" -> x3TokenCount,
@@ -1051,6 +1090,7 @@ object Queries {
     "d3_simhash" -> d3Sql,
     "d4_ngram_jaccard" -> d4Sql,
     "d5_cosine_topk" -> d5Sql,
+    "st2_streaming_hourly" -> st1Sql,
     "x1_lang_id" -> x1Sql,
     "x2_quality" -> x2Sql,
     "x3_token_count" -> x3Sql,

@@ -78,6 +78,34 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(ann(0).getLong(1) == 50L, s"expected planted neighbor first, got ${ann.toSeq}")
   }
 
+  test("native SimHash64 expression: equals the column formulation, codegen-safe, SQL-registered") {
+    val nonEmpty = docs.where(length(TextFunctions.normalizeText(col("text"))) > 0)
+    val both = nonEmpty.select(col("doc_id"),
+      Dedup.simhash64(col("text")).as("hof"),
+      graft.functions.SimHash64.simhash64Native(col("text")).as("native"))
+      .collect()
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}"))
+    // SQL surface via extensions-equivalent registration
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash64", es => graft.functions.SimHash64(es.head), "scala_udf")
+    docs.createOrReplaceTempView("dedup_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, graft_simhash64(text) h FROM dedup_docs WHERE doc_id = 1").collect()(0)
+    assert(viaSql.getLong(1) == both.find(_.getLong(0) == 1L).get.getLong(1))
+  }
+
+  test("LSH ANN recall: d6-style query finds most of the exact d5 top-k") {
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L to 199L).map(i => (i, Array.fill(16)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val queries = corpus.where(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(corpus, queries, "vec_id", "embedding", 5, 8, 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ann).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall $recall too low: $ann vs $exact")
+  }
+
   test("multimodal: mapPartitions stub decode matches the column-expression twin") {
     val withBytes = Multimodal.withPayload(docs.where(col("doc_id") === 1L), "text")
     val viaRows = Multimodal.decodeMeta(withBytes).collect()(0)
