@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Z7 — per-row LLM enrichment, generalizing the reference's Ollama call
+  * (localhost:11434, 30 s timeout; every committed artifact row carries the
+  * timeout error string — top_anomalies_ollama_20260102_201927.csv).
+  *
+  * Engine shape, designed for scale:
+  *   - `mapPartitions`, NOT a UDF: one client per partition (connection
+  *     reuse), explicit per-partition rate limiting, and the analysis
+  *     column appended without breaking columnar lineage upstream.
+  *   - Failures degrade to an error string in the column (the reference's
+  *     observed behavior), never a task failure — a flaky enrichment
+  *     service cannot kill a 100 TB job.
+  *   - Intended use is on a top-K frame (T5): enrich AFTER ranking and
+  *     limiting, so the expensive service sees K rows, not the corpus.
+  *
+  * The transport is pluggable; the default [[StubTransport]] is
+  * deterministic and offline (this environment has no model server). A
+  * real transport implements one method; the operator's plan shape does
+  * not change.
+  */
+object LlmEnrich {
+
+  /** One enrichment call: prompt in, analysis out (or throw). Must be
+    * Serializable — instantiated per partition on executors. */
+  trait Transport extends Serializable {
+    def complete(prompt: String): String
+  }
+
+  /** Deterministic offline stand-in: echoes a digest of the prompt.
+    * Mirrors the artifact shape where every row got a fixed string. */
+  class StubTransport extends Transport {
+    override def complete(prompt: String): String =
+      s"[stub-analysis ${java.util.UUID.nameUUIDFromBytes(prompt.getBytes("UTF-8"))}]"
+  }
+
+  /** The reference's observed failure value (timeout after 30 s). */
+  def errorString(e: Throwable): String =
+    s"Erreur: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+
+  /** Append `outputCol` by calling the transport once per row, rate-limited
+    * to `maxPerSecond` calls per partition. `promptFor` renders the prompt
+    * from the full row (driver-side closure, serialized to executors). */
+  def enrich(df: DataFrame, outputCol: String,
+             promptFor: Row => String,
+             transport: Transport = new StubTransport,
+             maxPerSecond: Double = 2.0): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(outputCol, StringType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val minIntervalNanos = if (maxPerSecond <= 0) 0L else (1e9 / maxPerSecond).toLong
+    df.mapPartitions { rows =>
+      var lastCall = 0L
+      rows.map { row =>
+        if (minIntervalNanos > 0) {
+          val now = System.nanoTime()
+          val wait = lastCall + minIntervalNanos - now
+          if (wait > 0) Thread.sleep(wait / 1000000L, (wait % 1000000L).toInt)
+          lastCall = System.nanoTime()
+        }
+        val analysis =
+          try transport.complete(promptFor(row))
+          catch { case e: Throwable => errorString(e) }
+        Row.fromSeq(row.toSeq :+ analysis)
+      }
+    }(enc)
+  }
+}
