@@ -13,9 +13,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -30,11 +31,16 @@ object Bench {
     // warmup: session, codegen, parquet footers
     try force("q1_pricing_summary") catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // two passes, min per query: the first execution of each generated
+    // plan pays janino compilation + JIT; the min measures the plan
+    def timed(name: String): Double = {
       val t0 = System.nanoTime()
       try force(name) catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
     }
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val pass1 = names.map(n => n -> timed(n)).toMap
+    val results = names.map(n => n -> math.min(pass1(n), timed(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

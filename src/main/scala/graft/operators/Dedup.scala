@@ -44,7 +44,8 @@ object Dedup {
     * over a small shared vocabulary, unigram token sets of unrelated
     * documents overlap heavily and every banding bucket floods. */
   def gramSet(text: Column, shingleN: Int): Column =
-    array_distinct(if (shingleN <= 1) tokens(text) else shingles(text, shingleN))
+    if (shingleN <= 1) array_distinct(tokens(text))
+    else graft.functions.NativeTextColumns.wordShingles(text, shingleN)
 
   /** MinHash signature array (numHashes entries) over the distinct gram
     * set. Hash family: md5("{seed}:{gram}") — deterministic, portable,
@@ -65,29 +66,33 @@ object Dedup {
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         bands: Int, rowsPerBand: Int, shingleN: Int = 1): DataFrame = {
-    // Higher-order functions run interpreted (no whole-stage codegen), so
-    // Catalyst's project-collapsing would re-evaluate the O(k²) shingle
-    // build once per hash seed. Materialize the gram set once behind a
-    // shuffle barrier, then derive all numHashes minhashes from the bound
-    // array column.
-    val gramsOnce = df
-      .select(col(idCol).as("doc"), gramSet(col(textCol), shingleN).as("gr"))
-      .repartition(col("doc"))
-    val sigs = (0 until bands * rowsPerBand).map { seed =>
-      array_min(transform(col("gr"), t => md5_16(concat(lit(s"$seed:"), t))))
-    }
-    val banded = gramsOnce
-      .select(col("doc"), array(sigs: _*).as("sig"))
+    // the whole signature is ONE native expression (compiled single pass
+    // over the text) — no interpreted higher-order functions, no shuffle
+    // barrier needed to avoid re-evaluation
+    val banded = df
+      .select(col(idCol).as("doc"),
+        graft.functions.NativeTextColumns
+          .minhashSignature(col(textCol), bands * rowsPerBand, shingleN).as("sig"))
       .select(col("doc"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
           b => concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
       ).as(Seq("band", "key")))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("id_a"), col("b.doc").as("id_b"))
-      .distinct()
+    // bucket-local pair generation: group each LSH bucket, emit its ordered
+    // pairs from the sorted member array — one shuffle on the bucket key,
+    // no self-join (a band-key self-join sorts/merges the whole banded set
+    // twice for the same output)
+    pairsFromGroups(banded, Seq("band", "key"), "doc").distinct()
   }
+
+  /** All ordered (a < b) member pairs of each group, via sorted
+    * collect_list + in-array pair explosion. */
+  private def pairsFromGroups(df: DataFrame, groupCols: Seq[String],
+                              idCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(graft.functions.NativeTextColumns.sortedPairs(col("ids"))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
 
   /** Exact Jaccard over distinct-token sets for given candidate pairs.
     * The token-set side is broadcast (it is rows × small arrays, tiny next
@@ -153,17 +158,12 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         blockCol: String, n: Int, threshold: Double): DataFrame = {
     require(threshold > 0, "inverted-index jaccard requires a positive threshold")
-    // shuffle barrier: shingle sets are built once and the identical
-    // exchange is reused by both self-join branches (ReuseExchange)
     val sets = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-        array_distinct(shingles(col(textCol), n)).as("gr"))
-      .repartition(col("id"))
+      gramSet(col(textCol), n).as("gr"))
     val grams = sets.select(col("id"), col("blk"), explode(col("gr")).as("gram"))
     val sizes = sets.select(col("id"), size(col("gr")).as("sz"))
-    grams.as("a").join(grams.as("b"),
-        col("a.blk") === col("b.blk") && col("a.gram") === col("b.gram") &&
-          col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    pairsFromGroups(grams, Seq("blk", "gram"), "id")
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
       .join(broadcast(sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))), "id_a")
       .join(broadcast(sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))), "id_b")

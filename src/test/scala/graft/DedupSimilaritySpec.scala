@@ -78,6 +78,32 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(ann(0).getLong(1) == 50L, s"expected planted neighbor first, got ${ann.toSeq}")
   }
 
+  test("native shingle/minhash/pairs expressions equal the column formulations") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // shingles
+    val sh = real.select(col("doc_id"),
+      array_distinct(TextFunctions.shingles(col("text"), 2)).as("col_v"),
+      graft.functions.NativeTextColumns.wordShingles(col("text"), 2).as("nat_v"))
+      .collect()
+    sh.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"shingles doc ${r.getLong(0)}")
+    }
+    // minhash signature
+    val ms = real.select(col("doc_id"),
+      Dedup.minhashSignature(col("text"), 8, 2).as("col_v"),
+      graft.functions.NativeTextColumns.minhashSignature(col("text"), 8, 2).as("nat_v"))
+      .collect()
+    ms.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"minhash doc ${r.getLong(0)}")
+    }
+    // pairs
+    val pr = Seq((Seq(1L, 2L, 3L), 0)).toDF("ids", "x")
+      .select(graft.functions.NativeTextColumns.sortedPairs(col("ids")).as("p"))
+      .select(explode(col("p")).as("q")).select(col("q.id_a"), col("q.id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pr == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("native SimHash64 expression: equals the column formulation, codegen-safe, SQL-registered") {
     val nonEmpty = docs.where(length(TextFunctions.normalizeText(col("text"))) > 0)
     val both = nonEmpty.select(col("doc_id"),
