@@ -875,6 +875,26 @@ object Queries {
       .orderBy("query_id", "rank")
   }
 
+  /** D7 — embedding-cosine near-duplicate pairs (exact over a bounded id
+    * range; the LSH/IVF candidate paths are verified against this in
+    * tests). */
+  def d7EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(
+        t(s, dir, "embeddings").where(col("vec_id") < 500), "vec_id", "embedding",
+        threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  val d7Sql: String = {
+    val dotProd = "list_reduce(list_transform(list_zip(%s, %s), s -> s[1] * s[2]), (a, b) -> a + b)"
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE vec_id < 500),
+       |p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round(${dotProd.format("a.v", "b.v")} / (sqrt(${dotProd.format("a.v", "a.v")}) * sqrt(${dotProd.format("b.v", "b.v")})), 4) AS cos
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.8 ORDER BY id_a, id_b""".stripMargin
+  }
+
   private val stQueryId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** ST2 — the SAME hourly aggregation as st1, executed through the real
@@ -903,12 +923,21 @@ object Queries {
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ",", ")")
 
-  /** X1 — language-id confusion matrix (stopword-hit heuristic vs label). */
-  def x1LangId(s: SparkSession, dir: String): DataFrame =
+  /** X1 — language-id confusion matrix (stopword-hit heuristic vs label),
+    * via the one-pass native TextStats expression. */
+  def x1LangId(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.functions.TextStats.textStats(coalesce(col("text"), lit("")))
     docs(s, dir)
-      .select(col("lang"), TextFunctions.langId(col("text")).as("pred"))
+      .select(col("lang"), st.getField("stop_en").as("en"),
+        st.getField("stop_fr").as("fr"), st.getField("stop_es").as("es"))
+      .select(col("lang"),
+        when(col("en") === 0 && col("fr") === 0 && col("es") === 0, lit("und"))
+          .when(col("en") >= col("fr") && col("en") >= col("es"), lit("en"))
+          .when(col("fr") >= col("es"), lit("fr"))
+          .otherwise(lit("es")).as("pred"))
       .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
       .orderBy("lang", "pred")
+  }
 
   val x1Sql: String =
     s"""WITH norm AS (SELECT doc_id, lang, $normSql AS nt FROM documents),
@@ -925,16 +954,36 @@ object Queries {
        |  FROM h)
        |SELECT lang, pred, count(*) AS n FROM p GROUP BY lang, pred ORDER BY lang, pred""".stripMargin
 
-  /** X2 — per-document quality metrics. */
-  def x2Quality(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir)
-      .select(col("doc_id"), length(col("text")).as("chars"),
-        tokenCount(col("text")).as("n_tok"),
-        round(punctRatio(col("text")), 4).as("punct_r"),
-        round(upperRatio(col("text")), 4).as("upper_r"),
-        round(stopwordRatio(col("text")), 4).as("stop_r"),
-        qualityScore(col("text")).as("quality"))
+  /** X2 — per-document quality metrics, derived from the one-pass native
+    * TextStats expression (ratio arithmetic identical to the column
+    * formulation, so the oracle is unchanged). */
+  def x2Quality(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.functions.TextStats.textStats(coalesce(col("text"), lit("")))
+    val base = docs(s, dir).select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        col("st.chars").as("chars"), col("st.n_tok").as("n_tok"),
+        col("st.punct").as("punct"), col("st.letters").as("letters"),
+        col("st.uppers").as("uppers"), col("st.tok_chars").as("tok_chars"),
+        col("st.stop_all").as("stop_all"))
+    val punctR = when(col("chars") === 0, lit(0.0))
+      .otherwise(col("punct").cast("double") / col("chars"))
+    val upperR = when(col("letters") === 0, lit(0.0))
+      .otherwise(col("uppers").cast("double") / col("letters"))
+    val stopR = when(col("n_tok") === 0, lit(0.0))
+      .otherwise(col("stop_all").cast("double") / col("n_tok"))
+    val mwl = when(col("n_tok") === 0, lit(0.0))
+      .otherwise(col("tok_chars").cast("double") / col("n_tok"))
+    val lenOk = when(col("chars") >= 200, lit(1.0))
+      .otherwise(col("chars").cast("double") / 200.0)
+    val quality = round(lenOk * 0.4
+      + when(punctR <= 0.2, lit(1.0)).otherwise(lit(0.0)) * 0.2
+      + when(stopR >= 0.05, lit(1.0)).otherwise(lit(0.0)) * 0.2
+      + when(mwl.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0)) * 0.2, 4)
+    base.select(col("doc_id"), col("chars"), col("n_tok"),
+        round(punctR, 4).as("punct_r"), round(upperR, 4).as("upper_r"),
+        round(stopR, 4).as("stop_r"), quality.as("quality"))
       .orderBy("doc_id")
+  }
 
   val x2Sql: String = {
     val allStops = sqlList(TextFunctions.StopwordsEn ++ TextFunctions.StopwordsFr ++ TextFunctions.StopwordsEs)
@@ -1050,6 +1099,7 @@ object Queries {
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d5_cosine_topk" -> d5CosineTopK,
     "d6_cosine_lsh" -> d6CosineLsh,
+    "d7_embedding_neardup" -> d7EmbeddingNearDup,
     "st2_streaming_hourly" -> st2StreamingHourly,
     "x1_lang_id" -> x1LangId,
     "x2_quality" -> x2Quality,
@@ -1091,6 +1141,7 @@ object Queries {
     "d4_ngram_jaccard" -> d4Sql,
     "d5_cosine_topk" -> d5Sql,
     "st2_streaming_hourly" -> st1Sql,
+    "d7_embedding_neardup" -> d7Sql,
     "x1_lang_id" -> x1Sql,
     "x2_quality" -> x2Sql,
     "x3_token_count" -> x3Sql,

@@ -42,10 +42,14 @@ object Similarity {
     * be the small one — it is broadcast, so the corpus never shuffles. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv")))))
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+      .withColumn("cos", round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -67,6 +71,96 @@ object Similarity {
       val proj = dot(vd, array(p.map(lit): _*))
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all (a < b) pairs with cosine
+    * ≥ threshold. Exact — for bounded corpora and for verifying the
+    * LSH/IVF paths. O(n²): at scale, generate candidates with
+    * [[lshTopK]]-style bucketing or [[IvfIndex]] probing first and verify
+    * only candidates with this formula. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    // norms precomputed per vector (not per pair) — sqrt(dot(v,v)) yields
+    // the identical double either way, so external oracles still match
+    val side = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val a = side.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = side.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** IVF (inverted-file) ANN index: a coarse quantizer of `nlist`
+    * centroids trained with a few Lloyd iterations (deterministic seeding:
+    * the first `nlist` vectors by id), then each vector is assigned to its
+    * nearest centroid's list. Queries probe the `nprobe` nearest lists
+    * only — the classic trade of recall for a 1/nlist scan fraction.
+    * Training and assignment are DataFrame programs: one broadcast of the
+    * (tiny) centroid table per iteration, no shuffle of the corpus. */
+  object IvfIndex {
+    /** Train centroids: deterministic init + `iters` Lloyd steps. */
+    def train(corpus: DataFrame, idCol: String, vecCol: String,
+              nlist: Int, iters: Int = 2): Array[(Int, Array[Double])] = {
+      val spark = corpus.sparkSession
+      var centroids: Array[(Int, Array[Double])] = corpus
+        .orderBy(col(idCol)).limit(nlist)
+        .select(col(vecCol)).collect()
+        .zipWithIndex
+        .map { case (r, i) => i -> r.getSeq[Float](0).map(_.toDouble).toArray }
+      for (_ <- 0 until iters) {
+        val assigned = assign(corpus, vecCol, centroids)
+        val sums = assigned
+          .select(col("centroid"), asDouble(col(vecCol)).as("v"))
+          .groupBy("centroid")
+          .agg(count(lit(1)).as("n"),
+            array((0 until centroids.head._2.length).map(d =>
+              sum(element_at(col("v"), d + 1))): _*).as("vecsum"))
+          .collect()
+        centroids = sums.map { r =>
+          val n = r.getLong(1).toDouble
+          r.getInt(0) -> r.getSeq[Double](2).map(_ / n).toArray
+        }.sortBy(_._1)
+      }
+      centroids
+    }
+
+    /** Nearest-centroid assignment (broadcast literal centroids). */
+    def assign(df: DataFrame, vecCol: String,
+               centroids: Array[(Int, Array[Double])]): DataFrame = {
+      val vd = asDouble(col(vecCol))
+      val best = centroids.map { case (cid, cvec) =>
+        struct((-cosine(col(vecCol),
+          array(cvec.map(lit): _*))).as("negcos"), lit(cid).as("cid"))
+      }
+      df.withColumn("centroid", least(best: _*).getField("cid"))
+    }
+
+    /** Query: probe the nprobe nearest centroid lists, exact cosine + rank
+      * within the probed fraction of the corpus. */
+    def topK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, centroids: Array[(Int, Array[Double])],
+             nprobe: Int): DataFrame = {
+      val assigned = assign(corpus, vecCol, centroids)
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid"))
+      val probes = centroids.map { case (cid, cvec) =>
+        struct((-cosine(col(vecCol), array(cvec.map(lit): _*))).as("negcos"),
+          lit(cid).as("cid"))
+      }
+      val q = broadcast(queries
+        .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+          slice(array_sort(array(probes: _*)), 1, nprobe).as("pr"))
+        .withColumn("centroid", explode(transform(col("pr"), p => p.getField("cid"))))
+        .drop("pr"))
+      val scored = q.join(assigned, Seq("centroid"))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
+      val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
+      scored.select("query_id", "neighbor_id", "cos").distinct()
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= k)
+    }
   }
 
   /** ANN top-k: both sides bucketed map-side by hyperplane signs; join on

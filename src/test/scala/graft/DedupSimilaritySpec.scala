@@ -132,6 +132,30 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(recall >= 0.4, s"recall $recall too low: $ann vs $exact")
   }
 
+  test("IVF index: nearest centroid probing finds the planted neighbor") {
+    val rnd = new scala.util.Random(5)
+    val base = Array.fill(16)(rnd.nextFloat())
+    val corpus = ((0L to 99L).map(i => (i, Array.tabulate(16)(_ => rnd.nextFloat())))
+      :+ ((100L, base.map(x => (x + 0.005f)))))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((999L, base)).toDF("vec_id", "embedding")
+    val cents = Similarity.IvfIndex.train(corpus, "vec_id", "embedding", nlist = 4, iters = 2)
+    assert(cents.length == 4 && cents.forall(_._2.length == 16))
+    val hits = Similarity.IvfIndex.topK(corpus, queries, "vec_id", "embedding",
+      k = 3, cents, nprobe = 2).collect()
+    assert(hits.nonEmpty && hits(0).getLong(1) == 100L,
+      s"expected planted neighbor first, got ${hits.toSeq}")
+  }
+
+  test("cosine near-dup pairs: exact pairs above threshold") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.999f, 0.04f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
   test("multimodal: mapPartitions stub decode matches the column-expression twin") {
     val withBytes = Multimodal.withPayload(docs.where(col("doc_id") === 1L), "text")
     val viaRows = Multimodal.decodeMeta(withBytes).collect()(0)
