@@ -28,17 +28,16 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
-    // warmup: session, codegen, parquet footers
-    try force("q1_pricing_summary") catch { case _: Throwable => () }
-
-    // two passes, min per query: the first execution of each generated
-    // plan pays janino compilation + JIT; the min measures the plan
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
       try force(name) catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
     val names = SparkEntry.queries.keys.toSeq.sorted
+    // one untimed warmup pass (janino compilation + C2 JIT of native
+    // expression evals), then two timed passes, min per query — numbers
+    // measure the plan, not compiler warmup
+    names.foreach(n => try force(n) catch { case _: Throwable => () })
     val pass1 = names.map(n => n -> timed(n)).toMap
     val results = names.map(n => n -> math.min(pass1(n), timed(n)))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

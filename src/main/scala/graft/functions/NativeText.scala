@@ -50,13 +50,19 @@ object NativeText {
     Array.tabulate(k - n + 1)(i => toks.slice(i, i + n).mkString(" "))
   }
 
-  private def md5hex16(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val sb = new java.lang.StringBuilder(16)
+  private val Hex = "0123456789abcdef".toCharArray
+
+  /** First 16 hex chars of an md5 digest (manual hex — String.format here
+    * costs more than the digest itself). */
+  def hex16(d: Array[Byte]): String = {
+    val out = new Array[Char](16)
     var i = 0
-    while (i < 8) { sb.append(f"${d(i) & 0xff}%02x"); i += 1 }
-    sb.toString
+    while (i < 8) {
+      out(2 * i) = Hex((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = Hex(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 }
 
@@ -93,10 +99,7 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleN: Int)
       var seed = 0
       while (seed < numHashes) {
         val d = md.digest(s"$seed:$g".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        val sb = new java.lang.StringBuilder(16)
-        var i = 0
-        while (i < 8) { sb.append(f"${d(i) & 0xff}%02x"); i += 1 }
-        val h = sb.toString
+        val h = NativeText.hex16(d)
         if (mins(seed) == null || h < mins(seed)) mins(seed) = h
         seed += 1
       }
