@@ -36,6 +36,9 @@ object MarketEyePipeline {
       dedupGlobal: Boolean = true,
       anomalyMinGroup: Int = 3,
       anomalyZ: Double = 2.0,
+      llmTopK: Int = 0,                    // T5: enrich top-K anomalies (0 = off)
+      llmTransport: graft.operators.LlmEnrich.Transport =
+        new graft.operators.LlmEnrich.StubTransport,
       stageDir: Option[String] = None)     // optional per-stage checkpoints
 
   case class Result(merged: DataFrame, statsJson: String, report: String,
@@ -90,11 +93,19 @@ object MarketEyePipeline {
     val flagged = Anomaly.zScoreAnomalies(offers, Seq("brand", "model"), "price",
       cfg.anomalyZ, cfg.anomalyMinGroup)
     val summary = Anomaly.summary(flagged, Seq("brand", "model")).collect()(0)
-    val topK = flagged
+    val topKFrame = flagged
       .orderBy(desc("deviation_percent"), col("url"))
-      .limit(10)
+      .limit(math.max(10, cfg.llmTopK))
       .select("product_id", "brand", "model", "price", "deviation_percent")
-      .collect().toSeq
+    // T5 — optional per-anomaly LLM analysis on the top-K slice only (the
+    // expensive service never sees the corpus, ref top_anomalies_ollama)
+    if (cfg.llmTopK > 0)
+      graft.operators.LlmEnrich.enrich(
+          topKFrame.limit(cfg.llmTopK), "ollama_analysis",
+          r => s"Analyse l'anomalie de prix: ${r.get(0)} (${r.get(1)} ${r.get(2)}) à ${r.get(3)} MAD, déviation ${r.get(4)}%",
+          cfg.llmTransport)
+        .write.mode("overwrite").json(s"${cfg.outDir}/top_anomalies_llm")
+    val topK = topKFrame.limit(10).collect().toSeq
     val anomalyReport = Report.anomalies(summary, topK, cfg.runTs)
 
     // load fan-out

@@ -50,6 +50,24 @@ object Sinks {
     offers.write.mode(SaveMode.Overwrite).jdbc(url, "offers", props)
   }
 
+  /** Secondary-index DDL the reference creates after loading
+    * (M/dags/marketeye_etl_dag.py:911-917) — executed by the caller over a
+    * plain JDBC connection on the driver after [[writeJdbc]]. */
+  val IndexDdl: Seq[String] = Seq(
+    "CREATE INDEX IF NOT EXISTS idx_products_product_id ON products (product_id)",
+    "CREATE INDEX IF NOT EXISTS idx_products_brand ON products (brand)",
+    "CREATE INDEX IF NOT EXISTS idx_offers_product_id ON offers (product_id)",
+    "CREATE INDEX IF NOT EXISTS idx_offers_source ON offers (source)",
+    "CREATE INDEX IF NOT EXISTS idx_offers_price ON offers (price)")
+
+  /** Run the index DDL on the driver (one short-lived JDBC connection). */
+  def createIndexes(url: String, props: java.util.Properties): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try IndexDdl.foreach { ddl =>
+      val st = conn.createStatement(); try st.execute(ddl) finally st.close()
+    } finally conn.close()
+  }
+
   /** S6/S7 fallback — relational pair as parquet staging dirs (the document
     * store / warehouse loads from here when no connector is available). */
   def writeRelationalFiles(merged: DataFrame, dir: String): Unit = {

@@ -39,7 +39,7 @@ class PipelineSpec extends SparkSuite {
     write(raw, "electroplanet_data.json", electroJson)
 
     val cfg = MarketEyePipeline.Config(rawDir = raw, outDir = out,
-      runTs = "20260101_120000")
+      runTs = "20260101_120000", llmTopK = 3)
     val res = MarketEyePipeline.run(spark, cfg)
     val merged = res.merged.collect()
 
@@ -72,6 +72,9 @@ class PipelineSpec extends SparkSuite {
     assert(Files.list(Paths.get(out, "marketeye_final")).count() > 0)
     assert(Files.list(Paths.get(out, "relational", "products")).count() > 0)
     assert(Files.list(Paths.get(out, "analysis_csv")).count() > 0)
+    // T5: the enriched top-K sink exists (empty here — no z>2 anomalies in
+    // groups of 3, the max |z| in a 3-sample is 2/sqrt(3))
+    assert(Files.exists(Paths.get(out, "top_anomalies_llm")))
 
     // A3 golden shape: avg over prices > 0 of the 6 offers
     val stats = Statistics.globalPriceStats(res.merged).collect()(0)

@@ -1,0 +1,96 @@
+package graft
+
+import graft.functions.ScalarFunctions._
+import graft.operators.ProductMerge
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property-based tests (SURVEY.md §5.2): totality and invariants of the
+  * cleaning functions on adversarial strings, and the merge fold's
+  * algebraic properties. Properties are evaluated in batches through Spark
+  * (one DataFrame per property, not one job per case). */
+class PropertiesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val weird: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr,
+    Gen.asciiPrintableStr,
+    Gen.listOf(Gen.oneOf('0', '9', ',', '.', ' ', 'D', 'H', '€', 'é', '!', '\t'))
+      .map(_.mkString),
+    Gen.const(""), Gen.const("NULL"), Gen.const("  "))
+
+  private def sample(n: Int): Seq[String] =
+    Gen.listOfN(n, weird).sample.getOrElse(Seq.fill(n)("x"))
+
+  test("property: price parsers are total, non-negative, finite") {
+    val inputs = sample(500)
+    val out = inputs.map(Option(_)).toDF("v")
+      .select(cleanPrice(col("v")).as("p1"), extractPriceFixed(col("v")).as("p2"))
+      .collect()
+    out.foreach { r =>
+      assert(!r.isNullAt(0) && r.getDouble(0) >= 0.0 && !r.getDouble(0).isNaN)
+      assert(!r.isNullAt(1) && r.getDouble(1) >= 0.0 && !r.getDouble(1).isNaN)
+    }
+  }
+
+  test("property: product ids are always lowercase slug charset, never null") {
+    val inputs = sample(300).grouped(3).filter(_.size == 3).toSeq
+    val out = inputs.map { case Seq(b, m, t) => (Option(b), Option(m), Option(t)) }
+      .toDF("b", "m", "t")
+      .select(productId(col("b"), col("m"), col("t")).as("id"))
+      .collect()
+    out.foreach { r =>
+      assert(!r.isNullAt(0))
+      assert(r.getString(0).matches("[a-z0-9_]*"), s"bad id '${r.getString(0)}'")
+    }
+  }
+
+  test("property: brand normalization and condition mapping are total") {
+    val out = sample(400).map(Option(_)).toDF("v")
+      .select(normalizeBrand(col("v")).as("b"), determineCondition(col("v")).as("c"))
+      .collect()
+    val conditions = Set("new", "used", "good", "fair", "poor", "like new", "refurbished")
+    out.foreach { r =>
+      assert(!r.isNullAt(0) && r.getString(0).nonEmpty)
+      assert(conditions.contains(r.getString(1)))
+    }
+  }
+
+  test("property: merging a dataset with itself adds no products (idempotence)") {
+    val rows = (1 to 30).map { i =>
+      Row(s"p_$i", "B", "M", s"name $i", "Smartphone", Map("k" -> s"$i"),
+        Seq(Row("Avito", i.toDouble, null, "MAD", "new", null, null, null,
+          null, null, s"u$i", null, s"t$i")),
+        Seq("Avito"), "t0", "t0")
+    }
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 3),
+      graft.schema.Schemas.productStruct)
+    val once = ProductMerge.merge(df)
+    val selfUnion = ProductMerge.merge(df.unionByName(df))
+    assert(once.count() == selfUnion.count())
+    // per-product (source,url) dedup collapses the duplicated offers
+    val offersCounts = selfUnion.select(size(col("offers")).as("n")).collect()
+    offersCounts.foreach(r => assert(r.getInt(0) == 1))
+  }
+
+  test("property: merge output is independent of input partitioning") {
+    val rows = (1 to 40).map { i =>
+      Row(s"p_${i % 10}", "B", "M", s"name $i", "Smartphone", Map("k" -> s"$i"),
+        Seq(Row(if (i % 2 == 0) "Avito" else "Jumia", i.toDouble, null, "MAD",
+          "new", null, null, null, null, null, s"u$i", null, s"t$i")),
+        Seq(if (i % 2 == 0) "Avito" else "Jumia"), "t0", "t0")
+    }
+    def mergedWith(parts: Int): Seq[(String, String, Seq[Double])] =
+      ProductMerge.merge(spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, parts),
+          graft.schema.Schemas.productStruct))
+        .collect()
+        .map { r =>
+          (r.getAs[String]("product_id"), r.getAs[String]("product_name"),
+            r.getSeq[Row](r.fieldIndex("offers")).map(_.getDouble(1)))
+        }
+        .sortBy(_._1).toSeq
+    assert(mergedWith(1) == mergedWith(7))
+  }
+}
