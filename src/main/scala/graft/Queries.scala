@@ -895,6 +895,29 @@ object Queries {
        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.8 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** K1 — skew-salted two-phase aggregation. The plan spreads each hot key
+    * over 16 deterministic salt buckets before the final combine; the
+    * oracle is the PLAIN single-phase GROUP BY — hash-matching proves the
+    * salting is a pure plan transformation. */
+  def k1SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedAggregate(
+        t(s, dir, "lineitem"), Seq("l_returnflag"),
+        saltSource = Seq("l_orderkey", "l_linenumber"), buckets = 16,
+        partial = Seq(count(lit(1)).as("pn"),
+          sum(dec(col("l_extendedprice"))).as("ps"),
+          min(col("l_extendedprice")).as("pmn"),
+          max(col("l_extendedprice")).as("pmx")),
+        merge = Seq(sum("pn").cast("long").as("n"),
+          sum("ps").cast("double").as("sum_price"),
+          min("pmn").as("min_price"), max("pmx").as("max_price")))
+      .orderBy("l_returnflag")
+
+  val k1Sql: String =
+    s"""SELECT l_returnflag, count(*) AS n,
+       |  ${sqlDsum("l_extendedprice")} AS sum_price,
+       |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   private val stQueryId = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** ST2 — the SAME hourly aggregation as st1, executed through the real
@@ -1100,6 +1123,7 @@ object Queries {
     "d5_cosine_topk" -> d5CosineTopK,
     "d6_cosine_lsh" -> d6CosineLsh,
     "d7_embedding_neardup" -> d7EmbeddingNearDup,
+    "k1_salted_agg" -> k1SaltedAgg,
     "st2_streaming_hourly" -> st2StreamingHourly,
     "x1_lang_id" -> x1LangId,
     "x2_quality" -> x2Quality,
@@ -1142,6 +1166,7 @@ object Queries {
     "d5_cosine_topk" -> d5Sql,
     "st2_streaming_hourly" -> st1Sql,
     "d7_embedding_neardup" -> d7Sql,
+    "k1_salted_agg" -> k1Sql,
     "x1_lang_id" -> x1Sql,
     "x2_quality" -> x2Sql,
     "x3_token_count" -> x3Sql,
