@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,13 +14,15 @@ import scala.collection.mutable
 /** Native text/pair expressions for the hot near-dup paths.
   *
   * The column-expression formulations (normalize → split → slice-transform
-  * shingles → per-seed transform+md5 minhash → nested-transform pair
+  * shingles → per-seed transform minhash → nested-transform pair
   * explosion) are correct but live entirely in interpreted higher-order
   * functions: every lambda application walks an expression tree per
   * element. These expressions do the same work as straight compiled JVM
-  * loops — one pass per row — behind a single CodegenFallback call
-  * boundary. Semantics are bit-identical to the column versions (asserted
-  * in DedupSimilaritySpec), so the DuckDB oracles are unchanged.
+  * loops — one pass per row — and generate code (doGenCode calling the
+  * static helpers below) so they stay inside whole-stage codegen instead
+  * of forcing a CodegenFallback row materialization. Semantics are
+  * bit-identical to the column versions (asserted in DedupSimilaritySpec),
+  * so the DuckDB oracles are unchanged.
   */
 object NativeText {
 
@@ -50,6 +52,12 @@ object NativeText {
     Array.tabulate(k - n + 1)(i => toks.slice(i, i + n).mkString(" "))
   }
 
+  private def distinctShingles(s: String, n: Int): mutable.LinkedHashSet[String] = {
+    val seen = mutable.LinkedHashSet.empty[String]
+    shingleStrings(s, n).foreach(seen.add)
+    seen
+  }
+
   private val Hex = "0123456789abcdef".toCharArray
 
   /** First 16 hex chars of an md5 digest (manual hex — String.format here
@@ -64,61 +72,116 @@ object NativeText {
     }
     new String(out)
   }
+
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  // --- static helpers called from generated code -------------------------
+
+  /** Distinct word n-gram shingles of a text value (codegen entry point). */
+  def shinglesData(input: UTF8String, n: Int): ArrayData = {
+    val seen = distinctShingles(input.toString, n)
+    new GenericArrayData(seen.iterator.map(UTF8String.fromString).toArray[Any])
+  }
+
+  /** MinHash signature over the distinct gram set, ONE md5 digest per gram:
+    * h1/h2 = first/second 32 bits of md5(gram) (== value of hex chars
+    * [1,8] / [9,16]), per-seed hash value = h1 + seed·h2 (Kirsch-
+    * Mitzenmacher double hashing — the standard way to derive k hash
+    * functions from one digest; values < 2^35 so the arithmetic is exact
+    * in any engine's signed 64-bit integers, no wrap-around semantics
+    * needed). min per seed over grams. Codegen entry point. */
+  def minhashLongs(input: UTF8String, numHashes: Int, shingleN: Int): ArrayData = {
+    val grams = distinctShingles(input.toString, shingleN)
+    val md = Md5.get()
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    grams.foreach { g =>
+      md.reset()
+      val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      var i = 0
+      while (i < numHashes) {
+        val v = h1 + i.toLong * h2
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+    }
+    new GenericArrayData(mins.map(Long.box).toArray[Any])
+  }
+
+  /** One-pass text statistics (codegen entry point for [[TextStats]]). */
+  def textStatsRow(input: UTF8String): InternalRow = {
+    val s = input.toString
+    var punct, letters, uppers = 0
+    var i = 0
+    val n = s.length
+    val chars = s.codePointCount(0, n)
+    while (i < n) {
+      val c = s.charAt(i)
+      if ((c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
+          (c >= '[' && c <= '`') || (c >= '{' && c <= '~')) punct += 1
+      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) letters += 1
+      if (c >= 'A' && c <= 'Z') uppers += 1
+      i += 1
+    }
+    var nTok, tokChars, en, fr, es, all = 0
+    tokenize(s).foreach { t =>
+      nTok += 1
+      tokChars += t.length
+      val inEn = TextStats.En.contains(t)
+      val inFr = TextStats.Fr.contains(t)
+      val inEs = TextStats.Es.contains(t)
+      if (inEn) en += 1
+      if (inFr) fr += 1
+      if (inEs) es += 1
+      if (inEn || inFr || inEs) all += 1
+    }
+    InternalRow(chars, nTok, punct, letters, uppers, tokChars, en, fr, es, all)
+  }
 }
 
 /** array<string> of distinct word n-gram shingles of a text column. */
-case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "graft_word_shingles"
 
-  override def nullSafeEval(input: Any): Any = {
-    val all = NativeText.shingleStrings(input.toString, n)
-    val seen = mutable.LinkedHashSet.empty[String]
-    all.foreach(seen.add)
-    new GenericArrayData(seen.iterator.map(UTF8String.fromString).toArray[Any])
-  }
+  override def nullSafeEval(input: Any): Any =
+    NativeText.shinglesData(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeText.shinglesData($c, $n);")
 
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
 }
 
-/** MinHash signature (numHashes 16-hex-char strings) of a text column:
-  * min over the distinct gram set of md5("{seed}:{gram}")[0,16) per seed —
-  * identical to the column formulation in graft.operators.Dedup. */
+/** MinHash signature (numHashes longs) of a text column — see
+  * [[NativeText.minhashLongs]] for the exact (portable) hash family. */
 case class MinHashSignature(child: Expression, numHashes: Int, shingleN: Int)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_signature"
 
-  override def nullSafeEval(input: Any): Any = {
-    val grams = mutable.LinkedHashSet.empty[String]
-    NativeText.shingleStrings(input.toString, shingleN).foreach(grams.add)
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val mins = new Array[String](numHashes)
-    grams.foreach { g =>
-      var seed = 0
-      while (seed < numHashes) {
-        val d = md.digest(s"$seed:$g".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        val h = NativeText.hex16(d)
-        if (mins(seed) == null || h < mins(seed)) mins(seed) = h
-        seed += 1
-      }
-    }
-    val out = new Array[Any](numHashes)
-    var i = 0
-    while (i < numHashes) {
-      if (mins(i) != null) out(i) = UTF8String.fromString(mins(i))
-      i += 1
-    }
-    new GenericArrayData(out)
-  }
+  override def nullSafeEval(input: Any): Any =
+    NativeText.minhashLongs(input.asInstanceOf[UTF8String], numHashes, shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeText.minhashLongs($c, $numHashes, $shingleN);")
 
   override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
 }
 
 /** All ordered (a < b) pairs of a pre-sorted array, as
   * array<struct<id_a,id_b>> — the compiled twin of the nested-transform
-  * pair explosion (which allocates an interpreted slice per element). */
+  * pair explosion (which allocates an interpreted slice per element).
+  * Runs post-aggregation on bucket rows (not in the scan hot path), so
+  * CodegenFallback is fine here. */
 case class SortedPairs(child: Expression)
     extends UnaryExpression with CodegenFallback {
   private def elemType: DataType =

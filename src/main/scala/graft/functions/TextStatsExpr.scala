@@ -2,21 +2,23 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** One-pass text statistics: everything the quality/language-id operators
   * need, computed in a single compiled scan of the string instead of six
-  * separate regex passes plus interpreted token-array folds.
+  * separate regex passes plus interpreted token-array folds. Generates
+  * code (a call to the static [[NativeText.textStatsRow]]) so it composes
+  * with whole-stage codegen instead of forcing a fallback row.
   *
   * Field semantics match the column formulations exactly (same ASCII
   * punctuation classes, same normalize/tokenize, occurrence counts not
   * distinct), so derived ratios are bit-identical and the DuckDB oracles
   * hold unchanged.
   */
-case class TextStats(child: Expression) extends UnaryExpression with CodegenFallback {
+case class TextStats(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StructType(Seq(
     StructField("chars", IntegerType, nullable = false),
@@ -32,34 +34,12 @@ case class TextStats(child: Expression) extends UnaryExpression with CodegenFall
 
   override def prettyName: String = "graft_text_stats"
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.toString
-    var punct, letters, uppers = 0
-    var i = 0
-    val n = s.length
-    val chars = s.codePointCount(0, n)
-    while (i < n) {
-      val c = s.charAt(i)
-      if ((c >= '!' && c <= '/') || (c >= ':' && c <= '@') ||
-          (c >= '[' && c <= '`') || (c >= '{' && c <= '~')) punct += 1
-      if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) letters += 1
-      if (c >= 'A' && c <= 'Z') uppers += 1
-      i += 1
-    }
-    var nTok, tokChars, en, fr, es, all = 0
-    NativeText.tokenize(s).foreach { t =>
-      nTok += 1
-      tokChars += t.length
-      val inEn = TextStats.En.contains(t)
-      val inFr = TextStats.Fr.contains(t)
-      val inEs = TextStats.Es.contains(t)
-      if (inEn) en += 1
-      if (inFr) fr += 1
-      if (inEs) es += 1
-      if (inEn || inFr || inEs) all += 1
-    }
-    InternalRow(chars, nTok, punct, letters, uppers, tokChars, en, fr, es, all)
-  }
+  override def nullSafeEval(input: Any): Any =
+    NativeText.textStatsRow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeText.textStatsRow($c);")
 
   override protected def withNewChildInternal(c: Expression): TextStats = copy(child = c)
 }

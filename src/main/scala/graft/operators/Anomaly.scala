@@ -67,8 +67,10 @@ object Anomaly {
 
   /** IQR-fence rule (box-plot criterion consistent with the 20:19 run):
     * flag p outside [q1 − k·iqr, q3 + k·iqr]. Quartiles need a group agg
-    * (no window percentile) — computed once per group and joined back;
-    * the group table is |groups| rows, so Spark broadcasts it. */
+    * (no window percentile) — computed once per group and joined back.
+    * The join strategy is left to AQE: group cardinality is unbounded at
+    * scale (brand×model grows with the corpus), so a forced broadcast
+    * would OOM where a runtime-chosen shuffle join degrades gracefully. */
   def iqrAnomalies(offers: DataFrame, keys: Seq[String], priceCol: String,
                    k: Double = 1.5, minGroupSize: Int = 3): DataFrame = {
     val p = col(priceCol)
@@ -80,7 +82,7 @@ object Anomaly {
       .withColumn("iqr", col("q3") - col("q1"))
       .withColumn("lo", col("q1") - lit(k) * col("iqr"))
       .withColumn("hi", col("q3") + lit(k) * col("iqr"))
-    offers.join(broadcast(q), keys)
+    offers.join(q, keys)
       .where(p < col("lo") || p > col("hi"))
   }
 

@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   *    so shuffle volume is O(rows·16B) regardless of document size.
   *  - MinHash+LSH: signatures computed map-side per document (no shuffle),
   *    then one shuffle keyed on (band, bandKey) whose fan-in is bounded by
-  *    bucket size; only candidate pairs are verified — never all O(n²).
+  *    an explicit bucket cap; only candidate pairs are verified — never
+  *    all O(n²), and never an unbounded per-bucket pair array.
   *  - SimHash: 64-bit signature map-side; near-dup = Hamming distance on
   *    longs, groupable by prefix for banding.
   *
@@ -47,14 +48,26 @@ object Dedup {
     if (shingleN <= 1) array_distinct(tokens(text))
     else graft.functions.NativeTextColumns.wordShingles(text, shingleN)
 
-  /** MinHash signature array (numHashes entries) over the distinct gram
-    * set. Hash family: md5("{seed}:{gram}") — deterministic, portable,
-    * uniformly distributed; min taken lexicographically over 16-hex-char
-    * strings (equivalent to min over 64-bit unsigned ints). Map-side only. */
+  /** MinHash signature (numHashes longs) over the distinct gram set —
+    * column-expression twin of the native
+    * [[graft.functions.NativeText.minhashLongs]]: ONE md5 per gram,
+    * h1/h2 = value of hex chars [1,8]/[9,16], seed value h1 + seed·h2
+    * (< 2^35, exact in signed 64-bit everywhere). Map-side only. */
   def minhashSignature(text: Column, numHashes: Int, shingleN: Int = 1): Column = {
     val toks = gramSet(text, shingleN)
+    def hexVal(h: Column, i: Int): Column = {
+      val a = ascii(substring(h, i, 1))
+      when(a >= 97, a - 87).otherwise(a - 48).cast("long")
+    }
+    def word(h: Column, start: Int): Column =
+      (start until start + 8).foldLeft(lit(0L): Column) { (acc, i) =>
+        shiftleft(acc, 4).bitwiseOR(hexVal(h, i))
+      }
     val sigs = (0 until numHashes).map { seed =>
-      array_min(transform(toks, t => md5_16(concat(lit(s"$seed:"), t))))
+      array_min(transform(toks, t => {
+        val h = md5(t)
+        word(h, 1) + lit(seed.toLong) * word(h, 9)
+      }))
     }
     array(sigs: _*)
   }
@@ -62,49 +75,64 @@ object Dedup {
   /** Candidate near-dup pairs via LSH banding of minhash signatures.
     * numHashes = bands * rowsPerBand. Two docs land in the same bucket iff
     * one full band of their signatures agrees. Returns (id_a, id_b) with
-    * id_a < id_b, distinct. The only shuffle is the band-bucket self-join.
+    * id_a < id_b, distinct. The only shuffle is on the bucket key.
+    *
+    * @param maxBucket buckets larger than this are dropped before pair
+    *        generation (standard LSH degenerate-bucket guard: a flooded
+    *        bucket is a near-constant band — its k·(k−1)/2 pairs are
+    *        mostly false positives, and materializing them OOMs one task.
+    *        Documented recall effect: pairs agreeing ONLY on flooded bands
+    *        are missed.)
     */
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        bands: Int, rowsPerBand: Int, shingleN: Int = 1): DataFrame = {
+                        bands: Int, rowsPerBand: Int, shingleN: Int = 1,
+                        maxBucket: Int = 1000): DataFrame = {
     // the whole signature is ONE native expression (compiled single pass
-    // over the text) — no interpreted higher-order functions, no shuffle
-    // barrier needed to avoid re-evaluation
+    // over the text, inside whole-stage codegen)
     val banded = df
       .select(col(idCol).as("doc"),
         graft.functions.NativeTextColumns
           .minhashSignature(col(textCol), bands * rowsPerBand, shingleN).as("sig"))
       .select(col("doc"), posexplode(
         transform(sequence(lit(0), lit(bands - 1)),
-          b => concat_ws("|", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+          b => concat_ws("|", transform(
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            v => v.cast("string"))))
       ).as(Seq("band", "key")))
     // bucket-local pair generation: group each LSH bucket, emit its ordered
     // pairs from the sorted member array — one shuffle on the bucket key,
     // no self-join (a band-key self-join sorts/merges the whole banded set
     // twice for the same output)
-    pairsFromGroups(banded, Seq("band", "key"), "doc").distinct()
+    pairsFromGroups(banded, Seq("band", "key"), "doc", maxBucket).distinct()
   }
 
-  /** All ordered (a < b) member pairs of each group, via sorted
-    * collect_list + in-array pair explosion. */
+  /** All ordered (a < b) member pairs of each group with at most maxGroup
+    * members, via sorted collect_list + in-array pair explosion. The cap
+    * bounds the largest materialized array at maxGroup·(maxGroup−1)/2
+    * entries — without it one degenerate bucket (stop-gram, near-constant
+    * band) OOMs a single task. */
   private def pairsFromGroups(df: DataFrame, groupCols: Seq[String],
-                              idCol: String): DataFrame =
+                              idCol: String, maxGroup: Int): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .where(size(col("ids")) > 1)
+      .where(size(col("ids")) > 1 && size(col("ids")) <= maxGroup)
       .select(explode(graft.functions.NativeTextColumns.sortedPairs(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
 
-  /** Exact Jaccard over distinct-token sets for given candidate pairs.
-    * The token-set side is broadcast (it is rows × small arrays, tiny next
-    * to the candidate-pair set), so the potentially huge candidate list
-    * streams through two map-side hash joins with full parallelism. */
+  /** Exact Jaccard over distinct-gram sets for given candidate pairs.
+    * The gram-set side is joined with SHUFFLE_HASH (never broadcast): the
+    * corpus gram-set table grows with the corpus and cannot be required to
+    * fit in every executor at 100 TB. Each join shuffles the candidate ids
+    * and the gram sets on the id — bounded per-partition state, full
+    * parallelism. */
   def verifyJaccard(df: DataFrame, candidates: DataFrame,
                     textCol: String, idCol: String, threshold: Double,
                     shingleN: Int = 1): DataFrame = {
     val sets = df.select(col(idCol).as("id"), gramSet(col(textCol), shingleN).as("toks"))
+      .hint("shuffle_hash")
     candidates
-      .join(broadcast(sets.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "toks_a")), "id_a")
-      .join(broadcast(sets.withColumnRenamed("id", "id_b").withColumnRenamed("toks", "toks_b")), "id_b")
+      .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
+      .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
       .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
       .withColumn("uni", size(col("toks_a")) + size(col("toks_b")) - col("inter"))
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
@@ -116,9 +144,10 @@ object Dedup {
     * threshold. */
   def minhashNearDup(df: DataFrame, textCol: String, idCol: String,
                      bands: Int = 8, rowsPerBand: Int = 2,
-                     threshold: Double = 0.7, shingleN: Int = 1): DataFrame =
+                     threshold: Double = 0.7, shingleN: Int = 1,
+                     maxBucket: Int = 1000): DataFrame =
     verifyJaccard(df,
-      minhashCandidates(df, textCol, idCol, bands, rowsPerBand, shingleN),
+      minhashCandidates(df, textCol, idCol, bands, rowsPerBand, shingleN, maxBucket),
       textCol, idCol, threshold, shingleN)
 
   /** Portable 16-bit SimHash: per token take the first 4 hex chars of md5
@@ -154,19 +183,31 @@ object Dedup {
     * cardinality (high), not block cardinality (often tiny) — a dense
     * per-block self-join with array intersections serializes onto one task
     * per block and dies at scale. Pairs sharing zero grams have jaccard 0,
-    * so for any threshold > 0 the result is identical. */
+    * so for any threshold > 0 the result is identical.
+    *
+    * @param maxDf grams with document frequency above this (within their
+    *        block) are excluded from pair generation and intersection
+    *        counts — the stop-gram guard. A stop-gram's bucket contributes
+    *        df²/2 pairs of near-zero evidence; capping bounds both the
+    *        pair blow-up and the per-task array. Union sizes still count
+    *        every gram, so reported jaccard is a lower bound for pairs
+    *        that shared capped grams.
+    */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        blockCol: String, n: Int, threshold: Double): DataFrame = {
+                        blockCol: String, n: Int, threshold: Double,
+                        maxDf: Int = 500): DataFrame = {
     require(threshold > 0, "inverted-index jaccard requires a positive threshold")
     val sets = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       gramSet(col(textCol), n).as("gr"))
     val grams = sets.select(col("id"), col("blk"), explode(col("gr")).as("gram"))
-    val sizes = sets.select(col("id"), size(col("gr")).as("sz"))
-    pairsFromGroups(grams, Seq("blk", "gram"), "id")
+    // sizes joined with SHUFFLE_HASH, not broadcast: |docs| rows grows with
+    // the corpus — same unbounded-broadcast trap as the gram-set table
+    val sizes = sets.select(col("id"), size(col("gr")).as("sz")).hint("shuffle_hash")
+    pairsFromGroups(grams, Seq("blk", "gram"), "id", maxDf)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))
-      .join(broadcast(sizes.select(col("id").as("id_a"), col("sz").as("sz_a"))), "id_a")
-      .join(broadcast(sizes.select(col("id").as("id_b"), col("sz").as("sz_b"))), "id_b")
+      .join(sizes.select(col("id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("sz").as("sz_b")), "id_b")
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
       .where(col("jaccard") >= threshold)

@@ -60,9 +60,11 @@ object LlmEnrich {
           if (wait > 0) Thread.sleep(wait / 1000000L, (wait % 1000000L).toInt)
           lastCall = System.nanoTime()
         }
+        // NonFatal only: OutOfMemoryError / task-kill interrupts must
+        // propagate, or they'd block cancellation disguised as data values
         val analysis =
           try transport.complete(promptFor(row))
-          catch { case e: Throwable => errorString(e) }
+          catch { case scala.util.control.NonFatal(e) => errorString(e) }
         Row.fromSeq(row.toSeq :+ analysis)
       }
     }(enc)

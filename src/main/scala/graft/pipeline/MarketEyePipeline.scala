@@ -78,9 +78,12 @@ object MarketEyePipeline {
     val statsJson = {
       val srcs = statsRow.getSeq[String](statsRow.fieldIndex("sources"))
         .map(s => "\"" + s + "\"").mkString("[", ",", "]")
+      // price aggregates are NULL when no offer has price > 0 (e.g. a drop
+      // where every price is a sentinel) — render 0.0, don't throw
+      def d(i: Int): Double = if (statsRow.isNullAt(i)) 0.0 else statsRow.getDouble(i)
       s"""{"total_products":${statsRow.getLong(0)},"total_offers":${statsRow.getLong(1)},
-         |"average_price":${statsRow.getDouble(2)},"min_price":${statsRow.getDouble(3)},
-         |"max_price":${statsRow.getDouble(4)},"sources":$srcs}""".stripMargin.replace("\n", "")
+         |"average_price":${d(2)},"min_price":${d(3)},
+         |"max_price":${d(4)},"sources":$srcs}""".stripMargin.replace("\n", "")
     }
     val report = Report.detailed(merged, cfg.runTs)
 

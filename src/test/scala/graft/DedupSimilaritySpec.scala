@@ -88,13 +88,15 @@ class DedupSimilaritySpec extends SparkSuite {
     sh.foreach { r =>
       assert(r.getSeq[String](1) == r.getSeq[String](2), s"shingles doc ${r.getLong(0)}")
     }
-    // minhash signature
+    // minhash signature (array<long> — one md5 per gram, Kirsch-Mitzenmacher)
     val ms = real.select(col("doc_id"),
       Dedup.minhashSignature(col("text"), 8, 2).as("col_v"),
       graft.functions.NativeTextColumns.minhashSignature(col("text"), 8, 2).as("nat_v"))
       .collect()
     ms.foreach { r =>
-      assert(r.getSeq[String](1) == r.getSeq[String](2), s"minhash doc ${r.getLong(0)}")
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"minhash doc ${r.getLong(0)}")
+      assert(r.getSeq[Long](1).forall(v => v >= 0L && v < (1L << 35)),
+        s"minhash out of 35-bit range doc ${r.getLong(0)}")
     }
     // pairs
     val pr = Seq((Seq(1L, 2L, 3L), 0)).toDF("ids", "x")
