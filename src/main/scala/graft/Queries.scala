@@ -194,6 +194,125 @@ object Queries {
       |FROM part JOIN lineitem ON p_partkey = l_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** A1b — the REAL [[graft.operators.ProductMerge.merge]] under the
+    * oracle: nested single-offer product documents are synthesized from
+    * lineitem columns (id normalization incl. space→underscore and
+    * empty-id drops, per-product (source,url) offer dedup, order-sensitive
+    * first-non-null spec fold, longest-name tie-break, encounter-order
+    * source union, merged offer array), run through the actual operator,
+    * then flattened to orderable scalars. The oracle reproduces the fold
+    * relationally: encounter rank = row_number over (source rank,
+    * scraped_at, url), first()/FILTER per spec key, min-rank dedup for the
+    * source csv. Every synthesized field is a pure function of lineitem
+    * keys so both engines build identical inputs. */
+  def a1bMergeDocuments(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.ProductMerge
+    val li = t(s, dir, "lineitem")
+    val seqn = col("l_orderkey") * 10 + col("l_linenumber")
+    val src = when(col("l_returnflag") === "A", lit("Avito"))
+      .when(col("l_returnflag") === "N", lit("Jumia"))
+      .otherwise(lit("Electroplanet"))
+    val tstr = lpad(seqn.cast("string"), 12, "0")
+    val urlc = concat(lit("u"), (col("l_orderkey") % 3).cast("string"))
+    val nameLen = (seqn % 23 + 1).cast("int")
+    val name = concat(substr(lit("abcdefghijklmnopqrstuvwxyz"), lit(1), nameLen),
+      lit("-"), (col("l_suppkey") % 10).cast("string"))
+    val qty = col("l_quantity").cast("long")
+    val storage = when(col("l_linenumber") % 2 === 0,
+      concat((qty % 512).cast("string"), lit("GB")))
+    val ram = when(qty % 3 === 0, (qty % 32).cast("string"))
+    val color = when(col("l_suppkey") % 5 === 0,
+      concat(lit("C"), (col("l_suppkey") % 9).cast("string")))
+    val docsDf = li.select(
+      // "P <n>" exercises normalizeId (lower + space→underscore); every
+      // 97th partkey yields an empty id and must be dropped by the merge
+      when(col("l_partkey") % 97 === 0, lit(""))
+        .otherwise(concat(lit("P "), (col("l_partkey") % 500).cast("string")))
+        .as("product_id"),
+      concat(lit("B"), (col("l_partkey") % 7).cast("string")).as("brand"),
+      concat(lit("M"), (col("l_suppkey") % 5).cast("string")).as("model"),
+      name.as("product_name"),
+      lit("Smartphone").as("category"),
+      map_from_entries(filter(array(
+        when(storage.isNotNull, struct(lit("storage").as("key"), storage.as("value"))),
+        when(ram.isNotNull, struct(lit("ram").as("key"), ram.as("value"))),
+        when(color.isNotNull, struct(lit("color").as("key"), color.as("value")))
+      ), e => e.isNotNull)).as("specifications"),
+      array(struct(src.as("source"), col("l_extendedprice").as("price"),
+        lit("MAD").as("currency"), urlc.as("url"), tstr.as("scraped_at"))).as("offers"),
+      array(src).as("sources"),
+      concat(lit("2026-01-"), lpad((col("l_orderkey") % 28 + 1).cast("string"), 2, "0"))
+        .as("created_at"),
+      concat(lit("2026-03-"), lpad((col("l_orderkey") % 28 + 1).cast("string"), 2, "0"))
+        .as("last_updated"))
+    val merged = ProductMerge.merge(docsDf, ProductMerge.PluginOrder,
+      dedupPerProduct = true, dedupGlobal = false)
+    merged.select(
+      col("product_id"), col("brand"), col("model"), col("product_name"), col("category"),
+      try_element_at(col("specifications"), lit("storage")).as("spec_storage"),
+      try_element_at(col("specifications"), lit("ram")).as("spec_ram"),
+      try_element_at(col("specifications"), lit("color")).as("spec_color"),
+      concat_ws(",", col("sources")).as("sources_csv"),
+      size(col("offers")).cast("long").as("n_offers"),
+      aggregate(transform(col("offers"), o => o.getField("price").cast("decimal(18,2)")),
+        lit(0).cast("decimal(28,2)"), (acc, p) => (acc + p).cast("decimal(28,2)"))
+        .cast("double").as("sum_price"),
+      element_at(col("offers"), 1).getField("url").as("first_url"),
+      col("created_at"), col("last_updated"))
+      .orderBy("product_id")
+  }
+
+  val a1bSql: String =
+    """WITH r0 AS (
+      |  SELECT l_orderkey*10 + l_linenumber AS seqn,
+      |    CASE l_returnflag WHEN 'A' THEN 'Avito' WHEN 'N' THEN 'Jumia' ELSE 'Electroplanet' END AS src,
+      |    l_partkey, l_suppkey, l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      |  FROM lineitem WHERE l_partkey % 97 <> 0),
+      |r1 AS (
+      |  SELECT 'p_' || CAST(l_partkey % 500 AS VARCHAR) AS pid,
+      |    CASE src WHEN 'Jumia' THEN 0 WHEN 'Avito' THEN 1 ELSE 2 END AS rank,
+      |    lpad(CAST(seqn AS VARCHAR), 12, '0') AS t,
+      |    'u' || CAST(l_orderkey % 3 AS VARCHAR) AS u,
+      |    src,
+      |    'B' || CAST(l_partkey % 7 AS VARCHAR) AS brand,
+      |    'M' || CAST(l_suppkey % 5 AS VARCHAR) AS model,
+      |    substr('abcdefghijklmnopqrstuvwxyz', 1, CAST(seqn % 23 + 1 AS INTEGER)) || '-' || CAST(l_suppkey % 10 AS VARCHAR) AS name,
+      |    CASE WHEN l_linenumber % 2 = 0 THEN CAST(CAST(l_quantity AS BIGINT) % 512 AS VARCHAR) || 'GB' END AS storage,
+      |    CASE WHEN CAST(l_quantity AS BIGINT) % 3 = 0 THEN CAST(CAST(l_quantity AS BIGINT) % 32 AS VARCHAR) END AS ram,
+      |    CASE WHEN l_suppkey % 5 = 0 THEN 'C' || CAST(l_suppkey % 9 AS VARCHAR) END AS color,
+      |    l_extendedprice AS price,
+      |    '2026-01-' || lpad(CAST(l_orderkey % 28 + 1 AS VARCHAR), 2, '0') AS created_at,
+      |    '2026-03-' || lpad(CAST(l_orderkey % 28 + 1 AS VARCHAR), 2, '0') AS last_updated
+      |  FROM r0),
+      |d AS (
+      |  SELECT *, row_number() OVER (PARTITION BY pid, src, u ORDER BY rank, t, u) AS drn FROM r1),
+      |e AS (
+      |  SELECT *, row_number() OVER (PARTITION BY pid ORDER BY rank, t, u) AS rnk
+      |  FROM d WHERE drn = 1),
+      |srcs AS (
+      |  SELECT pid, string_agg(src, ',' ORDER BY frk) AS sources_csv
+      |  FROM (SELECT pid, src, min(rnk) AS frk FROM e GROUP BY pid, src) GROUP BY pid),
+      |agg AS (
+      |  SELECT pid,
+      |    first(brand ORDER BY rnk) AS brand,
+      |    first(model ORDER BY rnk) AS model,
+      |    first(name ORDER BY length(name) DESC, rnk) AS product_name,
+      |    'Smartphone' AS category,
+      |    first(storage ORDER BY rnk) FILTER (WHERE storage IS NOT NULL) AS spec_storage,
+      |    first(ram ORDER BY rnk) FILTER (WHERE ram IS NOT NULL) AS spec_ram,
+      |    first(color ORDER BY rnk) FILTER (WHERE color IS NOT NULL) AS spec_color,
+      |    count(*) AS n_offers,
+      |    CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |    first(u ORDER BY rnk) AS first_url,
+      |    min(created_at) AS created_at,
+      |    max(last_updated) AS last_updated
+      |  FROM e GROUP BY pid)
+      |SELECT agg.pid AS product_id, brand, model, product_name, category,
+      |  spec_storage, spec_ram, spec_color, srcs.sources_csv, n_offers, sum_price,
+      |  first_url, created_at, last_updated
+      |FROM agg JOIN srcs ON agg.pid = srcs.pid
+      |ORDER BY product_id""".stripMargin
+
   /** A2 — deterministic first-seen-wins dedup via row_number over an
     * explicit ordering (the reference's insertion-order semantics made
     * partition-stable). */
@@ -889,16 +1008,52 @@ object Queries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  /** D6 — ANN cosine top-k via random-hyperplane LSH buckets (the scale
-    * path of d5). The hyperplanes come from a fixed-seed generator on the
-    * driver, so no SQL oracle can reproduce them — declared without
-    * `oracleSql` (driver records a rows-only check); its recall against the
-    * exact d5 ranking is asserted in DedupSimilaritySpec. */
+  /** D6 — ANN cosine top-k via hyperplane LSH buckets (the scale path of
+    * d5). Hyperplane weights derive from md5("plane:p:d") (driver-side
+    * literals), so the oracle recomputes the exact same buckets, probes
+    * (Hamming ≤ 2 multi-probe), candidate set, and ranking — a full
+    * rows+schema+hash match, not a rows-only check. Recall vs the exact
+    * d5 ranking is additionally asserted in DedupSimilaritySpec. */
   def d6CosineLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.lshTopK(emb.where(col("vec_id") < 1000), emb.where(col("vec_id") < 5),
-        "vec_id", "embedding", k = 5, numPlanes = 8, dim = 64)
+        "vec_id", "embedding", k = 5, numPlanes = 8, dim = 64, probeBits = 2)
       .orderBy("query_id", "rank")
+  }
+
+  val d6Sql: String = {
+    val dotProd = "list_reduce(list_transform(list_zip(%s, %s), s -> s[1] * s[2]), (a, b) -> a + b)"
+    val h8 = "list_reduce(list_transform(range(1, 9), i -> CAST(strpos('0123456789abcdef', substr(md5('plane:' || CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+    s"""WITH pw AS (
+       |  SELECT p, d, CAST($h8 AS DOUBLE) / 4294967296.0 * 2 - 1 AS w
+       |  FROM range(8) pr(p), range(64) dr(d)),
+       |pl AS (SELECT p, list(w ORDER BY d) AS wl FROM pw GROUP BY p),
+       |c0 AS (SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM embeddings WHERE vec_id < 1000),
+       |q0 AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |  FROM embeddings WHERE vec_id < 5),
+       |cb AS (
+       |  SELECT neighbor_id, CAST(SUM(CASE WHEN ${dotProd.format("cv", "wl")} >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM c0, pl GROUP BY neighbor_id),
+       |qb AS (
+       |  SELECT query_id, CAST(SUM(CASE WHEN ${dotProd.format("qv", "wl")} >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM q0, pl GROUP BY query_id),
+       |masks AS (
+       |  SELECT CAST(0 AS BIGINT) AS m
+       |  UNION ALL SELECT CAST(1 AS BIGINT) << i FROM range(8) a(i)
+       |  UNION ALL SELECT (CAST(1 AS BIGINT) << i) + (CAST(1 AS BIGINT) << j)
+       |    FROM range(8) a(i), range(8) b(j) WHERE i < j),
+       |qp AS (SELECT query_id, xor(qb.bucket, m) AS bucket FROM qb, masks),
+       |sc AS (
+       |  SELECT qp.query_id, cb.neighbor_id,
+       |    round(${dotProd.format("qv", "cv")} / (sqrt(${dotProd.format("qv", "qv")}) * sqrt(${dotProd.format("cv", "cv")})), 4) AS cos
+       |  FROM qp JOIN cb ON qp.bucket = cb.bucket
+       |    JOIN q0 ON q0.query_id = qp.query_id
+       |    JOIN c0 ON c0.neighbor_id = cb.neighbor_id
+       |  WHERE qp.query_id <> cb.neighbor_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+       |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
   }
 
   /** D7 — embedding-cosine near-duplicate pairs (exact over a bounded id
@@ -1123,6 +1278,7 @@ object Queries {
     "p6_multi_source" -> p6MultiSource,
     "j1_stats_join" -> j1StatsJoin,
     "a1_merge_products" -> a1MergeProducts,
+    "a1b_merge_documents" -> a1bMergeDocuments,
     "a2_offer_dedup" -> a2OfferDedup,
     "a4_distribution" -> a4Distribution,
     "a6_group_stats" -> a6GroupStats,
@@ -1166,6 +1322,7 @@ object Queries {
     "p6_multi_source" -> p6Sql,
     "j1_stats_join" -> j1Sql,
     "a1_merge_products" -> a1Sql,
+    "a1b_merge_documents" -> a1bSql,
     "a2_offer_dedup" -> a2Sql,
     "a4_distribution" -> a4Sql,
     "a6_group_stats" -> a6Sql,
@@ -1190,6 +1347,7 @@ object Queries {
     "d3_simhash" -> d3Sql,
     "d4_ngram_jaccard" -> d4Sql,
     "d5_cosine_topk" -> d5Sql,
+    "d6_cosine_lsh" -> d6Sql,
     "st2_streaming_hourly" -> st1Sql,
     "d7_embedding_neardup" -> d7Sql,
     "k1_salted_agg" -> k1Sql,

@@ -200,9 +200,11 @@ object Dedup {
     val sets = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       gramSet(col(textCol), n).as("gr"))
     val grams = sets.select(col("id"), col("blk"), explode(col("gr")).as("gram"))
-    // sizes joined with SHUFFLE_HASH, not broadcast: |docs| rows grows with
-    // the corpus — same unbounded-broadcast trap as the gram-set table
-    val sizes = sets.select(col("id"), size(col("gr")).as("sz")).hint("shuffle_hash")
+    // sizes join strategy is left to AQE: the table is two scalar columns
+    // but O(|docs|) rows — a FORCED broadcast would OOM at corpus scale,
+    // while a forced shuffle re-shuffles the (much larger) pair set twice.
+    // AQE broadcasts while it fits and degrades to a shuffle join beyond.
+    val sizes = sets.select(col("id"), size(col("gr")).as("sz"))
     pairsFromGroups(grams, Seq("blk", "gram"), "id", maxDf)
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("inter"))

@@ -56,12 +56,21 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
-  /** Deterministic pseudo-random hyperplanes: plane p, dim d weight from a
-    * fixed-seed hash, in [-1, 1). Generated once on the driver. */
-  private def planes(numPlanes: Int, dim: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(42L)
-    Array.fill(numPlanes, dim)(rnd.nextDouble() * 2 - 1)
+  /** Deterministic hyperplane weight for (plane p, dim d): the first 32
+    * bits of md5("plane:p:d") scaled to [-1, 1). Generated once on the
+    * driver (embedded as plan literals) — and, unlike a JVM PRNG stream,
+    * reproducible by ANY engine that has md5, which is what lets the d6
+    * LSH query carry a full external SQL oracle. */
+  private[operators] def planeWeight(p: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val dig = md.digest(s"plane:$p:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+      ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+    v.toDouble / 4294967296.0 * 2 - 1
   }
+
+  private def planes(numPlanes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, dim)((p, d) => planeWeight(p, d))
 
   /** Sign-bucket key: one bit per hyperplane (sign of the projection). */
   def lshBucket(vec: Column, numPlanes: Int, dim: Int): Column = {
@@ -153,36 +162,54 @@ object Similarity {
           slice(array_sort(array(probes: _*)), 1, nprobe).as("pr"))
         .withColumn("centroid", explode(transform(col("pr"), p => p.getField("cid"))))
         .drop("pr"))
+      // each corpus vector is assigned to exactly ONE centroid and the
+      // query probes nprobe DISTINCT centroids, so a (query, neighbor)
+      // pair can match at most once — no dedup pass (and its shuffle)
+      // is needed between scoring and ranking
       val scored = q.join(assigned, Seq("centroid"))
         .where(col("query_id") =!= col("neighbor_id"))
         .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
       val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
-      scored.select("query_id", "neighbor_id", "cos").distinct()
+      scored.select("query_id", "neighbor_id", "cos")
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
     }
   }
 
+  /** Probe masks: the exact bucket plus every ≤probeBits-bit flip. */
+  private[operators] def probeMasks(numPlanes: Int, probeBits: Int): Seq[Long] = {
+    val singles = if (probeBits >= 1) (0 until numPlanes).map(1L << _) else Seq.empty
+    val doubles = if (probeBits >= 2)
+      for { i <- 0 until numPlanes; j <- i + 1 until numPlanes } yield (1L << i) | (1L << j)
+    else Seq.empty
+    0L +: (singles ++ doubles)
+  }
+
   /** ANN top-k: both sides bucketed map-side by hyperplane signs; join on
-    * the bucket (and its single-bit-flip probes from the query side), then
-    * exact cosine + rank within the candidates. Misses only neighbors
-    * landing in non-probed buckets — recall tunable via numPlanes/probes. */
+    * the bucket (and its Hamming-≤probeBits probes from the query side),
+    * then exact cosine + rank within the candidates. Misses only neighbors
+    * landing in non-probed buckets — recall tunable via numPlanes /
+    * probeBits. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, numPlanes: Int, dim: Int): DataFrame = {
+              vecCol: String, k: Int, numPlanes: Int, dim: Int,
+              probeBits: Int = 1): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       lshBucket(col(vecCol), numPlanes, dim).as("bucket"))
-    // multi-probe: the exact bucket plus each 1-bit flip
-    val probeExprs = lit(0L) +: (0 until numPlanes).map(i => lit(1L << i))
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         lshBucket(col(vecCol), numPlanes, dim).as("qbucket"))
-      .withColumn("bucket", explode(array(probeExprs.map(col("qbucket").bitwiseXOR(_)): _*)))
+      .withColumn("bucket", explode(array(
+        probeMasks(numPlanes, probeBits).map(m => col("qbucket").bitwiseXOR(lit(m))): _*)))
       .drop("qbucket"))
+    // probe buckets are pairwise-distinct values and each corpus vector
+    // carries exactly one bucket, so a (query, neighbor) pair matches at
+    // most one probe — scoring emits no duplicates and ranking needs no
+    // dedup pass (one Exchange between scoring and ranking, not two)
     val scored = q.join(c, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(cosine(col("qv"), col("cv")), 4))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), col("neighbor_id"))
-    scored.select("query_id", "neighbor_id", "cos").distinct()
+    scored.select("query_id", "neighbor_id", "cos")
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
