@@ -555,12 +555,15 @@ object Queries {
       |  coalesce(CAST(nullif(regexp_extract(norm, '[0-9]+\.?[0-9]*', 0), '') AS DOUBLE), 0.0) AS price
       |FROM n ORDER BY p_partkey""".stripMargin
 
-  // WHEN-chain over the shared brand map, generated from the single Scala
-  // source of truth so ordering can never diverge between engines.
-  private val brandWhenChainSql: String =
-    BrandMap.map { case (key, canon) =>
-      s"WHEN contains(lc, '$key') THEN '$canon'"
+  // WHEN-chains over the ordered brand maps, generated from the single
+  // Scala source of truth so ordering can never diverge between engines.
+  private def brandChain(map: scala.collection.immutable.ListMap[String, String],
+                         lcExpr: String): String =
+    map.map { case (key, canon) =>
+      s"WHEN contains($lcExpr, '$key') THEN '$canon'"
     }.mkString("\n    ")
+
+  private val brandWhenChainSql: String = brandChain(BrandMap, "lc")
 
   /** F3 — brand normalization via the ordered substring map. */
   def f3BrandNormalize(s: SparkSession, dir: String): DataFrame = {
@@ -596,6 +599,139 @@ object Queries {
        |    $brandWhenChainSql
        |    ELSE upper(substr(trim(raw),1,1)) || lower(substr(trim(raw),2)) END AS brand
        |FROM l ORDER BY p_partkey""".stripMargin
+
+  /** F4 — the 3-stage Avito-fixed brand extraction under its own oracle:
+    * field (Avito field map incl. HONOR→Huawei) → title scan → model scan
+    * → Unknown. Fallback inputs are single-word so the Title-Case fallback
+    * is expressible in DuckDB (no initcap there). */
+  def f4BrandFixed(s: SparkSession, dir: String): DataFrame = {
+    val k = col("p_partkey")
+    val brand = when(k % 8 === 0, lit("HONOR 90"))
+      .when(k % 8 === 1, lit(null).cast("string"))
+      .when(k % 8 === 2, lit("NULL"))
+      .when(k % 8 === 3, lit("weirdbrand"))
+      .when(k % 8 === 4, lit(""))
+      .when(k % 8 === 5, lit("Galaxy"))
+      .when(k % 8 === 6, lit("Moto G84"))
+      .otherwise(lit(null).cast("string"))
+    val title = when(k % 8 === 1, lit("Honor Magic 5"))
+      .when(k % 8 === 2, lit("no known maker here"))
+      .when(k % 8 === 4, lit(""))
+      .when(k % 8 === 7, lit("Sony Xperia"))
+      .otherwise(lit("some phone"))
+    val model = when(k % 8 === 2, lit("poco x5")).otherwise(lit(null).cast("string"))
+    t(s, dir, "part")
+      .withColumn("brand", brand).withColumn("title", title).withColumn("model", model)
+      .select(col("p_partkey"),
+        extractBrandFixed(col("brand"), col("title"), col("model")).as("brand_out"))
+      .orderBy("p_partkey")
+  }
+
+  val f4Sql: String =
+    s"""WITH r AS (
+       |  SELECT p_partkey,
+       |    CASE p_partkey % 8 WHEN 0 THEN 'HONOR 90' WHEN 1 THEN NULL WHEN 2 THEN 'NULL'
+       |      WHEN 3 THEN 'weirdbrand' WHEN 4 THEN '' WHEN 5 THEN 'Galaxy'
+       |      WHEN 6 THEN 'Moto G84' ELSE NULL END AS brand,
+       |    CASE p_partkey % 8 WHEN 1 THEN 'Honor Magic 5' WHEN 2 THEN 'no known maker here'
+       |      WHEN 4 THEN '' WHEN 7 THEN 'Sony Xperia' ELSE 'some phone' END AS title,
+       |    CASE p_partkey % 8 WHEN 2 THEN 'poco x5' ELSE NULL END AS model
+       |  FROM part),
+       |l AS (SELECT p_partkey, brand, lower(trim(coalesce(brand,''))) AS lcb,
+       |  lower(coalesce(title,'')) AS lct, lower(coalesce(model,'')) AS lcm FROM r)
+       |SELECT p_partkey,
+       |  CASE WHEN brand IS NOT NULL AND upper(trim(brand)) NOT IN ('','NULL','NONE','INCONNU','UNKNOWN','NAN')
+       |    THEN CASE ${brandChain(graft.functions.ScalarFunctions.AvitoFieldBrandMap, "lcb")}
+       |      ELSE upper(substr(trim(brand),1,1)) || lower(substr(trim(brand),2)) END
+       |    ELSE coalesce(
+       |      CASE ${brandChain(graft.functions.ScalarFunctions.AvitoTitleBrandMap, "lct")} ELSE NULL END,
+       |      CASE ${brandChain(graft.functions.ScalarFunctions.AvitoTitleBrandMap, "lcm")} ELSE NULL END,
+       |      'Unknown') END AS brand_out
+       |FROM l ORDER BY p_partkey""".stripMargin
+
+  /** F4 DAG-inline variant (CompatMode.DagInline): 17-key field map with
+    * HONOR→Honor, 'NULL'-only sentinel, 7-brand Title-Case title fallback,
+    * no model stage. */
+  def f4BrandDag(s: SparkSession, dir: String): DataFrame = {
+    val k = col("p_partkey")
+    val brand = when(k % 8 === 0, lit("HONOR 90"))
+      .when(k % 8 === 1, lit(null).cast("string"))
+      .when(k % 8 === 2, lit("NULL"))
+      .when(k % 8 === 3, lit("weirdbrand"))
+      .when(k % 8 === 4, lit(""))
+      .when(k % 8 === 5, lit("Galaxy"))
+      .when(k % 8 === 6, lit("Moto G84"))
+      .otherwise(lit(null).cast("string"))
+    val title = when(k % 8 === 1, lit("Honor Magic 5"))
+      .when(k % 8 === 2, lit("Huawei P30"))
+      .when(k % 8 === 4, lit(""))
+      .when(k % 8 === 7, lit("Sony Xperia"))
+      .otherwise(lit("some phone"))
+    t(s, dir, "part")
+      .withColumn("brand", brand).withColumn("title", title)
+      .select(col("p_partkey"),
+        extractBrandDagInline(col("brand"), col("title")).as("brand_out"))
+      .orderBy("p_partkey")
+  }
+
+  val f4DagSql: String =
+    s"""WITH r AS (
+       |  SELECT p_partkey,
+       |    CASE p_partkey % 8 WHEN 0 THEN 'HONOR 90' WHEN 1 THEN NULL WHEN 2 THEN 'NULL'
+       |      WHEN 3 THEN 'weirdbrand' WHEN 4 THEN '' WHEN 5 THEN 'Galaxy'
+       |      WHEN 6 THEN 'Moto G84' ELSE NULL END AS brand,
+       |    CASE p_partkey % 8 WHEN 1 THEN 'Honor Magic 5' WHEN 2 THEN 'Huawei P30'
+       |      WHEN 4 THEN '' WHEN 7 THEN 'Sony Xperia' ELSE 'some phone' END AS title
+       |  FROM part),
+       |l AS (SELECT p_partkey, brand, lower(trim(coalesce(brand,''))) AS lcb,
+       |  lower(coalesce(title,'')) AS lct FROM r)
+       |SELECT p_partkey,
+       |  CASE WHEN brand IS NOT NULL AND brand <> '' AND upper(trim(brand)) <> 'NULL'
+       |    THEN CASE ${brandChain(graft.functions.ScalarFunctions.DagFieldBrandMap, "lcb")}
+       |      ELSE upper(substr(trim(brand),1,1)) || lower(substr(trim(brand),2)) END
+       |    ELSE CASE ${graft.functions.ScalarFunctions.DagTitleBrands.map(b =>
+              s"WHEN contains(lct, '${b.toLowerCase}') THEN '$b'").mkString("\n      ")}
+       |      ELSE 'Unknown' END END AS brand_out
+       |FROM l ORDER BY p_partkey""".stripMargin
+
+  /** F7 DAG-inline condition variant: 'excellent' survives as its own
+    * value; comme-neuf folds into 'new'; Reconditionné is unmapped. */
+  def f7ConditionDag(s: SparkSession, dir: String): DataFrame = {
+    val k = col("o_orderkey")
+    val raw = when(k % 9 === 0, lit("Neuf sous blister"))
+      .when(k % 9 === 1, lit("Comme neuf"))
+      .when(k % 9 === 2, lit("excellent état"))
+      .when(k % 9 === 3, lit("bon état"))
+      .when(k % 9 === 4, lit("moyen"))
+      .when(k % 9 === 5, lit("mauvais état - endommagé"))
+      .when(k % 9 === 6, lit("Reconditionné"))
+      .when(k % 9 === 7, lit(""))
+      .otherwise(lit(null).cast("string"))
+    t(s, dir, "orders")
+      .withColumn("raw", raw)
+      .select(col("o_orderkey"), col("raw"),
+        determineConditionDag(col("raw")).as("condition"))
+      .orderBy("o_orderkey")
+  }
+
+  val f7DagSql: String =
+    """WITH r AS (
+      |  SELECT o_orderkey, CASE o_orderkey % 9
+      |    WHEN 0 THEN 'Neuf sous blister' WHEN 1 THEN 'Comme neuf'
+      |    WHEN 2 THEN 'excellent état' WHEN 3 THEN 'bon état' WHEN 4 THEN 'moyen'
+      |    WHEN 5 THEN 'mauvais état - endommagé' WHEN 6 THEN 'Reconditionné'
+      |    WHEN 7 THEN '' ELSE NULL END AS raw
+      |  FROM orders),
+      |l AS (SELECT o_orderkey, raw, lower(trim(coalesce(raw,''))) AS lc FROM r)
+      |SELECT o_orderkey, raw,
+      |  CASE WHEN raw IS NULL OR raw = '' OR upper(raw) = 'NULL' THEN 'used'
+      |    WHEN contains(lc,'neuf') OR contains(lc,'new') THEN 'new'
+      |    WHEN contains(lc,'bon') OR contains(lc,'good') THEN 'good'
+      |    WHEN contains(lc,'excellent') THEN 'excellent'
+      |    WHEN contains(lc,'moyen') OR contains(lc,'fair') THEN 'fair'
+      |    WHEN contains(lc,'mauvais') OR contains(lc,'poor') THEN 'poor'
+      |    ELSE 'used' END AS condition
+      |FROM l ORDER BY o_orderkey""".stripMargin
 
   /** F5 — model extraction: field passthrough + ordered regex cascade. */
   def f5ModelExtract(s: SparkSession, dir: String): DataFrame = {
@@ -1290,9 +1426,12 @@ object Queries {
     "f1_clean_price" -> f1CleanPrice,
     "f2_price_european" -> f2PriceEuropean,
     "f3_brand_normalize" -> f3BrandNormalize,
+    "f4_brand_fixed" -> f4BrandFixed,
+    "f4_brand_dag" -> f4BrandDag,
     "f5_model_extract" -> f5ModelExtract,
     "f6_product_id" -> f6ProductId,
     "f7_condition" -> f7Condition,
+    "f7_condition_dag" -> f7ConditionDag,
     "f8_rating" -> f8Rating,
     "f12_specs" -> f12Specs,
     "z3_zscore_anomalies" -> z3ZscoreAnomalies,
@@ -1334,9 +1473,12 @@ object Queries {
     "f1_clean_price" -> f1Sql,
     "f2_price_european" -> f2Sql,
     "f3_brand_normalize" -> f3Sql,
+    "f4_brand_fixed" -> f4Sql,
+    "f4_brand_dag" -> f4DagSql,
     "f5_model_extract" -> f5Sql,
     "f6_product_id" -> f6Sql,
     "f7_condition" -> f7Sql,
+    "f7_condition_dag" -> f7DagSql,
     "f8_rating" -> f8Sql,
     "f12_specs" -> f12Sql,
     "z3_zscore_anomalies" -> z3Sql,

@@ -75,12 +75,42 @@ object ScalarFunctions {
     "motorola" -> "Motorola", "lenovo" -> "Lenovo", "alcatel" -> "Alcatel"
   )
 
+  /** Avito-fixed stage-1 field map (avito_extractor.py:97-115): the
+    * reference's own ordered dict for the `brand` field — notably
+    * HONOR→'Huawei' (the shared pipeline map has honor→Honor) plus
+    * MOTO/SONY/LG/GOOGLE/PIXEL entries and no GALAXY key. */
+  val AvitoFieldBrandMap: ListMap[String, String] = ListMap(
+    "apple" -> "Apple", "iphone" -> "Apple",
+    "samsung" -> "Samsung", "samsg" -> "Samsung",
+    "xiaomi" -> "Xiaomi", "redmi" -> "Xiaomi", "poco" -> "Xiaomi",
+    "huawei" -> "Huawei", "honor" -> "Huawei",
+    "oppo" -> "Oppo", "realme" -> "Realme",
+    "nokia" -> "Nokia", "tecno" -> "Tecno",
+    "infinix" -> "Infinix", "vivo" -> "Vivo",
+    "motorola" -> "Motorola", "moto" -> "Motorola",
+    "oneplus" -> "OnePlus", "sony" -> "Sony",
+    "lg" -> "LG", "google" -> "Google", "pixel" -> "Google")
+
+  /** Avito-fixed stage-2/3 title/model list (avito_extractor.py:119-135):
+    * same as the field map but with GALAXY→Samsung and no SAMSG typo key. */
+  val AvitoTitleBrandMap: ListMap[String, String] = ListMap(
+    "apple" -> "Apple", "iphone" -> "Apple",
+    "samsung" -> "Samsung", "galaxy" -> "Samsung",
+    "xiaomi" -> "Xiaomi", "redmi" -> "Xiaomi", "poco" -> "Xiaomi",
+    "huawei" -> "Huawei", "honor" -> "Huawei",
+    "oppo" -> "Oppo", "realme" -> "Realme",
+    "nokia" -> "Nokia", "tecno" -> "Tecno",
+    "infinix" -> "Infinix", "vivo" -> "Vivo",
+    "motorola" -> "Motorola", "moto" -> "Motorola",
+    "oneplus" -> "OnePlus", "sony" -> "Sony",
+    "lg" -> "LG", "google" -> "Google", "pixel" -> "Google")
+
   /** F3 — normalize_brand: null/sentinel→"Unknown"; else first substring hit
-    * in [[BrandMap]] (insertion order); else Title Case of the raw value.
+    * in the ordered map (insertion order); else Title Case of the raw value.
     * Ref: dag:73-96; base_extractor.py:40-51. */
-  def normalizeBrand(c: Column): Column = {
+  def normalizeBrand(c: Column, map: ListMap[String, String] = BrandMap): Column = {
     val lc = lower(trim(c))
-    val mapped = BrandMap.foldRight(initcap(lower(trim(c)))) {
+    val mapped = map.foldRight(initcap(lower(trim(c)))) {
       case ((key, canon), fallback) => when(lc.contains(key), lit(canon)).otherwise(fallback)
     }
     when(!isPresent(c), lit("Unknown")).otherwise(mapped)
@@ -88,21 +118,54 @@ object ScalarFunctions {
 
   /** Scan a free-text title for a brand key; null when no key matches.
     * Stage 2/3 of F4. Ref: avito_extractor.py:107-139. */
-  def brandFromTitle(title: Column): Column = {
+  def brandFromTitle(title: Column, map: ListMap[String, String] = BrandMap): Column = {
     val lc = lower(coalesce(title, lit("")))
-    BrandMap.foldRight(lit(null).cast("string"): Column) {
+    map.foldRight(lit(null).cast("string"): Column) {
       case ((key, canon), fallback) => when(lc.contains(key), lit(canon)).otherwise(fallback)
     }
   }
 
-  /** F4 — 3-stage Avito brand: explicit field → title scan → model scan →
-    * "Unknown". Ref: avito_extractor.py:90-145. */
+  /** F4 — 3-stage Avito brand: explicit field (Avito field map) → title
+    * scan → model scan (Avito title map) → "Unknown". Bug-for-bug with
+    * the reference's fixed path, including HONOR→'Huawei'.
+    * Ref: avito_extractor.py:90-145. */
   def extractBrandFixed(brand: Column, title: Column, model: Column): Column =
     coalesce(
-      when(isPresent(brand), normalizeBrand(brand)),
-      brandFromTitle(title),
-      brandFromTitle(model),
+      when(isPresent(brand), normalizeBrand(brand, AvitoFieldBrandMap)),
+      brandFromTitle(title, AvitoTitleBrandMap),
+      brandFromTitle(model, AvitoTitleBrandMap),
       lit("Unknown"))
+
+  /** F4 DAG-inline variant (dag:101-133, CompatMode.DagInline): stage-1
+    * field map is the DAG's 17-key dict (HONOR→'Honor' here, unlike the
+    * fixed path), sentinel check is 'NULL' only, the title fallback scans
+    * a 7-brand list returning Title Case, and there is NO model stage. */
+  val DagFieldBrandMap: ListMap[String, String] = ListMap(
+    "apple" -> "Apple", "iphone" -> "Apple",
+    "samsung" -> "Samsung",
+    "huawei" -> "Huawei", "honor" -> "Honor",
+    "xiaomi" -> "Xiaomi", "redmi" -> "Xiaomi", "poco" -> "Xiaomi",
+    "oppo" -> "Oppo", "realme" -> "Realme",
+    "nokia" -> "Nokia", "tecno" -> "Tecno",
+    "infinix" -> "Infinix", "vivo" -> "Vivo",
+    "motorola" -> "Motorola", "moto" -> "Motorola",
+    "oneplus" -> "OnePlus")
+
+  val DagTitleBrands: Seq[String] =
+    Seq("Apple", "Samsung", "Huawei", "Xiaomi", "Oppo", "Realme", "Nokia")
+
+  def extractBrandDagInline(brand: Column, title: Column): Column = {
+    val fieldPresent = brand.isNotNull && brand =!= "" && upper(trim(brand)) =!= "NULL"
+    val lcb = lower(trim(brand))
+    val fromField = DagFieldBrandMap.foldRight(initcap(lower(trim(brand)))) {
+      case ((key, canon), fallback) => when(lcb.contains(key), lit(canon)).otherwise(fallback)
+    }
+    val lct = lower(coalesce(title, lit("")))
+    val fromTitle = DagTitleBrands.foldRight(lit("Unknown"): Column) {
+      case (b, fallback) => when(lct.contains(b.toLowerCase), lit(b)).otherwise(fallback)
+    }
+    when(fieldPresent, fromField).otherwise(fromTitle)
+  }
 
   /** Marketing words stripped from models on the fixed path.
     * Ref: avito_extractor.py:171. */
@@ -171,6 +234,23 @@ object ScalarFunctions {
       .when(lc.contains("bon") || lc.contains("good") || lc.contains("excellent"), lit("good"))
       .when(lc.contains("moyen") || lc.contains("fair") || lc.contains("acceptable"), lit("fair"))
       .when(lc.contains("mauvais") || lc.contains("poor") || lc.contains("endommag"), lit("poor"))
+      .otherwise(lit("used"))
+  }
+
+  /** F7 DAG-inline variant (dag:196-219, CompatMode.DagInline): ordered
+    * substring map neuf/new/bon/good/excellent/moyen/fair/mauvais/poor —
+    * 'excellent' maps to 'excellent' (the plugin path folds it into
+    * 'good'), there are no comme-neuf/reconditionné/endommagé keys, and
+    * the sentinel check is falsy-or-'NULL' only. */
+  def determineConditionDag(c: Column): Column = {
+    val lc = lower(trim(coalesce(c, lit(""))))
+    val present = c.isNotNull && upper(c) =!= "NULL" && c =!= ""
+    when(!present, lit("used"))
+      .when(lc.contains("neuf") || lc.contains("new"), lit("new"))
+      .when(lc.contains("bon") || lc.contains("good"), lit("good"))
+      .when(lc.contains("excellent"), lit("excellent"))
+      .when(lc.contains("moyen") || lc.contains("fair"), lit("fair"))
+      .when(lc.contains("mauvais") || lc.contains("poor"), lit("poor"))
       .otherwise(lit("used"))
   }
 

@@ -31,6 +31,7 @@ object MarketEyePipeline {
       rawDir: String,
       outDir: String,
       runTs: String,                       // injected run timestamp (determinism)
+      compat: graft.transform.CompatMode = graft.transform.CompatMode.Plugin,
       sourceOrder: Seq[String] = ProductMerge.PluginOrder,
       dedupPerProduct: Boolean = true,
       dedupGlobal: Boolean = true,
@@ -48,7 +49,7 @@ object MarketEyePipeline {
   def extract(spark: SparkSession, cfg: Config, source: String): DataFrame = source match {
     case "Avito" =>
       Transforms.avito(JsonSource.loadSource(spark, cfg.rawDir, "Avito",
-        Schemas.avitoSchema), cfg.runTs)
+        Schemas.avitoSchema), cfg.runTs, cfg.compat)
     case "Jumia" =>
       Transforms.jumia(JsonSource.loadSource(spark, cfg.rawDir, "Jumia",
         Schemas.jumiaSchema), cfg.runTs)

@@ -19,6 +19,18 @@ import org.apache.spark.sql.functions._
   * `runTs` is injected (not now()) so runs are reproducible and tasks
   * across a cluster agree on metadata timestamps.
   */
+/** Which of the reference's two coexisting implementations to mirror:
+  * the plugin/extractor path (primary — European price parsing, 3-stage
+  * Avito brand with HONOR→Huawei, rich condition map) or the DAG-inline
+  * path (naive clean_price, 17-key brand map with HONOR→Honor and a
+  * 7-brand title list, condition map with a distinct 'excellent' value).
+  * SURVEY §0: plugin semantics primary, DAG-inline behind this flag. */
+sealed trait CompatMode
+object CompatMode {
+  case object Plugin extends CompatMode
+  case object DagInline extends CompatMode
+}
+
 object Transforms {
 
   private def offer(
@@ -58,13 +70,23 @@ object Transforms {
   /** Avito: brand via 3-stage extraction (field → title → model), model via
     * regex cascade, robust European price, condition map, location struct,
     * URL rebuild (avito_extractor.py:19-84). */
-  def avito(raw: DataFrame, runTs: String): DataFrame = {
-    val brand = extractBrandFixed(col("brand"), col("title"), col("model"))
+  def avito(raw: DataFrame, runTs: String,
+            mode: CompatMode = CompatMode.Plugin): DataFrame = {
+    val brand = mode match {
+      case CompatMode.Plugin => extractBrandFixed(col("brand"), col("title"), col("model"))
+      case CompatMode.DagInline => extractBrandDagInline(col("brand"), col("title"))
+    }
     val model = extractModel(col("model"), col("title"), brand)
     val off = offer("Avito",
-      price = extractPriceFixed(col("price")),
+      price = mode match {
+        case CompatMode.Plugin => extractPriceFixed(col("price"))
+        case CompatMode.DagInline => cleanPrice(col("price"))
+      },
       originalPrice = lit(null).cast("double"),
-      condition = determineCondition(col("condition")),
+      condition = mode match {
+        case CompatMode.Plugin => determineCondition(col("condition"))
+        case CompatMode.DagInline => determineConditionDag(col("condition"))
+      },
       sellerType = coalesce(col("seller_type"), lit("PRIVATE")),
       city = col("city"), area = col("area"),
       rating = lit(null).cast("string"), reviews = lit(null).cast("string"),

@@ -54,7 +54,7 @@ class ScalarFunctionsSpec extends SparkSuite {
       null.asInstanceOf[String] -> "Unknown",
       "nothingphone" -> "Nothingphone") // fallback title-case
     cases.foreach { case (in, want) =>
-      assert(eval1(in, normalizeBrand) == want, s"normalizeBrand($in)")
+      assert(eval1(in, normalizeBrand(_)) == want, s"normalizeBrand($in)")
     }
   }
 
@@ -68,6 +68,45 @@ class ScalarFunctionsSpec extends SparkSuite {
     val got = df.select(extractBrandFixed(col("brand"), col("title"), col("model")), col("want"))
       .collect()
     got.foreach(r => assert(r.get(0) == r.get(1)))
+  }
+
+  test("F4 fixed path maps HONOR to Huawei at every stage (avito_extractor.py:102,125)") {
+    val df = Seq(
+      ("HONOR", "x", null, "Huawei"),              // field stage
+      ("HONOR 90 Lite", "x", null, "Huawei"),
+      (null, "Honor Magic 5 Pro", null, "Huawei"), // title stage
+      ("NULL", "telephone", "honor x7", "Huawei"), // model stage
+      ("MOTO G84", "x", null, "Motorola"),         // avito-only MOTO key
+      ("SONY", "x", null, "Sony")
+    ).toDF("brand", "title", "model", "want")
+    df.select(extractBrandFixed(col("brand"), col("title"), col("model")), col("want"))
+      .collect().foreach(r => assert(r.get(0) == r.get(1), r.toSeq.toString))
+    // the shared pipeline map (F3) keeps Honor as its own brand
+    assert(eval1("honor 90", normalizeBrand(_)) == "Honor")
+  }
+
+  test("F4/F7 DAG-inline variants (CompatMode.DagInline, dag:101-133,196-219)") {
+    // brand field: HONOR stays Honor on the DAG path; 7-brand title list
+    // has no HONOR/GALAXY keys and no model stage
+    val df = Seq(
+      ("HONOR 90", "x", "Honor"),
+      (null, "Honor Magic 5", "Unknown"),       // honor not in the 7-brand list
+      (null, "Galaxy S24", "Unknown"),          // galaxy not in the list either
+      (null, "HUAWEI P30", "Huawei"),
+      ("NULL", "xiaomi redmi", "Xiaomi"),
+      ("weird", "x", "Weird")                   // title-case fallback
+    ).toDF("brand", "title", "want")
+    df.select(extractBrandDagInline(col("brand"), col("title")), col("want"))
+      .collect().foreach(r => assert(r.get(0) == r.get(1), r.toSeq.toString))
+    // condition: 'excellent' survives; comme neuf folds into new;
+    // Reconditionné is unmapped
+    val cases = Seq(
+      "excellent état" -> "excellent", "Comme neuf" -> "new",
+      "Reconditionné" -> "used", "bon" -> "good",
+      "" -> "used", null.asInstanceOf[String] -> "used")
+    cases.foreach { case (in, want) =>
+      assert(eval1(in, determineConditionDag) == want, s"conditionDag($in)")
+    }
   }
 
   test("F5 model extraction: reference golden record (test_avito_structure.py)") {
