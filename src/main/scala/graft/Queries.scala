@@ -925,6 +925,301 @@ object Queries {
       |FROM r ORDER BY p_partkey""".stripMargin
 
   // ---------------------------------------------------------------------
+  // P1 — per-source transforms end-to-end (the real Transforms.avito /
+  // Transforms.jumia over synthesized raw records)
+  // ---------------------------------------------------------------------
+
+  private val sentinelsSql = "('','NULL','NONE','INCONNU','UNKNOWN','NAN')"
+
+  /** P1 — the real [[graft.transform.Transforms.avito]] end-to-end: a raw
+    * Avito-shaped frame synthesized from part keys runs through the actual
+    * transform (3-stage brand, model cascade, European price, condition
+    * map, product id, URL rebuild, sentinel-scrubbed specs) and the
+    * flattened unified document is hash-matched against a DuckDB
+    * composition of the same scalar fragments. seller_name carries the
+    * unique part key so the output is totally ordered. */
+  def p1AvitoTransform(s: SparkSession, dir: String): DataFrame = {
+    val k = col("p_partkey")
+    val raw = t(s, dir, "part").select(
+      when(k % 3 === 1, (k % 100000).cast("string")).otherwise(lit(null).cast("string")).as("ad_id"),
+      when(k % 5 === 0, lit("Samsung Galaxy S24 Ultra 512GB"))
+        .when(k % 5 === 1, lit("Honor Magic 5 Lite"))
+        .when(k % 5 === 2, lit("Telephone pas cher"))
+        .when(k % 5 === 3, lit("Xiaomi Redmi Note 12 Pro"))
+        .otherwise(lit("Oppo Reno 8")).as("title"),
+      lit(null).cast("string").as("description"),
+      when(k % 5 === 0, lit("4.500,00")).when(k % 5 === 1, lit("4,500"))
+        .when(k % 5 === 2, lit("250 DH")).when(k % 5 === 3, lit(""))
+        .otherwise(lit("7800")).as("price"),
+      lit("Casablanca").as("city"),
+      when(k % 2 === 0, lit("Maarif")).otherwise(lit(null).cast("string")).as("area"),
+      when(k % 3 === 0, lit("PRO")).otherwise(lit(null).cast("string")).as("seller_type"),
+      concat(lit("s"), lpad(k.cast("string"), 8, "0")).as("seller_name"),
+      lit("Téléphones").as("category"),
+      when(k % 3 === 0, lit("https://www.avito.ma/vi/111.htm"))
+        .when(k % 3 === 1, lit("https://other.com/x"))
+        .otherwise(lit(null).cast("string")).as("url"),
+      concat(lit("2026-01-"), lpad((k % 28 + 1).cast("string"), 2, "0")).as("list_time"),
+      when(k % 4 === 0, lit("SAMSUNG")).when(k % 4 === 1, lit(null).cast("string"))
+        .when(k % 4 === 2, lit("NULL")).otherwise(lit("HONOR")).as("brand"),
+      when(k % 6 === 0, lit("SM-S911B")).otherwise(lit(null).cast("string")).as("model"),
+      when(k % 4 === 0, lit("128")).when(k % 4 === 1, lit("NULL"))
+        .otherwise(lit(null).cast("string")).as("storage"),
+      when(k % 5 === 0, lit("8")).otherwise(lit(null).cast("string")).as("ram"),
+      when(k % 7 === 0, lit("95")).otherwise(lit(null).cast("string")).as("battery_health"),
+      when(k % 3 === 0, lit("Noir")).otherwise(lit(null).cast("string")).as("color"),
+      when(k % 9 === 0, lit("Neuf sous blister")).when(k % 9 === 1, lit("Comme neuf"))
+        .when(k % 9 === 2, lit("excellent état")).when(k % 9 === 3, lit("bon état"))
+        .when(k % 9 === 4, lit("moyen")).when(k % 9 === 5, lit("mauvais"))
+        .when(k % 9 === 6, lit("Reconditionné")).when(k % 9 === 7, lit(""))
+        .otherwise(lit(null).cast("string")).as("condition"))
+    val out = graft.transform.Transforms.avito(raw, "2026-08-12T00:00:00")
+    out.select(
+      col("product_id"), col("brand"), col("model"), col("product_name"), col("category"),
+      try_element_at(col("specifications"), lit("storage")).as("spec_storage"),
+      try_element_at(col("specifications"), lit("ram")).as("spec_ram"),
+      try_element_at(col("specifications"), lit("battery_health")).as("spec_battery"),
+      try_element_at(col("specifications"), lit("color")).as("spec_color"),
+      try_element_at(col("specifications"), lit("condition")).as("spec_condition"),
+      element_at(col("offers"), 1).getField("price").as("price"),
+      element_at(col("offers"), 1).getField("condition").as("condition"),
+      element_at(col("offers"), 1).getField("seller_type").as("seller_type"),
+      element_at(col("offers"), 1).getField("city").as("city"),
+      element_at(col("offers"), 1).getField("area").as("area"),
+      element_at(col("offers"), 1).getField("url").as("url"),
+      element_at(col("offers"), 1).getField("seller_name").as("seller_name"),
+      element_at(col("offers"), 1).getField("scraped_at").as("scraped_at"),
+      col("created_at"))
+      .orderBy("seller_name")
+  }
+
+  val p1AvitoSql: String = {
+    val avitoField = brandChain(graft.functions.ScalarFunctions.AvitoFieldBrandMap, "lcb")
+    val avitoTitleT = brandChain(graft.functions.ScalarFunctions.AvitoTitleBrandMap, "lct")
+    val avitoTitleM = brandChain(graft.functions.ScalarFunctions.AvitoTitleBrandMap, "lcm")
+    s"""WITH r AS (
+       |  SELECT p_partkey,
+       |    CASE WHEN p_partkey % 3 = 1 THEN CAST(p_partkey % 100000 AS VARCHAR) END AS ad_id,
+       |    CASE p_partkey % 5 WHEN 0 THEN 'Samsung Galaxy S24 Ultra 512GB' WHEN 1 THEN 'Honor Magic 5 Lite'
+       |      WHEN 2 THEN 'Telephone pas cher' WHEN 3 THEN 'Xiaomi Redmi Note 12 Pro' ELSE 'Oppo Reno 8' END AS title,
+       |    CASE p_partkey % 5 WHEN 0 THEN '4.500,00' WHEN 1 THEN '4,500' WHEN 2 THEN '250 DH'
+       |      WHEN 3 THEN '' ELSE '7800' END AS price,
+       |    'Casablanca' AS city,
+       |    CASE WHEN p_partkey % 2 = 0 THEN 'Maarif' END AS area,
+       |    CASE WHEN p_partkey % 3 = 0 THEN 'PRO' END AS seller_type,
+       |    's' || lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS seller_name,
+       |    CASE p_partkey % 3 WHEN 0 THEN 'https://www.avito.ma/vi/111.htm' WHEN 1 THEN 'https://other.com/x' ELSE NULL END AS url,
+       |    '2026-01-' || lpad(CAST(p_partkey % 28 + 1 AS VARCHAR), 2, '0') AS list_time,
+       |    CASE p_partkey % 4 WHEN 0 THEN 'SAMSUNG' WHEN 1 THEN NULL WHEN 2 THEN 'NULL' ELSE 'HONOR' END AS brand,
+       |    CASE WHEN p_partkey % 6 = 0 THEN 'SM-S911B' END AS model,
+       |    CASE p_partkey % 4 WHEN 0 THEN '128' WHEN 1 THEN 'NULL' ELSE NULL END AS storage,
+       |    CASE WHEN p_partkey % 5 = 0 THEN '8' END AS ram,
+       |    CASE WHEN p_partkey % 7 = 0 THEN '95' END AS battery_health,
+       |    CASE WHEN p_partkey % 3 = 0 THEN 'Noir' END AS color,
+       |    CASE p_partkey % 9 WHEN 0 THEN 'Neuf sous blister' WHEN 1 THEN 'Comme neuf' WHEN 2 THEN 'excellent état'
+       |      WHEN 3 THEN 'bon état' WHEN 4 THEN 'moyen' WHEN 5 THEN 'mauvais' WHEN 6 THEN 'Reconditionné'
+       |      WHEN 7 THEN '' ELSE NULL END AS condition
+       |  FROM part),
+       |b0 AS (SELECT *, lower(trim(coalesce(brand,''))) AS lcb, lower(coalesce(title,'')) AS lct,
+       |  lower(coalesce(model,'')) AS lcm FROM r),
+       |b1 AS (SELECT *,
+       |  CASE WHEN brand IS NOT NULL AND upper(trim(brand)) NOT IN $sentinelsSql
+       |    THEN CASE $avitoField
+       |      ELSE upper(substr(trim(brand),1,1)) || lower(substr(trim(brand),2)) END
+       |    ELSE coalesce(
+       |      CASE $avitoTitleT ELSE NULL END,
+       |      CASE $avitoTitleM ELSE NULL END,
+       |      'Unknown') END AS brand_out
+       |  FROM b0),
+       |m0 AS (SELECT *,
+       |  CASE WHEN model IS NOT NULL AND upper(trim(model)) NOT IN $sentinelsSql
+       |    THEN (CASE WHEN upper(trim(regexp_replace(regexp_replace(model,'[^A-Za-z0-9]+',' ','g'),'\\s+',' ','g'))) IN $sentinelsSql
+       |            THEN 'Unknown'
+       |            ELSE upper(trim(regexp_replace(regexp_replace(model,'[^A-Za-z0-9]+',' ','g'),'\\s+',' ','g'))) END)
+       |    ELSE NULL END AS from_field,
+       |  regexp_replace(replace(upper(coalesce(title,'')), upper(coalesce(brand_out,' ')), ' '), '[^A-Z0-9 ]+', ' ', 'g') AS tnb
+       |  FROM b1),
+       |m1 AS (SELECT *,
+       |  coalesce(
+       |    nullif(trim(regexp_extract(tnb, '[A-Z]+ ?[0-9]+[A-Z0-9 ]*', 0)), ''),
+       |    nullif(trim(regexp_extract(tnb, '[0-9]+ ?[A-Z]+[A-Z0-9 ]*', 0)), ''),
+       |    nullif(trim(regexp_extract(tnb, '[A-Z]{2,}', 0)), '')) AS rawm
+       |  FROM m0),
+       |m2 AS (SELECT *,
+       |  coalesce(from_field,
+       |    nullif(trim(regexp_replace(regexp_replace(rawm, '\\b(ULTRA|PRO|PLUS|MAX|MINI|LITE)\\b', ' ', 'g'), '\\s+', ' ', 'g')), ''),
+       |    'Unknown') AS model_out
+       |  FROM m1),
+       |p0 AS (SELECT *, regexp_replace(price, '[^0-9,.]', '', 'g') AS pst FROM m2),
+       |p1 AS (SELECT *,
+       |  CASE WHEN pst LIKE '%,%' AND pst LIKE '%.%' THEN replace(replace(pst, '.', ''), ',', '.')
+       |       WHEN pst LIKE '%,%' THEN replace(pst, ',', '')
+       |       ELSE pst END AS pnorm
+       |  FROM p0),
+       |p2 AS (SELECT *,
+       |  coalesce(CAST(nullif(regexp_extract(pnorm, '[0-9]+\\.?[0-9]*', 0), '') AS DOUBLE), 0.0) AS price_out,
+       |  lower(trim(coalesce(condition,''))) AS lcc
+       |  FROM p1),
+       |c0 AS (SELECT *,
+       |  CASE WHEN condition IS NULL OR upper(trim(condition)) IN $sentinelsSql THEN 'used'
+       |    WHEN contains(lcc,'comme neuf') OR contains(lcc,'like new') THEN 'like new'
+       |    WHEN contains(lcc,'reconditionn') OR contains(lcc,'refurbished') THEN 'refurbished'
+       |    WHEN contains(lcc,'neuf') OR contains(lcc,'new') OR contains(lcc,'nouveau') THEN 'new'
+       |    WHEN contains(lcc,'bon') OR contains(lcc,'good') OR contains(lcc,'excellent') THEN 'good'
+       |    WHEN contains(lcc,'moyen') OR contains(lcc,'fair') OR contains(lcc,'acceptable') THEN 'fair'
+       |    WHEN contains(lcc,'mauvais') OR contains(lcc,'poor') OR contains(lcc,'endommag') THEN 'poor'
+       |    ELSE 'used' END AS condition_out
+       |  FROM p2),
+       |id0 AS (SELECT *,
+       |  regexp_replace(lower(coalesce(brand_out,'')), '[^a-z0-9]', '', 'g') AS slug_b,
+       |  regexp_replace(lower(coalesce(model_out,'')), '[^a-z0-9]', '', 'g') AS slug_m,
+       |  regexp_replace(regexp_extract(lower(coalesce(title,'')), '\\b[a-z]+[0-9]+\\w*\\b', 0), '[^a-z0-9]', '', 'g') AS tok,
+       |  'title_' || substr(md5(coalesce(title,'')), 1, 8) AS md5fb
+       |  FROM c0),
+       |f AS (SELECT *,
+       |  concat_ws('_', slug_b,
+       |    CASE WHEN slug_m <> '' AND slug_m <> 'unknown' THEN slug_m
+       |         WHEN tok <> '' THEN tok ELSE md5fb END) AS product_id,
+       |  CASE WHEN contains(coalesce(url,''), 'avito.ma') THEN url
+       |       WHEN ad_id IS NOT NULL AND upper(trim(ad_id)) NOT IN $sentinelsSql
+       |         THEN 'https://www.avito.ma/vi/' || ad_id || '.htm'
+       |       ELSE 'https://www.avito.ma' END AS url_out
+       |  FROM id0)
+       |SELECT product_id, brand_out AS brand, model_out AS model,
+       |  coalesce(title,'') AS product_name, 'Smartphone' AS category,
+       |  CASE WHEN storage IS NULL OR upper(trim(storage)) IN $sentinelsSql THEN NULL ELSE storage END AS spec_storage,
+       |  CASE WHEN ram IS NULL OR upper(trim(ram)) IN $sentinelsSql THEN NULL ELSE ram END AS spec_ram,
+       |  CASE WHEN battery_health IS NULL OR upper(trim(battery_health)) IN $sentinelsSql THEN NULL ELSE battery_health END AS spec_battery,
+       |  CASE WHEN color IS NULL OR upper(trim(color)) IN $sentinelsSql THEN NULL ELSE color END AS spec_color,
+       |  CASE WHEN condition IS NULL OR upper(trim(condition)) IN $sentinelsSql THEN NULL ELSE condition END AS spec_condition,
+       |  price_out AS price, condition_out AS condition,
+       |  coalesce(seller_type, 'PRIVATE') AS seller_type, city, area,
+       |  url_out AS url, seller_name, list_time AS scraped_at,
+       |  '2026-08-12T00:00:00' AS created_at
+       |FROM f WHERE length(product_id) > 0
+       |ORDER BY seller_name""".stripMargin
+  }
+
+  /** P1 — the real [[graft.transform.Transforms.jumia]] end-to-end,
+    * including the "13,875" comma-decimal golden quirk (naive clean_price
+    * on the Jumia path), the shared-map brand fallback, the no-marketing-
+    * strip model cascade, and the specs-dict-overrides-regex rule. The
+    * synthesized dicts are single-key, so the oracle computes the dict
+    * lookup per residue class while the Spark side runs the generic
+    * map-entries filter. */
+  def p1JumiaTransform(s: SparkSession, dir: String): DataFrame = {
+    val k = col("p_partkey")
+    val raw = t(s, dir, "part").select(
+      when(k % 5 === 0, lit("Samsung Galaxy A14"))
+        .when(k % 5 === 1, lit("Xiaomi Redmi 12"))
+        .when(k % 5 === 2, lit("Telephone 128 Go stockage"))
+        .when(k % 5 === 3, lit("Infinix Hot 30"))
+        .otherwise(lit("Oppo A58 écran 6.5\" neuf")).as("title"),
+      when(k % 3 === 0, lit("XIAOMI")).when(k % 3 === 1, lit(null).cast("string"))
+        .otherwise(lit("NULL")).as("brand"),
+      when(k % 4 === 0, lit("13,875")).when(k % 4 === 1, lit("1.299,00"))
+        .when(k % 4 === 2, lit("2499")).otherwise(lit("")).as("price"),
+      when(k % 2 === 0, lit("2,999")).otherwise(lit(null).cast("string")).as("old_price"),
+      when(k % 4 === 0, lit("4.5 out of 5")).when(k % 4 === 1, lit("3/5"))
+        .when(k % 4 === 2, lit("")).otherwise(lit(null).cast("string")).as("rating"),
+      concat(lit("("), (k % 500).cast("string"), lit(" avis)")).as("reviews_count_text"),
+      concat(lit("https://www.jumia.ma/p"), lpad(k.cast("string"), 8, "0")).as("product_url"),
+      concat(lit("2026-02-"), lpad((k % 28 + 1).cast("string"), 2, "0")).as("scraped_at"),
+      when(k % 2 === 0, lit("8 go ram écran 6.1\"")).otherwise(lit(null).cast("string")).as("description"),
+      when(k % 4 === 0, map(lit("Stockage interne"), lit("256 Go")))
+        .when(k % 4 === 1, map(lit("RAM"), lit("12 Go")))
+        .when(k % 4 === 3, map(lit("Couleur"), lit("Bleu")))
+        .otherwise(lit(null).cast("map<string,string>")).as("specs"))
+    val out = graft.transform.Transforms.jumia(raw, "2026-08-12T00:00:00")
+    out.select(
+      col("product_id"), col("brand"), col("model"), col("product_name"),
+      try_element_at(col("specifications"), lit("storage")).as("spec_storage"),
+      try_element_at(col("specifications"), lit("ram")).as("spec_ram"),
+      try_element_at(col("specifications"), lit("screen")).as("spec_screen"),
+      element_at(col("offers"), 1).getField("price").as("price"),
+      element_at(col("offers"), 1).getField("original_price").as("original_price"),
+      element_at(col("offers"), 1).getField("condition").as("condition"),
+      element_at(col("offers"), 1).getField("rating").as("rating"),
+      element_at(col("offers"), 1).getField("reviews_count").as("reviews_count"),
+      element_at(col("offers"), 1).getField("url").as("url"),
+      element_at(col("offers"), 1).getField("scraped_at").as("scraped_at"))
+      .orderBy("url")
+  }
+
+  val p1JumiaSql: String = {
+    val sharedBrand = brandChain(BrandMap, "lcb")
+    val sharedTitle = brandChain(BrandMap, "lct")
+    s"""WITH r AS (
+       |  SELECT p_partkey,
+       |    CASE p_partkey % 5 WHEN 0 THEN 'Samsung Galaxy A14' WHEN 1 THEN 'Xiaomi Redmi 12'
+       |      WHEN 2 THEN 'Telephone 128 Go stockage' WHEN 3 THEN 'Infinix Hot 30'
+       |      ELSE 'Oppo A58 écran 6.5" neuf' END AS title,
+       |    CASE p_partkey % 3 WHEN 0 THEN 'XIAOMI' WHEN 1 THEN NULL ELSE 'NULL' END AS brand,
+       |    CASE p_partkey % 4 WHEN 0 THEN '13,875' WHEN 1 THEN '1.299,00' WHEN 2 THEN '2499' ELSE '' END AS price,
+       |    CASE WHEN p_partkey % 2 = 0 THEN '2,999' END AS old_price,
+       |    CASE p_partkey % 4 WHEN 0 THEN '4.5 out of 5' WHEN 1 THEN '3/5' WHEN 2 THEN '' ELSE NULL END AS rating,
+       |    '(' || CAST(p_partkey % 500 AS VARCHAR) || ' avis)' AS reviews_count_text,
+       |    'https://www.jumia.ma/p' || lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS product_url,
+       |    '2026-02-' || lpad(CAST(p_partkey % 28 + 1 AS VARCHAR), 2, '0') AS scraped_at,
+       |    CASE WHEN p_partkey % 2 = 0 THEN '8 go ram écran 6.1"' END AS description,
+       |    CASE WHEN p_partkey % 4 = 0 THEN '256 Go' END AS storage_dict,
+       |    CASE WHEN p_partkey % 4 = 1 THEN '12 Go' END AS ram_dict
+       |  FROM part),
+       |b0 AS (SELECT *, lower(trim(coalesce(brand,''))) AS lcb, lower(coalesce(title,'')) AS lct FROM r),
+       |b1 AS (SELECT *,
+       |  coalesce(
+       |    CASE WHEN brand IS NOT NULL AND upper(trim(brand)) NOT IN $sentinelsSql
+       |      THEN CASE $sharedBrand
+       |        ELSE upper(substr(trim(brand),1,1)) || lower(substr(trim(brand),2)) END END,
+       |    CASE $sharedTitle ELSE NULL END,
+       |    'Unknown') AS brand_out
+       |  FROM b0),
+       |m0 AS (SELECT *,
+       |  regexp_replace(replace(upper(coalesce(title,'')), upper(coalesce(brand_out,' ')), ' '), '[^A-Z0-9 ]+', ' ', 'g') AS tnb
+       |  FROM b1),
+       |m1 AS (SELECT *,
+       |  coalesce(
+       |    nullif(trim(regexp_extract(tnb, '[A-Z]+ ?[0-9]+[A-Z0-9 ]*', 0)), ''),
+       |    nullif(trim(regexp_extract(tnb, '[0-9]+ ?[A-Z]+[A-Z0-9 ]*', 0)), ''),
+       |    nullif(trim(regexp_extract(tnb, '[A-Z]{2,}', 0)), '')) AS rawm
+       |  FROM m0),
+       |m2 AS (SELECT *,
+       |  coalesce(nullif(trim(regexp_replace(rawm, '\\s+', ' ', 'g')), ''), 'Unknown') AS model_out,
+       |  concat_ws(' ', title, description) AS text
+       |  FROM m1),
+       |px AS (SELECT *,
+       |  coalesce(CAST(nullif(regexp_extract(replace(regexp_replace(price, '[^0-9,.]', '', 'g'), ',', '.'), '[0-9]+\\.?[0-9]*', 0), '') AS DOUBLE), 0.0) AS price_out,
+       |  coalesce(CAST(nullif(regexp_extract(replace(regexp_replace(old_price, '[^0-9,.]', '', 'g'), ',', '.'), '[0-9]+\\.?[0-9]*', 0), '') AS DOUBLE), 0.0) AS old_price_out,
+       |  coalesce(
+       |    CAST(nullif(regexp_extract(rating, '([0-9]+\\.?[0-9]*)\\s*out of', 1), '') AS DOUBLE),
+       |    CAST(nullif(regexp_extract(rating, '([0-9]+\\.?[0-9]*)\\s*/', 1), '') AS DOUBLE),
+       |    CAST(nullif(regexp_extract(rating, '([0-9]+\\.?[0-9]*)', 1), '') AS DOUBLE),
+       |    0.0) AS rating_out
+       |  FROM m2),
+       |id0 AS (SELECT *,
+       |  regexp_replace(lower(coalesce(brand_out,'')), '[^a-z0-9]', '', 'g') AS slug_b,
+       |  regexp_replace(lower(coalesce(model_out,'')), '[^a-z0-9]', '', 'g') AS slug_m,
+       |  regexp_replace(regexp_extract(lower(coalesce(title,'')), '\\b[a-z]+[0-9]+\\w*\\b', 0), '[^a-z0-9]', '', 'g') AS tok,
+       |  'title_' || substr(md5(coalesce(title,'')), 1, 8) AS md5fb
+       |  FROM px)
+       |SELECT
+       |  concat_ws('_', slug_b,
+       |    CASE WHEN slug_m <> '' AND slug_m <> 'unknown' THEN slug_m
+       |         WHEN tok <> '' THEN tok ELSE md5fb END) AS product_id,
+       |  brand_out AS brand, model_out AS model, coalesce(title,'') AS product_name,
+       |  coalesce(storage_dict, nullif(regexp_extract(lower(text), '([0-9]+)\\s*(go|gb)', 1), '')) AS spec_storage,
+       |  coalesce(ram_dict, nullif(regexp_extract(lower(text), '([0-9]+)\\s*go\\s*ram', 1), '')) AS spec_ram,
+       |  nullif(regexp_extract(lower(text), '([0-9]+[.,]?[0-9]*)"', 1), '') AS spec_screen,
+       |  price_out AS price, old_price_out AS original_price,
+       |  'Neuf' AS condition,
+       |  CAST(rating_out AS VARCHAR) AS rating,
+       |  reviews_count_text AS reviews_count,
+       |  product_url AS url, scraped_at
+       |FROM id0
+       |ORDER BY url""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
   // Anomaly detection (Z1–Z6)
   // ---------------------------------------------------------------------
 
@@ -1410,6 +1705,8 @@ object Queries {
     "q1_pricing_summary" -> q1PricingSummary,
     "s1_scan_prune" -> s1ScanPrune,
     "s3_sentinel_scrub" -> s3SentinelScrub,
+    "p1_avito_transform" -> p1AvitoTransform,
+    "p1_jumia_transform" -> p1JumiaTransform,
     "p4_positive_filter" -> p4PositiveFilter,
     "p6_multi_source" -> p6MultiSource,
     "j1_stats_join" -> j1StatsJoin,
@@ -1457,6 +1754,8 @@ object Queries {
     "q1_pricing_summary" -> q1Sql,
     "s1_scan_prune" -> s1Sql,
     "s3_sentinel_scrub" -> s3Sql,
+    "p1_avito_transform" -> p1AvitoSql,
+    "p1_jumia_transform" -> p1JumiaSql,
     "p4_positive_filter" -> p4Sql,
     "p6_multi_source" -> p6Sql,
     "j1_stats_join" -> j1Sql,
