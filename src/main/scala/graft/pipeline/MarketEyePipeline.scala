@@ -45,6 +45,22 @@ object MarketEyePipeline {
   case class Result(merged: DataFrame, statsJson: String, report: String,
                     anomalyReport: String)
 
+  /** A3 statistics row → the reference's statistics.json shape
+    * (calculate_statistics, M/dags/marketeye_etl_dag.py:762-775: keys
+    * total_products/total_offers/avg_price/min_price/max_price/sources,
+    * full float precision, sources as a deterministic sorted list where
+    * the reference had Python set order). Price aggregates are NULL when
+    * no offer has price > 0 (e.g. a drop where every price is a
+    * sentinel) — rendered as the reference's 0 defaults, never a throw. */
+  def renderStatsJson(statsRow: org.apache.spark.sql.Row): String = {
+    val srcs = statsRow.getSeq[String](statsRow.fieldIndex("sources"))
+      .map(s => "\"" + s + "\"").mkString("[", ",", "]")
+    def d(i: Int): Double = if (statsRow.isNullAt(i)) 0.0 else statsRow.getDouble(i)
+    s"""{"total_products":${statsRow.getLong(0)},"total_offers":${statsRow.getLong(1)},
+       |"avg_price":${d(2)},"min_price":${d(3)},
+       |"max_price":${d(4)},"sources":$srcs}""".stripMargin.replace("\n", "")
+  }
+
   /** Extract + transform one source from the raw dir. */
   def extract(spark: SparkSession, cfg: Config, source: String): DataFrame = source match {
     case "Avito" =>
@@ -76,16 +92,7 @@ object MarketEyePipeline {
 
     // stats + reports (tiny aggregates)
     val statsRow = Statistics.globalPriceStats(merged).collect()(0)
-    val statsJson = {
-      val srcs = statsRow.getSeq[String](statsRow.fieldIndex("sources"))
-        .map(s => "\"" + s + "\"").mkString("[", ",", "]")
-      // price aggregates are NULL when no offer has price > 0 (e.g. a drop
-      // where every price is a sentinel) — render 0.0, don't throw
-      def d(i: Int): Double = if (statsRow.isNullAt(i)) 0.0 else statsRow.getDouble(i)
-      s"""{"total_products":${statsRow.getLong(0)},"total_offers":${statsRow.getLong(1)},
-         |"average_price":${d(2)},"min_price":${d(3)},
-         |"max_price":${d(4)},"sources":$srcs}""".stripMargin.replace("\n", "")
-    }
+    val statsJson = renderStatsJson(statsRow)
     val report = Report.detailed(merged, cfg.runTs)
 
     // anomaly run (Z1–Z6) at offer grain over (brand, model) groups

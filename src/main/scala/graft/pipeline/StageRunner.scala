@@ -70,12 +70,21 @@ object StageRunner {
         Anomaly.zScoreAnomalies(offers, Seq("brand", "model"), "price")
           .write.mode("overwrite").parquet(s"$stageDir/anomalies")
 
-      case "load" :: stageDir :: outDir :: runTs :: _ =>
+      case "load" :: stageDir :: outDir :: runTs :: rest =>
         val merged = spark.read.parquet(s"$stageDir/merged")
         Sinks.writeJson(merged, s"$outDir/marketeye_final")
         Sinks.writeBackup(merged, s"$outDir/backups", runTs)
         Sinks.writeCsv(merged, s"$outDir/analysis_csv")
         Sinks.writeRelationalFiles(merged, s"$outDir/relational")
+        // optional 5th arg: JDBC URL — the reference's PostgreSQL load
+        // (create DB if absent → write products/offers → index DDL,
+        // M/dags/marketeye_etl_dag.py:838-927)
+        rest.headOption.foreach { jdbcUrl =>
+          val props = new java.util.Properties()
+          Sinks.ensureDatabase(jdbcUrl, props)
+          Sinks.writeJdbc(merged, jdbcUrl, props)
+          Sinks.createIndexes(jdbcUrl, props)
+        }
 
       case other =>
         System.err.println(s"unknown stage: ${other.mkString(" ")}")

@@ -41,13 +41,23 @@ object Sinks {
     (products, offers)
   }
 
-  /** S6 — JDBC sink (PostgreSQL in the reference). Overwrites both tables;
-    * index DDL is the operator's caller's concern (plain JDBC on the
-    * driver). Offline environments: use [[writeRelationalFiles]]. */
+  /** S6 — JDBC sink (PostgreSQL in the reference). Overwrites both tables.
+    * Indexed string columns get explicit VARCHAR types (valid in both
+    * PostgreSQL and embedded engines like Derby, whose default StringType
+    * mapping is an unindexable CLOB); run [[createIndexes]] after.
+    * Offline environments: use [[writeRelationalFiles]]. */
   def writeJdbc(merged: DataFrame, url: String, props: java.util.Properties): Unit = {
     val (products, offers) = relational(merged)
-    products.write.mode(SaveMode.Overwrite).jdbc(url, "products", props)
-    offers.write.mode(SaveMode.Overwrite).jdbc(url, "offers", props)
+    def withTypes(types: String): java.util.Properties = {
+      val p = new java.util.Properties()
+      p.putAll(props)
+      p.setProperty("createTableColumnTypes", types)
+      p
+    }
+    products.write.mode(SaveMode.Overwrite)
+      .jdbc(url, "products", withTypes("product_id VARCHAR(512), brand VARCHAR(512)"))
+    offers.write.mode(SaveMode.Overwrite)
+      .jdbc(url, "offers", withTypes("product_id VARCHAR(512), source VARCHAR(64)"))
   }
 
   /** Secondary-index DDL the reference creates after loading
@@ -60,12 +70,54 @@ object Sinks {
     "CREATE INDEX IF NOT EXISTS idx_offers_source ON offers (source)",
     "CREATE INDEX IF NOT EXISTS idx_offers_price ON offers (price)")
 
-  /** Run the index DDL on the driver (one short-lived JDBC connection). */
+  /** Run the index DDL on the driver (one short-lived JDBC connection).
+    * `IF NOT EXISTS` is PostgreSQL syntax (the reference's engine); for
+    * other engines (embedded Derby in tests) the clause is stripped and
+    * an already-exists error is treated as success — same idempotent
+    * semantics either way. */
   def createIndexes(url: String, props: java.util.Properties): Unit = {
+    val pg = url.startsWith("jdbc:postgresql:")
     val conn = java.sql.DriverManager.getConnection(url, props)
-    try IndexDdl.foreach { ddl =>
-      val st = conn.createStatement(); try st.execute(ddl) finally st.close()
+    try IndexDdl.foreach { ddl0 =>
+      // non-Postgres: Spark's JDBC writer creates quoted (case-sensitive,
+      // lowercase) columns, so quote the column list too
+      val ddl =
+        if (pg) ddl0
+        else ddl0.replace(" IF NOT EXISTS", "")
+          .replaceAll("\\(([a-z_]+)\\)", "(\"$1\")")
+      val st = conn.createStatement()
+      try st.execute(ddl)
+      catch {
+        case e: java.sql.SQLException
+            if !pg && Option(e.getMessage).exists(_.toLowerCase.contains("exist")) => ()
+      } finally st.close()
     } finally conn.close()
+  }
+
+  /** S6 — create the target database when absent
+    * (create_database_if_not_exists, M/dags/marketeye_etl_dag.py:838-870).
+    * PostgreSQL has no CREATE DATABASE IF NOT EXISTS inside a transaction:
+    * connect to the admin `postgres` database, probe pg_database, create
+    * on miss — exactly the reference's psycopg2 flow. Embedded engines
+    * (Derby `;create=true`) create on first connect, so for non-Postgres
+    * URLs this just opens and closes a connection. */
+  def ensureDatabase(url: String, props: java.util.Properties): Unit = {
+    if (url.startsWith("jdbc:postgresql:")) {
+      val slash = url.lastIndexOf('/')
+      val (base, db) = (url.substring(0, slash), url.substring(slash + 1))
+      val conn = java.sql.DriverManager.getConnection(s"$base/postgres", props)
+      try {
+        val rs = conn.createStatement()
+          .executeQuery(s"SELECT 1 FROM pg_database WHERE datname = '$db'")
+        val exists = try rs.next() finally rs.close()
+        if (!exists) {
+          val st = conn.createStatement()
+          try st.execute(s"CREATE DATABASE $db") finally st.close()
+        }
+      } finally conn.close()
+    } else {
+      java.sql.DriverManager.getConnection(url, props).close()
+    }
   }
 
   /** S6/S7 fallback — relational pair as parquet staging dirs (the document

@@ -159,6 +159,29 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("verifyJaccard plan: the corpus gram-set table is never broadcast") {
+    val nonEmpty = docs.where(length(TextFunctions.normalizeText(col("text"))) > 0)
+    val verified = Dedup.minhashNearDup(nonEmpty, "text", "doc_id",
+      bands = 4, rowsPerBand = 2, threshold = 0.2, shingleN = 2)
+    verified.collect() // let AQE finalize the physical plan
+    val plan = verified.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      s"gram-set side must shuffle (O(corpus) broadcast OOMs at scale):\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffled hash joins:\n$plan")
+  }
+
+  test("ANN ranking plan: no distinct between scoring and ranking") {
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L to 99L).map(i => (i, Array.fill(16)(rnd.nextFloat()))).toDF("vec_id", "embedding")
+    val ann = Similarity.lshTopK(corpus, corpus.where(col("vec_id") < 2),
+      "vec_id", "embedding", 3, 8, 16, probeBits = 2)
+    // a dedup between scoring and ranking would appear as an extra
+    // HashAggregate pair; the plan must go join -> window directly
+    val plan = ann.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("deduplicate") && !plan.contains("Aggregate"),
+      s"unexpected dedup/aggregate between scoring and ranking:\n$plan")
+  }
+
   test("multimodal: mapPartitions stub decode matches the column-expression twin") {
     val withBytes = Multimodal.withPayload(docs.where(col("doc_id") === 1L), "text")
     val viaRows = Multimodal.decodeMeta(withBytes).collect()(0)

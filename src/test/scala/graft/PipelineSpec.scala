@@ -62,9 +62,10 @@ class PipelineSpec extends SparkSuite {
     val multi = Statistics.multiSourceProducts(res.merged).collect()
     assert(multi.length == 1 && multi(0).getString(0) == "samsung_s24ultra")
 
-    // stats json + reports render
+    // stats json + reports render (reference statistics.json key shape)
     assert(res.statsJson.contains("\"total_products\":4"))
     assert(res.statsJson.contains("\"total_offers\":6"))
+    assert(res.statsJson.contains("\"avg_price\":"))
     assert(res.report.contains("TOP 5 MARQUES"))
     assert(res.anomalyReport.contains("RAPPORT D'ANOMALIES"))
 
@@ -82,6 +83,27 @@ class PipelineSpec extends SparkSuite {
       .map(_.getDouble(1)).filter(_ > 0)
     assert(stats.getLong(1) == 6)
     assert(math.abs(stats.getDouble(2) - prices.sum / prices.length) < 1e-9)
+  }
+
+  test("A3 golden replay: exact statistics.json string on a 30-offer fixture") {
+    // 30 Avito records over 10 products, every price 1000 (exact in
+    // double, so the average is order-insensitive), unique urls so no
+    // offer dedups away: total_products/total_offers/avg are pinned as an
+    // exact-string golden in the reference's statistics.json shape
+    // (M/data/processed/statistics.json:2-9 scaled down).
+    val raw = tempDir("golden_raw")
+    val out = tempDir("golden_out")
+    val records = (0 until 30).map { i =>
+      s"""{"ad_id":"$i","title":"Samsung Galaxy S${i % 10}","price":"1000",""" +
+        s""""url":"https://www.avito.ma/vi/$i.htm","brand":"SAMSUNG","condition":"NEUF"}"""
+    }
+    write(raw, "avito_golden.json", records.mkString("[", ",\n", "]"))
+    val res = MarketEyePipeline.run(spark,
+      MarketEyePipeline.Config(rawDir = raw, outDir = out, runTs = "20260102_000000"))
+    assert(res.statsJson ==
+      """{"total_products":10,"total_offers":30,"avg_price":1000.0,""" +
+      """"min_price":1000.0,"max_price":1000.0,"sources":["Avito"]}""",
+      res.statsJson)
   }
 
   test("S1 reader: array vs NDJSON autodetect; malformed lines dropped") {

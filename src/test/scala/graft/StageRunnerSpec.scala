@@ -2,40 +2,73 @@ package graft
 
 import graft.pipeline.StageRunner
 import java.nio.file.{Files, Paths}
+import java.nio.charset.StandardCharsets
 
-/** Drives the per-stage CLI exactly as the Airflow DAG would: one
-  * StageRunner.main invocation per task, handoff through stage dirs. */
+/** The spark-submit stage chain end-to-end over the miniature fixtures,
+  * including the optional JDBC load leg against embedded Derby: database
+  * auto-created, products/offers written with indexable column types,
+  * index DDL issued and idempotent (S6 complete). */
 class StageRunnerSpec extends SparkSuite {
 
-  test("staged pipeline: extract x3 -> merge -> stats -> anomalies -> load") {
-    // ensure the shared test session exists first (StageRunner getOrCreate
-    // reuses it instead of building a default-config one)
-    spark.sparkContext
-    val raw = tempDir("stage_raw")
-    val stageDir = tempDir("stage_mid")
-    val out = tempDir("stage_out")
-    Files.write(Paths.get(raw, "avito_ads.json"),
-      """[{"ad_id":"1","title":"Samsung Galaxy S24 Ultra","price":"8500 DH","brand":"SAMSUNG","model":"S24 ULTRA","condition":"NEUF","list_time":"t","url":"https://www.avito.ma/vi/1.htm"}]""".getBytes("UTF-8"))
-    Files.write(Paths.get(raw, "jumia_products.json"),
-      """{"title":"Samsung Galaxy S24 Ultra","brand":"Samsung","price":"9,000 MAD","product_url":"https://www.jumia.ma/s24.html","scraped_at":"t"}""".getBytes("UTF-8"))
-    Files.write(Paths.get(raw, "electro_list.json"),
-      """[{"product_url":"https://www.electroplanet.ma/p1.html","name":"XIAOMI REDMI NOTE 12","brand":"Xiaomi","price":"2 199 DH","store":"Electroplanet","scraped_at":"t","specifications":{"Modèle":"REDMI NOTE 12"},"reviews_summary":{"average_rating":"20","total_reviews":1}}]""".getBytes("UTF-8"))
+  private def write(dir: String, name: String, content: String): Unit =
+    Files.write(Paths.get(dir, name), content.getBytes(StandardCharsets.UTF_8))
 
-    StageRunner.main(Array("extract_avito", raw, stageDir, "20260101_000000"))
-    StageRunner.main(Array("extract_jumia", raw, stageDir, "20260101_000000"))
-    StageRunner.main(Array("extract_electroplanet", raw, stageDir, "20260101_000000"))
-    StageRunner.main(Array("merge", stageDir))
-    StageRunner.main(Array("stats", stageDir))
-    StageRunner.main(Array("anomalies", stageDir))
-    StageRunner.main(Array("load", stageDir, out, "20260101_000000"))
+  // same 3-source fixture shapes as PipelineSpec (4 products / 6 offers)
+  private val avitoJson =
+    """[
+      |{"ad_id":"1","title":"Samsung Galaxy S24 Ultra 512GB","price":"8.500,00","city":"Casablanca","area":"Maarif","seller_type":"STORE","seller_name":"Store1","url":"https://www.avito.ma/vi/1.htm","list_time":"2026-01-01T10:00:00","brand":"SAMSUNG","model":"S24 ULTRA","storage":"512GB","ram":"12GB","condition":"NEUF"},
+      |{"ad_id":"2","title":"iPhone 13 occasion","price":"4500 DH","city":"Rabat","brand":"NULL","model":"NULL","condition":"bon état"},
+      |{"ad_id":"3","title":"Telephone pas cher","price":"NULL","brand":null,"model":null}
+      |]""".stripMargin
 
-    val merged = spark.read.parquet(s"$stageDir/merged").collect()
-    assert(merged.length == 2) // s24 merged across avito+jumia, redmi from electro
-    val s24 = merged.find(_.getAs[String]("product_id") == "samsung_s24ultra").get
-    assert(s24.getSeq[String](s24.fieldIndex("sources")).toSet == Set("Avito", "Jumia"))
-    val statsJson = spark.read.json(s"$stageDir/statistics").collect()(0)
-    assert(statsJson.getAs[Long]("total_products") == 2)
-    assert(statsJson.getAs[Long]("total_offers") == 3)
+  private val jumiaJson =
+    """{"title":"Samsung Galaxy S24 Ultra","brand":"Samsung","price":"13,875 MAD","old_price":"15,000 MAD","rating":"4.5 out of 5","reviews_count_text":"(2 avis)","product_url":"https://www.jumia.ma/s24.html","scraped_at":"2026-01-01 09:00:00","description":"256 Go 12 Go RAM","specs":{"Stockage":"512 Go"}}
+      |{"title":"Xiaomi Redmi Note 12","brand":"Xiaomi","price":"2,199 MAD","product_url":"https://www.jumia.ma/rn12.html","scraped_at":"2026-01-01 09:00:00","description":"128 Go"}""".stripMargin
+
+  private val electroJson =
+    """[
+      |{"product_url":"https://www.electroplanet.ma/p1.html","name":"SAMSUNG GALAXY S24 ULTRA 12GB","brand":"Samsung","price":"9 490 DH","old_price":"9 990 DH","is_promotion":true,"category":"android","store":"Electroplanet","scraped_at":"2026-01-01 02:21:12","detailed_scraped_at":"2026-01-01 02:22:20","specifications":{"Marque":"SAMSUNG","Modèle":"S24 ULTRA","Capacité de stockage interne":"512 Go","Capacité de la RAM":"12 Go"},"reviews_summary":{"average_rating":"20","total_reviews":1},"view_count":4}
+      |]""".stripMargin
+
+  test("stage chain + Derby JDBC load: DB created, counts match, index DDL issued, idempotent") {
+    spark.sparkContext // force the suite session so StageRunner reuses it
+    val raw = tempDir("sr_raw")
+    val stage = tempDir("sr_stage")
+    val out = tempDir("sr_out")
+    write(raw, "avito_ads.json", avitoJson)
+    write(raw, "jumia_products.json", jumiaJson)
+    write(raw, "electroplanet_data.json", electroJson)
+
+    Seq("extract_avito", "extract_jumia", "extract_electroplanet").foreach { s =>
+      StageRunner.main(Array(s, raw, stage, "20260101_120000"))
+    }
+    StageRunner.main(Array("merge", stage))
+    StageRunner.main(Array("stats", stage))
+    StageRunner.main(Array("anomalies", stage))
+
+    val url = s"jdbc:derby:${tempDir("sr_db")}/marketeye;create=true"
+    StageRunner.main(Array("load", stage, out, "20260101_120000", url))
+
+    // row counts through a JDBC read-back
+    val props = new java.util.Properties()
+    assert(spark.read.jdbc(url, "products", props).count() == 4)
+    assert(spark.read.jdbc(url, "offers", props).count() == 6)
+
+    // the index DDL actually executed (Derby metadata, uppercase names)
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getIndexInfo(null, null, "PRODUCTS", false, false)
+      val names = scala.collection.mutable.Set.empty[String]
+      while (rs.next()) Option(rs.getString("INDEX_NAME")).foreach(names += _)
+      rs.close()
+      assert(names.exists(_.equalsIgnoreCase("idx_products_brand")), names.toString)
+      assert(names.exists(_.equalsIgnoreCase("idx_products_product_id")), names.toString)
+    } finally conn.close()
+
+    // idempotent re-run: already-exists errors are swallowed
+    graft.sinks.Sinks.createIndexes(url, props)
+
+    // file sinks of the load stage also present
     assert(Files.list(Paths.get(out, "marketeye_final")).count() > 0)
     assert(Files.list(Paths.get(out, "relational", "offers")).count() > 0)
   }
