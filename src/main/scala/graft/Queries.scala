@@ -1096,7 +1096,7 @@ object Queries {
        |  coalesce(seller_type, 'PRIVATE') AS seller_type, city, area,
        |  url_out AS url, seller_name, list_time AS scraped_at,
        |  '2026-08-12T00:00:00' AS created_at
-       |FROM f WHERE length(product_id) > 0
+       |FROM f
        |ORDER BY seller_name""".stripMargin
   }
 

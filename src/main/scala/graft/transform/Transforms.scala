@@ -8,9 +8,14 @@ import org.apache.spark.sql.functions._
   *
   * Each transform is a pure column projection (narrow, codegen'd, no
   * shuffle): a raw scraped record becomes one unified product document with
-  * a single offer, ready for the merge fold. Records whose transform fails
-  * (null/empty product essentials) are dropped, mirroring the reference's
-  * try/except-append (M/dags/marketeye_etl_dag.py:271-273).
+  * a single offer, ready for the merge fold. The reference's defensive
+  * empty-product_id drop (try/except-append, dag:271-273) is provably a
+  * no-op on these projections — productId always ends in a non-empty
+  * md5-fallback segment — so no per-row filter is emitted here (a pushed-
+  * down filter would re-inline the whole id tree into the scan predicate);
+  * the REAL empty-id drop, where trim/normalization can legitimately
+  * produce "", lives in ProductMerge.merge (P2/P3), which every pipeline
+  * run applies downstream.
   *
   * Plugin-path ("fixed") semantics are primary per SURVEY.md: European
   * price formats, 3-stage brand extraction, md5 id fallback
@@ -67,16 +72,31 @@ object Transforms {
     lit(runTs).as("created_at"),
     lit(runTs).as("last_updated"))
 
+  // Staging note (applies to all three transforms): the brand/model trees
+  // are bound to named intermediate columns via withColumn instead of
+  // passing the Column objects around. Column reuse duplicates the whole
+  // WHEN-chain subtree into every consumer (model references brand twice,
+  // product_id references both) — the resulting single Project exceeds
+  // the codegen limits and the entire stage silently drops out of
+  // whole-stage codegen into interpreted eval (~10× slower at the scan).
+  // As separate projections CollapseProject keeps them split (non-cheap
+  // expressions referenced more than once are not inlined), each Project
+  // stays codegen-sized, and each tree is evaluated once per row.
+
   /** Avito: brand via 3-stage extraction (field → title → model), model via
     * regex cascade, robust European price, condition map, location struct,
     * URL rebuild (avito_extractor.py:19-84). */
   def avito(raw: DataFrame, runTs: String,
             mode: CompatMode = CompatMode.Plugin): DataFrame = {
-    val brand = mode match {
+    val brandExpr = mode match {
       case CompatMode.Plugin => extractBrandFixed(col("brand"), col("title"), col("model"))
       case CompatMode.DagInline => extractBrandDagInline(col("brand"), col("title"))
     }
-    val model = extractModel(col("model"), col("title"), brand)
+    val stagedRaw = raw
+      .withColumn("__graft_brand", brandExpr)
+      .withColumn("__graft_model", extractModel(col("model"), col("title"), col("__graft_brand")))
+    val brand = col("__graft_brand")
+    val model = col("__graft_model")
     val off = offer("Avito",
       price = mode match {
         case CompatMode.Plugin => extractPriceFixed(col("price"))
@@ -98,8 +118,7 @@ object Transforms {
       "battery_health" -> sentinelToNull(col("battery_health")),
       "color" -> sentinelToNull(col("color")),
       "condition" -> sentinelToNull(col("condition")))
-    raw.select(unified(brand, model, col("title"), specs, off, "Avito", runTs): _*)
-      .where(length(col("product_id")) > 0)
+    stagedRaw.select(unified(brand, model, col("title"), specs, off, "Avito", runTs): _*)
   }
 
   /** Jumia: brand from field else title scan; storage/ram/screen regexes
@@ -108,11 +127,14 @@ object Transforms {
     * output jumia_transformed.json); hardcoded condition "Neuf"
     * (jumia_extractor.py:15-111). */
   def jumia(raw: DataFrame, runTs: String): DataFrame = {
-    val brand = coalesce(
-      when(isPresent(col("brand")), normalizeBrand(col("brand"))),
-      brandFromTitle(col("title")), lit("Unknown"))
-    val model = extractModel(lit(null).cast("string"), col("title"), brand,
-      stripMarketing = false)
+    val stagedRaw = raw
+      .withColumn("__graft_brand", coalesce(
+        when(isPresent(col("brand")), normalizeBrand(col("brand"))),
+        brandFromTitle(col("title")), lit("Unknown")))
+      .withColumn("__graft_model", extractModel(lit(null).cast("string"), col("title"),
+        col("__graft_brand"), stripMarketing = false))
+    val brand = col("__graft_brand")
+    val model = col("__graft_model")
     val text = concat_ws(" ", col("title"), col("description"))
     val specFromDict = (keys: Seq[String]) => {
       val entries = map_entries(coalesce(col("specs"), map()))
@@ -134,8 +156,7 @@ object Transforms {
       reviews = col("reviews_count_text"),
       url = col("product_url"), sellerName = lit(null).cast("string"),
       scrapedAt = col("scraped_at"))
-    raw.select(unified(brand, model, col("title"), specs, off, "Jumia", runTs): _*)
-      .where(length(col("product_id")) > 0)
+    stagedRaw.select(unified(brand, model, col("title"), specs, off, "Jumia", runTs): _*)
   }
 
   /** French spec keys mapped to canonical names
@@ -156,11 +177,16 @@ object Transforms {
   def electroplanet(raw: DataFrame, runTs: String): DataFrame = {
     val specsIn = coalesce(col("specifications"), map())
     val modelField = try_element_at(specsIn, lit("Modèle"))
-    val brand = coalesce(
-      when(isPresent(col("brand")), normalizeBrand(col("brand"))),
-      when(isPresent(try_element_at(specsIn, lit("Marque"))), normalizeBrand(try_element_at(specsIn, lit("Marque")))),
-      brandFromTitle(col("name")), lit("Unknown"))
-    val model = extractModel(modelField, col("name"), brand, stripMarketing = false)
+    val stagedRaw = raw
+      .withColumn("__graft_brand", coalesce(
+        when(isPresent(col("brand")), normalizeBrand(col("brand"))),
+        when(isPresent(try_element_at(specsIn, lit("Marque"))),
+          normalizeBrand(try_element_at(specsIn, lit("Marque")))),
+        brandFromTitle(col("name")), lit("Unknown")))
+      .withColumn("__graft_model",
+        extractModel(modelField, col("name"), col("__graft_brand"), stripMarketing = false))
+    val brand = col("__graft_brand")
+    val model = col("__graft_model")
     val specs = specsMap(ElectroSpecKeys.map { case (fr, canon) =>
       canon -> try_element_at(specsIn, lit(fr))
     }: _*)
@@ -174,7 +200,6 @@ object Transforms {
       reviews = col("reviews_summary").getField("total_reviews").cast("string"),
       url = col("product_url"), sellerName = col("store"),
       scrapedAt = coalesce(col("detailed_scraped_at"), col("scraped_at")))
-    raw.select(unified(brand, model, col("name"), specs, off, "Electroplanet", runTs): _*)
-      .where(length(col("product_id")) > 0)
+    stagedRaw.select(unified(brand, model, col("name"), specs, off, "Electroplanet", runTs): _*)
   }
 }
