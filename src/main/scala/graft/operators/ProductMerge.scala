@@ -74,39 +74,23 @@ object ProductMerge {
       globallyDeduped.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
     } else globallyDeduped
 
-    // rows carry a map column (specs), which is not orderable — sort with an
-    // explicit comparator over the orderable `ord` struct instead
-    val rows = array_sort(
-      collect_list(struct(
-        col("ord"), col("brand"), col("model"), col("product_name").as("name"),
-        col("category"), col("specifications").as("specs"), col("sources"),
-        col("created_at"), col("last_updated"), col("offer"))),
-      (l, r) => when(l.getField("ord") < r.getField("ord"), lit(-1))
-        .when(l.getField("ord") > r.getField("ord"), lit(1))
-        .otherwise(lit(0)))
-
+    // one hash aggregation collects the per-product rows; the whole fold
+    // (ord sort, longest-name tie-break, first-non-null spec merge,
+    // encounter-order source union, min/max timestamps) is the compiled
+    // single-pass MergeProductRows expression — the previous column
+    // formulation (lambda-comparator array_sort + five higher-order
+    // chains) evaluated an interpreted expression tree per element and
+    // dominated the merge stage at offers-per-product fan-in
     deduped
       .groupBy("product_id")
-      .agg(rows.as("rows"))
-      .select(
-        col("product_id"),
-        element_at(col("rows"), 1).getField("brand").as("brand"),
-        element_at(col("rows"), 1).getField("model").as("model"),
-        // longest name wins; first-seen on equal length (dag:707-710)
-        element_at(array_sort(transform(col("rows"),
-            r => struct((-length(r.getField("name"))).as("neglen"),
-              r.getField("ord").as("ord"), r.getField("name").as("name")))), 1)
-          .getField("name").as("product_name"),
-        element_at(col("rows"), 1).getField("category").as("category"),
-        // first-non-null-wins spec merge in encounter order (dag:684-691)
-        aggregate(col("rows"), map().cast("map<string,string>"),
-          (acc, r) => map_concat(acc,
-            map_filter(coalesce(r.getField("specs"), map().cast("map<string,string>")),
-              (k, v) => !map_contains_key(acc, k)))).as("specifications"),
-        transform(col("rows"), r => r.getField("offer")).as("offers"),
-        array_distinct(flatten(transform(col("rows"), r => r.getField("sources"))))
-          .as("sources"),
-        array_min(transform(col("rows"), r => r.getField("created_at"))).as("created_at"),
-        array_max(transform(col("rows"), r => r.getField("last_updated"))).as("last_updated"))
+      .agg(collect_list(struct(
+        col("ord"), col("brand"), col("model"), col("product_name").as("name"),
+        col("category"), col("specifications").as("specs"), col("sources"),
+        col("created_at"), col("last_updated"), col("offer"))).as("rows"))
+      .select(col("product_id"),
+        graft.functions.MergeProductRows.column(col("rows")).as("m"))
+      .select(col("product_id"), col("m.brand"), col("m.model"),
+        col("m.product_name"), col("m.category"), col("m.specifications"),
+        col("m.offers"), col("m.sources"), col("m.created_at"), col("m.last_updated"))
   }
 }
