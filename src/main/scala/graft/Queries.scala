@@ -233,11 +233,15 @@ object Queries {
       concat(lit("M"), (col("l_suppkey") % 5).cast("string")).as("model"),
       name.as("product_name"),
       lit("Smartphone").as("category"),
-      map_from_entries(filter(array(
-        when(storage.isNotNull, struct(lit("storage").as("key"), storage.as("value"))),
-        when(ram.isNotNull, struct(lit("ram").as("key"), ram.as("value"))),
-        when(color.isNotNull, struct(lit("color").as("key"), color.as("value")))
-      ), e => e.isNotNull)).as("specifications"),
+      // map_concat of conditional singletons: codegen'd, unlike a
+      // filter() HOF which would run the 600k-row synth interpreted
+      map_concat(
+        when(storage.isNotNull, map(lit("storage"), storage))
+          .otherwise(map().cast("map<string,string>")),
+        when(ram.isNotNull, map(lit("ram"), ram))
+          .otherwise(map().cast("map<string,string>")),
+        when(color.isNotNull, map(lit("color"), color))
+          .otherwise(map().cast("map<string,string>"))).as("specifications"),
       array(struct(src.as("source"), col("l_extendedprice").as("price"),
         lit("MAD").as("currency"), urlc.as("url"), tstr.as("scraped_at"))).as("offers"),
       array(src).as("sources"),

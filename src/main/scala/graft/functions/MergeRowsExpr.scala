@@ -35,7 +35,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * sources:array<string>, created_at, last_updated, offer:struct<…>>>
   * (field positions fixed by ProductMerge.merge).
   */
-case class MergeProductRows(child: Expression) extends UnaryExpression {
+case class MergeProductRows(child: Expression, dedupPerProduct: Boolean)
+    extends UnaryExpression {
 
   private def rowType: StructType =
     child.dataType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]
@@ -86,17 +87,37 @@ case class MergeProductRows(child: Expression) extends UnaryExpression {
     def str(r: InternalRow, idx: Int): UTF8String =
       if (r.isNullAt(idx)) null else r.getUTF8String(idx)
 
+    // per-product (source,url) dedup folded into the same pass (A2b): the
+    // key is LOCAL to the product group, so running it here instead of a
+    // pre-aggregation window removes one full shuffle+sort of the wide
+    // rows from the merge plan — first-seen-wins order is identical
+    // because rows are already in ord order
+    val offerT = offerType.asInstanceOf[StructType]
+    val srcFieldIdx = offerT.fieldIndex("source")
+    val urlFieldIdx = offerT.fieldIndex("url")
+    val seen = new java.util.HashSet[(UTF8String, UTF8String)]()
+
     val first = rows(0)
     var bestName: UTF8String = null
     var bestLen = -1
     val specKeys = new java.util.LinkedHashMap[UTF8String, UTF8String]()
     val sources = new java.util.LinkedHashSet[UTF8String]()
-    val offers = new Array[Any](n)
+    val offers = new scala.collection.mutable.ArrayBuffer[Any](n)
     var created: UTF8String = null
     var updated: UTF8String = null
     i = 0
+    var skip = false
     while (i < n) {
       val r = rows(i)
+      skip = false
+      if (dedupPerProduct && !r.isNullAt(OfferIdx)) {
+        val o = r.getStruct(OfferIdx, offerT.length)
+        val key = (if (o.isNullAt(srcFieldIdx)) null else o.getUTF8String(srcFieldIdx),
+          if (o.isNullAt(urlFieldIdx)) null else o.getUTF8String(urlFieldIdx))
+        skip = !seen.add(key)
+      }
+      if (skip) { i += 1 }
+      else {
       val name = str(r, NameIdx)
       val len = if (name == null) -1 else name.numChars()
       if (len > bestLen) { bestLen = len; bestName = name }
@@ -123,9 +144,9 @@ case class MergeProductRows(child: Expression) extends UnaryExpression {
       if (c != null && (created == null || c.compareTo(created) < 0)) created = c
       val u = str(r, UpdatedIdx)
       if (u != null && (updated == null || u.compareTo(updated) > 0)) updated = u
-      offers(i) = if (r.isNullAt(OfferIdx)) null
-        else r.getStruct(OfferIdx, offerType.asInstanceOf[StructType].length)
+      offers += (if (r.isNullAt(OfferIdx)) null else r.getStruct(OfferIdx, offerT.length))
       i += 1
+      }
     }
     val keyArr = new Array[Any](specKeys.size())
     val valArr = new Array[Any](specKeys.size())
@@ -140,7 +161,7 @@ case class MergeProductRows(child: Expression) extends UnaryExpression {
     InternalRow(
       str(first, BrandIdx), str(first, ModelIdx), bestName, str(first, CategoryIdx),
       new ArrayBasedMapData(new GenericArrayData(keyArr), new GenericArrayData(valArr)),
-      new GenericArrayData(offers), new GenericArrayData(srcArr), created, updated)
+      new GenericArrayData(offers.toArray), new GenericArrayData(srcArr), created, updated)
   }
 
   override def nullSafeEval(input: Any): Any = merge(input.asInstanceOf[ArrayData])
@@ -155,6 +176,6 @@ case class MergeProductRows(child: Expression) extends UnaryExpression {
 }
 
 object MergeProductRows {
-  def column(c: Column): Column =
-    GraftBridge.column(MergeProductRows(GraftBridge.expression(c)))
+  def column(c: Column, dedupPerProduct: Boolean): Column =
+    GraftBridge.column(MergeProductRows(GraftBridge.expression(c), dedupPerProduct))
 }

@@ -68,27 +68,25 @@ object ProductMerge {
       exploded.withColumn("grn", row_number().over(w)).where(col("grn") === 1).drop("grn")
     } else exploded
 
-    val deduped = if (dedupPerProduct) {
-      val w = Window.partitionBy(col("product_id"), col("offer.source"), col("offer.url"))
-        .orderBy(col("ord"))
-      globallyDeduped.withColumn("rn", row_number().over(w)).where(col("rn") === 1).drop("rn")
-    } else globallyDeduped
-
     // one hash aggregation collects the per-product rows; the whole fold
-    // (ord sort, longest-name tie-break, first-non-null spec merge,
-    // encounter-order source union, min/max timestamps) is the compiled
-    // single-pass MergeProductRows expression — the previous column
-    // formulation (lambda-comparator array_sort + five higher-order
-    // chains) evaluated an interpreted expression tree per element and
-    // dominated the merge stage at offers-per-product fan-in
-    deduped
+    // (ord sort, per-product (source,url) dedup, longest-name tie-break,
+    // first-non-null spec merge, encounter-order source union, min/max
+    // timestamps) is the compiled single-pass MergeProductRows
+    // expression. The per-product dedup key is local to the group, so it
+    // runs inside the fold instead of as a pre-aggregation window — one
+    // shuffle for the whole merge instead of two. (The GLOBAL dedup key
+    // spans products, so that one stays a window when enabled.) The
+    // previous column formulation (lambda-comparator array_sort + five
+    // higher-order chains) evaluated an interpreted expression tree per
+    // element and dominated the merge stage at offers-per-product fan-in.
+    globallyDeduped
       .groupBy("product_id")
       .agg(collect_list(struct(
         col("ord"), col("brand"), col("model"), col("product_name").as("name"),
         col("category"), col("specifications").as("specs"), col("sources"),
         col("created_at"), col("last_updated"), col("offer"))).as("rows"))
       .select(col("product_id"),
-        graft.functions.MergeProductRows.column(col("rows")).as("m"))
+        graft.functions.MergeProductRows.column(col("rows"), dedupPerProduct).as("m"))
       .select(col("product_id"), col("m.brand"), col("m.model"),
         col("m.product_name"), col("m.category"), col("m.specifications"),
         col("m.offers"), col("m.sources"), col("m.created_at"), col("m.last_updated"))

@@ -22,14 +22,18 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two equal-length double arrays (sequential fold —
-    * deterministic order). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two equal-length numeric arrays — the compiled
+    * sequential loop [[graft.functions.VecDot]] (same left-to-right fold
+    * order as the aggregate/zip_with column formulation and the oracles'
+    * list_reduce, so results are bit-identical; HOFs would run
+    * interpreted at |pairs|·dim lambda applications). */
+  def dot(a: Column, b: Column): Column = graft.functions.VecDot.column(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def asDouble(a: Column): Column = transform(a, x => x.cast("double"))
+  /** float→double widening as a native Cast (codegen'd; a transform()
+    * lambda would be interpreted). Element values are identical. */
+  def asDouble(a: Column): Column = a.cast("array<double>")
 
   /** Cosine similarity, rounded for stable comparison. */
   def cosine(a: Column, b: Column): Column = {

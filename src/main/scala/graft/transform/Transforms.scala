@@ -52,13 +52,16 @@ object Transforms {
 
   /** Null-safe map from (key, value) pairs, dropping null-valued entries —
     * the reference only copies specs that are present
-    * (avito_extractor.py:233-249). */
-  private def specsMap(pairs: (String, Column)*): Column = {
-    val entries = pairs.map { case (k, v) =>
-      when(v.isNotNull, struct(lit(k).as("key"), v.cast("string").as("value")))
-    }
-    map_from_entries(filter(array(entries: _*), e => e.isNotNull))
-  }
+    * (avito_extractor.py:233-249). Built as a map_concat chain of
+    * conditional singleton maps (all codegen'd native expressions) rather
+    * than map_from_entries over a filtered array — filter() is a
+    * higher-order function and would run this interpreted on every row of
+    * the scan stage. Keys are distinct literals, so concat cannot clash. */
+  private def specsMap(pairs: (String, Column)*): Column =
+    pairs.map { case (k, v) =>
+      when(v.isNotNull, map(lit(k), v.cast("string")))
+        .otherwise(map().cast("map<string,string>"))
+    }.reduce(map_concat(_, _))
 
   private def unified(brand: Column, model: Column, name: Column,
                       specs: Column, off: Column, source: String, runTs: String): Seq[Column] = Seq(
