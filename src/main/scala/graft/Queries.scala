@@ -317,19 +317,21 @@ object Queries {
       |FROM agg JOIN srcs ON agg.pid = srcs.pid
       |ORDER BY product_id""".stripMargin
 
-  /** A2 — deterministic first-seen-wins dedup via row_number over an
-    * explicit ordering (the reference's insertion-order semantics made
-    * partition-stable). */
-  def a2OfferDedup(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("l_partkey", "l_suppkey")
-      .orderBy("l_orderkey", "l_linenumber")
+  /** A2 — deterministic first-seen-wins dedup. First-seen = the min of
+    * the (l_orderkey, l_linenumber) ordering within each group, so the
+    * kept row is a sort-free min(struct) hash aggregation instead of a
+    * row_number window (no per-partition sort of the full table — the
+    * shuffle carries partially-aggregated groups, not rows). The oracle
+    * keeps the row_number formulation; results are identical because the
+    * ordering key is unique per row. */
+  def a2OfferDedup(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(struct(col("l_orderkey"), col("l_linenumber"),
+        dec(col("l_extendedprice")).as("p"))).as("kept"))
       .agg(count(lit(1)).as("n_kept"),
         countDistinct("l_partkey").as("n_products"),
-        dsum(col("l_extendedprice")).as("sum_price"))
-  }
+        sum(col("kept.p")).cast("double").as("sum_price"))
 
   val a2Sql: String =
     s"""WITH d AS (
