@@ -1336,8 +1336,11 @@ object Queries {
       .orderBy("id_a", "id_b")
   }
 
-  val d2Sql: String =
-    s"""WITH norm AS (SELECT doc_id, $normSql AS nt FROM documents),
+  // Shared CTE pipeline of the minhash near-dup oracle (also the base of
+  // the d8 clustering oracle): normalize → shingle → single-md5 minhash →
+  // banded buckets (capped) → candidate pairs → exact jaccard.
+  private val d2CtesSql: String =
+    s"""norm AS (SELECT doc_id, $normSql AS nt FROM documents),
        |tk AS (SELECT doc_id, string_split(nt, ' ') AS toks, len(string_split(nt, ' ')) AS k FROM norm WHERE nt <> ''),
        |sh AS (SELECT doc_id, CASE WHEN k <= 2 THEN [array_to_string(toks, ' ')]
        |  ELSE list_transform(range(0, k - 1), i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')) END AS gr FROM tk),
@@ -1368,8 +1371,38 @@ object Queries {
        |  GROUP BY c.id_a, c.id_b),
        |j AS (
        |  SELECT i.id_a, i.id_b, round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
-       |  FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b)
+       |  FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b)""".stripMargin
+
+  val d2Sql: String =
+    s"""WITH $d2CtesSql
        |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
+
+  /** D8 — near-duplicate CLUSTERS: connected components over the d2 pair
+    * graph, cluster_id = smallest reachable doc id (singletons map to
+    * themselves) — the canonical keep-one-per-cluster step of a training-
+    * data dedup pipeline. Spark runs iterative min-label propagation
+    * (a Pregel superstep per round, driver holds only a convergence
+    * count); the oracle computes the same fixpoint with a recursive CTE. */
+  def d8NeardupClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).where(length(normalizeText(col("text"))) > 0)
+    val pairs = Dedup.minhashNearDup(d, "text", "doc_id", bands = 4, rowsPerBand = 2,
+      threshold = 0.2, shingleN = 2)
+    Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  val d8Sql: String =
+    s"""WITH RECURSIVE $d2CtesSql,
+       |pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM tk
+       |  UNION
+       |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src)
+       |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+       |ORDER BY doc_id""".stripMargin
 
   /** D3 — portable 16-bit SimHash signatures. */
   def d3Simhash(s: SparkSession, dir: String): DataFrame =
@@ -1677,6 +1710,45 @@ object Queries {
     s"""SELECT doc_id, md5($normSql) AS fp, substr(md5($normSql), 1, 16) AS fp64
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** X5 — PII detection + redaction over documents with deterministic
+    * PII injection (emails / phones / IPv4s appended by doc_id residue):
+    * per-type match counts on the raw text and the fingerprint of the
+    * redacted text, both recomputed by DuckDB with the same regexes. */
+  def x5PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val k = col("doc_id")
+    val injected = concat(coalesce(col("text"), lit("")),
+      when(k % 5 === 0, lit(" contact agent.007@example.com now"))
+        .when(k % 5 === 1, lit(" call +212 612-345-678 today"))
+        .when(k % 5 === 2, lit(" server at 192.168.001.17 port"))
+        .when(k % 5 === 3, lit(" mail a.b@c.io or 10.0.0.1"))
+        .otherwise(lit("")))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        piiCount(injected, TextFunctions.PiiEmailRe).as("n_email"),
+        piiCount(injected, TextFunctions.PiiIpRe).as("n_ip"),
+        piiCount(injected, TextFunctions.PiiPhoneRe).as("n_phone"),
+        md5(redactPii(injected)).as("fp_redacted"))
+      .orderBy("doc_id")
+  }
+
+  val x5Sql: String = {
+    import TextFunctions.{PiiEmailRe, PiiIpRe, PiiPhoneRe}
+    s"""WITH r AS (
+       |  SELECT doc_id, coalesce(text,'') || CASE doc_id % 5
+       |    WHEN 0 THEN ' contact agent.007@example.com now'
+       |    WHEN 1 THEN ' call +212 612-345-678 today'
+       |    WHEN 2 THEN ' server at 192.168.001.17 port'
+       |    WHEN 3 THEN ' mail a.b@c.io or 10.0.0.1'
+       |    ELSE '' END AS s
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(s, '$PiiEmailRe')) AS n_email,
+       |  len(regexp_extract_all(s, '$PiiIpRe')) AS n_ip,
+       |  len(regexp_extract_all(s, '$PiiPhoneRe')) AS n_phone,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(s, '$PiiEmailRe', '<EMAIL>', 'g'), '$PiiIpRe', '<IP>', 'g'), '$PiiPhoneRe', '<PHONE>', 'g')) AS fp_redacted
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   /** M1 — multimodal column plumbing: opaque binary payload + deterministic
     * stub "decode" into typed metadata (byte size, fake width/height/frames
     * derived from content hash). The real decode is a mapPartitions stub in
@@ -1747,6 +1819,8 @@ object Queries {
     "d5_cosine_topk" -> d5CosineTopK,
     "d6_cosine_lsh" -> d6CosineLsh,
     "d7_embedding_neardup" -> d7EmbeddingNearDup,
+    "d8_neardup_clusters" -> d8NeardupClusters,
+    "x5_pii_scrub" -> x5PiiScrub,
     "k1_salted_agg" -> k1SaltedAgg,
     "st2_streaming_hourly" -> st2StreamingHourly,
     "x1_lang_id" -> x1LangId,
@@ -1797,6 +1871,8 @@ object Queries {
     "d6_cosine_lsh" -> d6Sql,
     "st2_streaming_hourly" -> st1Sql,
     "d7_embedding_neardup" -> d7Sql,
+    "d8_neardup_clusters" -> d8Sql,
+    "x5_pii_scrub" -> x5Sql,
     "k1_salted_agg" -> k1Sql,
     "x1_lang_id" -> x1Sql,
     "x2_quality" -> x2Sql,

@@ -52,6 +52,28 @@ object TextFunctions {
     * the exact-dedup key that survives formatting noise. */
   def fingerprint(c: Column): Column = md5(normalizeText(c))
 
+  // --- PII detection / redaction (training-data scrubbing) ---------------
+
+  /** Portable PII patterns (same regex text runs in Java and RE2). */
+  val PiiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiIpRe = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PiiPhoneRe = "\\+?[0-9][0-9 -]{7,13}[0-9]"
+
+  /** Count PII matches of one pattern (full-match counting). */
+  def piiCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(coalesce(c, lit("")), lit(pattern), lit(0)))
+
+  /** Redact PII in place: emails, then IPv4s, then phone-shaped digit
+    * runs (order matters — emails/IPs contain digits a phone pattern
+    * could otherwise split). Pure codegen'd regexp_replace chain: runs
+    * inside the scan stage at any scale. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(coalesce(c, lit("")), PiiEmailRe, "<EMAIL>"),
+        PiiIpRe, "<IP>"),
+      PiiPhoneRe, "<PHONE>")
+
   // --- language id: stopword-hit heuristic -------------------------------
 
   val StopwordsEn = Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with")

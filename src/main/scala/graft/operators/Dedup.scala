@@ -150,6 +150,39 @@ object Dedup {
       minhashCandidates(df, textCol, idCol, bands, rowsPerBand, shingleN, maxBucket),
       textCol, idCol, threshold, shingleN)
 
+  /** Connected components over near-duplicate pairs: every document gets
+    * the smallest doc id reachable through the pair graph as its
+    * cluster_id (singletons cluster to themselves). The canonical
+    * "keep one per near-dup cluster" step after [[minhashNearDup]].
+    *
+    * Iterative min-label propagation: each round joins the current label
+    * table with the (symmetrized) edge list and takes the per-node min —
+    * a Pregel superstep as two shuffles. The driver loop holds only a
+    * convergence count, never data rows; rounds needed = cluster
+    * diameter, which for near-dup graphs is small (dup clusters are
+    * near-cliques). At larger diameters switch the edge step to
+    * large-star/small-star contraction — same loop skeleton. */
+  def connectedComponents(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = ids.select(col("id"), col("id").as("label")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val propagated = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select("id", "label").union(propagated)
+        .groupBy("id").agg(min("label").as("label")).cache()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .where(col("label") < col("prev")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** Portable 16-bit SimHash: per token take the first 4 hex chars of md5
     * as a 16-bit value; signature bit i is the sign of the sum over tokens
     * of (2·bit_i − 1). Expressible identically in any SQL engine (no

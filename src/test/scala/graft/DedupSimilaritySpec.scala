@@ -159,6 +159,15 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("connected components: chains collapse to min id, singletons self-cluster") {
+    // 1-2, 2-3 (a chain), 5-6, singleton 9
+    val ids = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+  }
+
   test("verifyJaccard plan: the corpus gram-set table is never broadcast") {
     val nonEmpty = docs.where(length(TextFunctions.normalizeText(col("text"))) > 0)
     val verified = Dedup.minhashNearDup(nonEmpty, "text", "doc_id",
