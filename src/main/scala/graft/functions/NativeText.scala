@@ -114,6 +114,34 @@ object NativeText {
     new GenericArrayData(mins.map(Long.box).toArray[Any])
   }
 
+  /** Distinct gram set hashed to 62-bit ints: per gram ONE md5 digest,
+    * v = h1·2^30 + (h2 >> 2) with h1/h2 the 32-bit digest halves (same
+    * derivation as [[minhashLongs]]) — fits signed 64-bit in any engine.
+    * Set cardinalities and intersections over the hashed sets equal those
+    * over the grams themselves (62-bit collisions are negligible and,
+    * being deterministic, would agree across engines anyway), while the
+    * pairwise-verify joins carry 8-byte elements instead of gram strings.
+    * Codegen entry point. */
+  def gramHashes(input: UTF8String, shingleN: Int): ArrayData = {
+    val grams = distinctShingles(input.toString, shingleN)
+    val md = Md5.get()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    grams.foreach { g =>
+      md.reset()
+      val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      seen.add(h1 * 1073741824L + (h2 >> 2))
+    }
+    val out = new Array[Any](seen.size())
+    var i = 0
+    val it = seen.iterator()
+    while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** One-pass text statistics (codegen entry point for [[TextStats]]). */
   def textStatsRow(input: UTF8String): InternalRow = {
     val s = input.toString
@@ -158,6 +186,21 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
       s"${ev.value} = graft.functions.NativeText.shinglesData($c, $n);")
 
   override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+}
+
+/** array<long> of 62-bit gram hashes — see [[NativeText.gramHashes]]. */
+case class GramHashes(child: Expression, shingleN: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_gram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    NativeText.gramHashes(input.asInstanceOf[UTF8String], shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeText.gramHashes($c, $shingleN);")
+
+  override protected def withNewChildInternal(c: Expression): GramHashes = copy(child = c)
 }
 
 /** MinHash signature (numHashes longs) of a text column — see
@@ -217,6 +260,8 @@ case class SortedPairs(child: Expression)
 object NativeTextColumns {
   def wordShingles(c: Column, n: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(c), n))
+  def gramHashes(c: Column, n: Int): Column =
+    GraftBridge.column(GramHashes(GraftBridge.expression(c), n))
   def minhashSignature(c: Column, numHashes: Int, shingleN: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(c), numHashes, shingleN))
   def sortedPairs(c: Column): Column =

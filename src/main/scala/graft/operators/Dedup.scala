@@ -48,6 +48,14 @@ object Dedup {
     if (shingleN <= 1) array_distinct(tokens(text))
     else graft.functions.NativeTextColumns.wordShingles(text, shingleN)
 
+  /** Distinct gram set hashed to 62-bit ints (one md5 per gram, portable
+    * derivation — see NativeText.gramHashes). Set sizes and intersections
+    * equal the string-gram versions, so jaccard values are unchanged, but
+    * joins and shuffles carry 8-byte elements instead of gram strings —
+    * the verify stage moves ~3× less data. */
+  def gramHashSet(text: Column, shingleN: Int): Column =
+    graft.functions.NativeTextColumns.gramHashes(text, shingleN)
+
   /** MinHash signature (numHashes longs) over the distinct gram set —
     * column-expression twin of the native
     * [[graft.functions.NativeText.minhashLongs]]: ONE md5 per gram,
@@ -128,7 +136,7 @@ object Dedup {
   def verifyJaccard(df: DataFrame, candidates: DataFrame,
                     textCol: String, idCol: String, threshold: Double,
                     shingleN: Int = 1): DataFrame = {
-    val sets = df.select(col(idCol).as("id"), gramSet(col(textCol), shingleN).as("toks"))
+    val sets = df.select(col(idCol).as("id"), gramHashSet(col(textCol), shingleN).as("toks"))
       .hint("shuffle_hash")
     candidates
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
@@ -167,15 +175,20 @@ object Dedup {
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
     var labels = ids.select(col("id"), col("id").as("label")).cache()
-    var changed = 1L
-    while (changed > 0) {
+    // labels only ever decrease, so the label sum is strictly monotone
+    // while anything changes — a one-aggregate convergence check instead
+    // of a next-vs-previous join per round
+    var prevSum: Option[Long] = None
+    var converged = false
+    while (!converged) {
       val propagated = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label"))
       val next = labels.select("id", "label").union(propagated)
         .groupBy("id").agg(min("label").as("label")).cache()
-      changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .where(col("label") < col("prev")).count()
+      val s = next.agg(sum("label")).collect()(0).getLong(0)
+      converged = prevSum.contains(s)
+      prevSum = Some(s)
       labels.unpersist()
       labels = next
     }
@@ -231,7 +244,7 @@ object Dedup {
                         maxDf: Int = 500): DataFrame = {
     require(threshold > 0, "inverted-index jaccard requires a positive threshold")
     val sets = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      gramSet(col(textCol), n).as("gr"))
+      gramHashSet(col(textCol), n).as("gr"))
     val grams = sets.select(col("id"), col("blk"), explode(col("gr")).as("gram"))
     // sizes join strategy is left to AQE: the table is two scalar columns
     // but O(|docs|) rows — a FORCED broadcast would OOM at corpus scale,
