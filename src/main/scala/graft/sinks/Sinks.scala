@@ -120,6 +120,26 @@ object Sinks {
     }
   }
 
+  /** S7 — MongoDB document sink (save_to_mongodb,
+    * M/dags/marketeye_etl_dag.py:929-980): one document per merged
+    * product, replaced by product_id (the reference's replace_one upsert
+    * keyed on its unique product_id index). Uses the connector's
+    * string-format API so the library compiles without the connector jar
+    * (this environment is offline); at runtime the MongoDB Spark
+    * connector must be on the classpath, and `idFieldList=product_id`
+    * gives the same upsert-by-product_id semantics as the reference's
+    * unique index. Offline: [[writeRelationalFiles]] staging. */
+  def writeMongo(merged: DataFrame, uri: String, database: String,
+                 collection: String): Unit =
+    merged.write.format("mongodb")
+      .option("connection.uri", uri)
+      .option("database", database)
+      .option("collection", collection)
+      .option("operationType", "replace")
+      .option("idFieldList", "product_id")
+      .mode(SaveMode.Append)
+      .save()
+
   /** S6/S7 fallback — relational pair as parquet staging dirs (the document
     * store / warehouse loads from here when no connector is available). */
   def writeRelationalFiles(merged: DataFrame, dir: String): Unit = {
