@@ -1594,6 +1594,53 @@ object Queries {
     s.table(name).orderBy("hour_epoch", "event_type")
   }
 
+  /** ST3 — streaming exact dedup through the real engine: events stream
+    * in, a synthesized re-delivery key (event_id % 1000) is deduped with
+    * stateful dropDuplicates (first arrival wins), and the kept KEY SET
+    * is aggregated — key-level facts only, so the result is deterministic
+    * even though which duplicate arrives first is not. The oracle is the
+    * batch distinct over the same key. */
+  def st3StreamingDedup(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .select((col("event_id") % 1000).as("k"))
+    val deduped = graft.streaming.EventStream.dedupKeys(stream, "k")
+    val name = s"st3_dedup_${stQueryId.incrementAndGet()}"
+    val q = deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+      .agg(count(lit(1)).as("n_keys"), sum(col("k")).cast("long").as("key_sum"))
+  }
+
+  val st3Sql: String =
+    """WITH d AS (SELECT DISTINCT event_id % 1000 AS k FROM events)
+      |SELECT count(*) AS n_keys, CAST(SUM(k) AS BIGINT) AS key_sum FROM d""".stripMargin
+
+  /** X6 — deterministic stratified hash-sampling (training-mix
+    * rebalancing): per-language keep rates decided by a portable md5
+    * bucket of the doc id — the same rows are sampled on every run and
+    * in every engine, which is what makes the sample auditable. */
+  def x6HashSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratified(t(s, dir, "documents"),
+        idCol = "doc_id", strataCol = "lang",
+        rates = Map("en" -> 50, "fr" -> 25), defaultRate = 10)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).cast("long").as("id_sum"))
+      .orderBy("lang")
+
+  val x6Sql: String = {
+    val hx = (i: Int) => s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    s"""WITH b AS (
+       |  SELECT doc_id, lang,
+       |    ((${hx(1)} * 4096 + ${hx(2)} * 256 + ${hx(3)} * 16 + ${hx(4)}) % 100) AS bucket,
+       |    CASE WHEN lang = 'en' THEN 50 WHEN lang = 'fr' THEN 25 ELSE 10 END AS rate
+       |  FROM documents)
+       |SELECT lang, count(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       |FROM b WHERE bucket < rate GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ",", ")")
 
@@ -1823,6 +1870,8 @@ object Queries {
     "x5_pii_scrub" -> x5PiiScrub,
     "k1_salted_agg" -> k1SaltedAgg,
     "st2_streaming_hourly" -> st2StreamingHourly,
+    "st3_streaming_dedup" -> st3StreamingDedup,
+    "x6_hash_sample" -> x6HashSample,
     "x1_lang_id" -> x1LangId,
     "x2_quality" -> x2Quality,
     "x3_token_count" -> x3TokenCount,
@@ -1874,6 +1923,8 @@ object Queries {
     "d8_neardup_clusters" -> d8Sql,
     "x5_pii_scrub" -> x5Sql,
     "k1_salted_agg" -> k1Sql,
+    "st3_streaming_dedup" -> st3Sql,
+    "x6_hash_sample" -> x6Sql,
     "x1_lang_id" -> x1Sql,
     "x2_quality" -> x2Sql,
     "x3_token_count" -> x3Sql,

@@ -61,6 +61,14 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: keep the first arrival per key — one state
+    * row per key, partitioned across executors. Unbounded keyspaces need
+    * a watermark + dropDuplicatesWithinWatermark to bound state; for a
+    * keyed-id dedup (scrape drops re-delivering the same ads) the state
+    * IS the key set and this is the right shape. */
+  def dedupKeys(stream: DataFrame, keyCols: String*): DataFrame =
+    stream.select(keyCols.map(col): _*).dropDuplicates(keyCols)
+
   /** Run a streaming frame to completion against a memory sink (local
     * verification harness; production uses a real sink + trigger). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode = OutputMode.Update()): DataFrame = {
