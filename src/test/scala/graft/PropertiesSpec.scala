@@ -23,6 +23,29 @@ class PropertiesSpec extends SparkSuite {
   private def sample(n: Int): Seq[String] =
     Gen.listOfN(n, weird).sample.getOrElse(Seq.fill(n)("x"))
 
+  test("property: BrandMapLookup is bit-identical to the WHEN-chain + initcap formulation") {
+    // the native expression replaced a 22-deep CASE (codegen blowup);
+    // this pins equality on adversarial strings including unicode,
+    // multi-word fallbacks, and sentinel-adjacent values
+    val chainy: org.apache.spark.sql.Column = {
+      val c = col("v")
+      val lc = lower(trim(c))
+      val mapped = BrandMap.foldRight(initcap(lower(trim(c))): org.apache.spark.sql.Column) {
+        case ((key, canon), fb) => when(lc.contains(key), lit(canon)).otherwise(fb)
+      }
+      when(!isPresent(c), lit("Unknown")).otherwise(mapped)
+    }
+    val extra = Seq("HONOR x", "moto G", "weird brand two words", "éclair brand",
+      " spaced  words ", "galaxy\ttab", "LG", "lg", null)
+    val inputs = (sample(400) ++ extra).map(Option(_))
+    val out = inputs.toDF("v")
+      .select(normalizeBrand(col("v")).as("native"), chainy.as("chain"))
+      .collect()
+    out.zip(inputs).foreach { case (r, in) =>
+      assert(r.get(0) == r.get(1), s"normalizeBrand(${in}) native=${r.get(0)} chain=${r.get(1)}")
+    }
+  }
+
   test("property: price parsers are total, non-negative, finite") {
     val inputs = sample(500)
     val out = inputs.map(Option(_)).toDF("v")
