@@ -115,10 +115,14 @@ object Dedup {
   }
 
   /** All ordered (a < b) member pairs of each group with at most maxGroup
-    * members, via sorted collect_list + in-array pair explosion. The cap
-    * bounds the largest materialized array at maxGroup·(maxGroup−1)/2
-    * entries — without it one degenerate bucket (stop-gram, near-constant
-    * band) OOMs a single task. */
+    * members, via sorted collect_list + in-array pair explosion: the
+    * source is computed ONCE and shuffled once (a capped equi-self-join
+    * was measured: it streams pairs without per-bucket arrays, but
+    * recomputes the gram explode for the count, left, and right subplans
+    * and lost ~2× end-to-end). The cap bounds both the largest
+    * materialized array (maxGroup·(maxGroup−1)/2 entries) and the
+    * quadratic work a degenerate bucket (stop-gram, near-constant band)
+    * can contribute. */
   private def pairsFromGroups(df: DataFrame, groupCols: Seq[String],
                               idCol: String, maxGroup: Int): DataFrame =
     df.groupBy(groupCols.map(col): _*)
