@@ -1526,6 +1526,58 @@ object Queries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** D9 — IVF ANN probing under a full oracle: the coarse quantizer is a
+    * fixed md5-derived centroid table (so DuckDB can recompute it), each
+    * corpus vector is assigned to its max-cosine centroid, queries probe
+    * the nprobe=2 nearest lists, and candidates are exactly ranked.
+    * The assignment/probe/rank machinery is [[Similarity.IvfIndex.topK]]
+    * itself; Lloyd training (engine state, not SQL-expressible) is
+    * verified separately in DedupSimilaritySpec. */
+  def d9IvfTopk(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.IvfIndex.topK(emb.where(col("vec_id") < 1000), emb.where(col("vec_id") < 5),
+        "vec_id", "embedding", k = 5,
+        centroids = Similarity.md5Centroids(8, 64), nprobe = 2)
+      .orderBy("query_id", "rank")
+  }
+
+  val d9Sql: String = {
+    val dotProd = "list_reduce(list_transform(list_zip(%s, %s), s -> s[1] * s[2]), (a, b) -> a + b)"
+    def cosOf(v: String) =
+      s"${dotProd.format(v, "wl")} / (sqrt(${dotProd.format(v, v)}) * sqrt(${dotProd.format("wl", "wl")}))"
+    val h8 = "list_reduce(list_transform(range(1, 9), i -> CAST(strpos('0123456789abcdef', substr(md5('centroid:' || CAST(c AS VARCHAR) || ':' || CAST(d AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+    s"""WITH pw AS (
+       |  SELECT c, d, CAST($h8 AS DOUBLE) / 4294967296.0 * 2 - 1 AS w
+       |  FROM range(8) cr(c), range(64) dr(d)),
+       |pl AS (SELECT c, list(w ORDER BY d) AS wl FROM pw GROUP BY c),
+       |c0 AS (SELECT vec_id AS neighbor_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM embeddings WHERE vec_id < 1000),
+       |q0 AS (SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |  FROM embeddings WHERE vec_id < 5),
+       |ca AS (
+       |  SELECT neighbor_id, c AS cid, ${cosOf("cv")} AS ccos FROM c0, pl),
+       |asn AS (
+       |  SELECT neighbor_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY neighbor_id ORDER BY ccos DESC, cid) AS rn FROM ca)
+       |  WHERE rn = 1),
+       |qa AS (
+       |  SELECT query_id, c AS cid, ${cosOf("qv")} AS qcos FROM q0, pl),
+       |qp AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qcos DESC, cid) AS rn FROM qa)
+       |  WHERE rn <= 2),
+       |sc AS (
+       |  SELECT qp.query_id, asn.neighbor_id,
+       |    round(${dotProd.format("qv", "cv")} / (sqrt(${dotProd.format("qv", "qv")}) * sqrt(${dotProd.format("cv", "cv")})), 4) AS cos
+       |  FROM qp JOIN asn ON qp.cid = asn.cid
+       |    JOIN q0 ON q0.query_id = qp.query_id
+       |    JOIN c0 ON c0.neighbor_id = asn.neighbor_id
+       |  WHERE qp.query_id <> asn.neighbor_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM sc)
+       |SELECT query_id, neighbor_id, cos, rank FROM r WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** D7 — embedding-cosine near-duplicate pairs (exact over a bounded id
     * range; the LSH/IVF candidate paths are verified against this in
     * tests). */
@@ -1867,6 +1919,7 @@ object Queries {
     "d6_cosine_lsh" -> d6CosineLsh,
     "d7_embedding_neardup" -> d7EmbeddingNearDup,
     "d8_neardup_clusters" -> d8NeardupClusters,
+    "d9_ivf_topk" -> d9IvfTopk,
     "x5_pii_scrub" -> x5PiiScrub,
     "k1_salted_agg" -> k1SaltedAgg,
     "st2_streaming_hourly" -> st2StreamingHourly,
@@ -1921,6 +1974,7 @@ object Queries {
     "st2_streaming_hourly" -> st1Sql,
     "d7_embedding_neardup" -> d7Sql,
     "d8_neardup_clusters" -> d8Sql,
+    "d9_ivf_topk" -> d9Sql,
     "x5_pii_scrub" -> x5Sql,
     "k1_salted_agg" -> k1Sql,
     "st3_streaming_dedup" -> st3Sql,

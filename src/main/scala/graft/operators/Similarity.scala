@@ -65,13 +65,23 @@ object Similarity {
     * driver (embedded as plan literals) — and, unlike a JVM PRNG stream,
     * reproducible by ANY engine that has md5, which is what lets the d6
     * LSH query carry a full external SQL oracle. */
-  private[operators] def planeWeight(p: Int, d: Int): Double = {
+  /** Deterministic md5-derived weight in [-1, 1) for ("prefix:p:d") —
+    * reproducible by any engine with md5 (what lets the d6/d9 queries
+    * carry full external SQL oracles). */
+  def md5Weight(prefix: String, p: Int, d: Int): Double = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val dig = md.digest(s"plane:$p:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val dig = md.digest(s"$prefix:$p:$d".getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val v = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
       ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
     v.toDouble / 4294967296.0 * 2 - 1
   }
+
+  private[operators] def planeWeight(p: Int, d: Int): Double = md5Weight("plane", p, d)
+
+  /** Fixed md5-derived centroid table (for oracle-verifiable IVF probing;
+    * production centroids come from [[IvfIndex.train]]). */
+  def md5Centroids(nlist: Int, dim: Int): Array[(Int, Array[Double])] =
+    Array.tabulate(nlist)(c => c -> Array.tabulate(dim)(d => md5Weight("centroid", c, d)))
 
   private def planes(numPlanes: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(numPlanes, dim)((p, d) => planeWeight(p, d))
