@@ -178,7 +178,12 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
-    var labels = ids.select(col("id"), col("id").as("label")).cache()
+    // iterate ONLY over nodes that have an edge: singletons (the vast
+    // majority of a near-dup corpus) can never change label, so they
+    // join back in one final pass instead of riding every round's
+    // shuffles — the loop's working set is the non-singleton subgraph
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).cache()
     // labels only ever decrease, so the label sum is strictly monotone
     // while anything changes — a one-aggregate convergence check instead
     // of a next-vs-previous join per round
@@ -197,7 +202,8 @@ object Dedup {
       labels = next
     }
     edges.unpersist()
-    labels.select(col("id"), col("label").as("cluster_id"))
+    ids.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
   }
 
   /** Portable 16-bit SimHash: per token take the first 4 hex chars of md5
