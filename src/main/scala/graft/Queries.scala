@@ -894,8 +894,8 @@ object Queries {
       |  FROM customer)
       |SELECT c_custkey, raw,
       |  coalesce(
-      |    CAST(nullif(regexp_extract(raw, '([0-9]+\.?[0-9]*)\s*out of', 1), '') AS DOUBLE),
-      |    CAST(nullif(regexp_extract(raw, '([0-9]+\.?[0-9]*)\s*/', 1), '') AS DOUBLE),
+      |    CAST(nullif(regexp_extract(raw, '([0-9]+\.?[0-9]*)\s*out of\s*[0-9]+', 1), '') AS DOUBLE),
+      |    CAST(nullif(regexp_extract(raw, '([0-9]+\.?[0-9]*)\s*/\s*[0-9]+', 1), '') AS DOUBLE),
       |    CAST(nullif(regexp_extract(raw, '([0-9]+\.?[0-9]*)', 1), '') AS DOUBLE),
       |    0.0) AS rating
       |FROM r ORDER BY c_custkey""".stripMargin
@@ -1119,7 +1119,7 @@ object Queries {
       when(k % 5 === 0, lit("Samsung Galaxy A14"))
         .when(k % 5 === 1, lit("Xiaomi Redmi 12"))
         .when(k % 5 === 2, lit("Telephone 128 Go stockage"))
-        .when(k % 5 === 3, lit("Infinix Hot 30"))
+        .when(k % 5 === 3, lit("Infinix Hot Deal")) // no digits → words[1] id fallback
         .otherwise(lit("Oppo A58 écran 6.5\" neuf")).as("title"),
       when(k % 3 === 0, lit("XIAOMI")).when(k % 3 === 1, lit(null).cast("string"))
         .otherwise(lit("NULL")).as("brand"),
@@ -1141,7 +1141,7 @@ object Queries {
       col("product_id"), col("brand"), col("model"), col("product_name"),
       try_element_at(col("specifications"), lit("storage")).as("spec_storage"),
       try_element_at(col("specifications"), lit("ram")).as("spec_ram"),
-      try_element_at(col("specifications"), lit("screen")).as("spec_screen"),
+      try_element_at(col("specifications"), lit("screen_size")).as("spec_screen_size"),
       element_at(col("offers"), 1).getField("price").as("price"),
       element_at(col("offers"), 1).getField("original_price").as("original_price"),
       element_at(col("offers"), 1).getField("condition").as("condition"),
@@ -1154,11 +1154,14 @@ object Queries {
 
   val p1JumiaSql: String = {
     val sharedBrand = brandChain(BrandMap, "lcb")
-    val sharedTitle = brandChain(BrandMap, "lct")
+    // base-path model cascade: the synthesized brands never contain
+    // 'samsung', so only the generic patterns apply (the samsung-branch
+    // patterns are exercised by GoldenReplaySpec over the reference's
+    // real data)
     s"""WITH r AS (
        |  SELECT p_partkey,
        |    CASE p_partkey % 5 WHEN 0 THEN 'Samsung Galaxy A14' WHEN 1 THEN 'Xiaomi Redmi 12'
-       |      WHEN 2 THEN 'Telephone 128 Go stockage' WHEN 3 THEN 'Infinix Hot 30'
+       |      WHEN 2 THEN 'Telephone 128 Go stockage' WHEN 3 THEN 'Infinix Hot Deal'
        |      ELSE 'Oppo A58 écran 6.5" neuf' END AS title,
        |    CASE p_partkey % 3 WHEN 0 THEN 'XIAOMI' WHEN 1 THEN NULL ELSE 'NULL' END AS brand,
        |    CASE p_partkey % 4 WHEN 0 THEN '13,875' WHEN 1 THEN '1.299,00' WHEN 2 THEN '2499' ELSE '' END AS price,
@@ -1171,51 +1174,55 @@ object Queries {
        |    CASE WHEN p_partkey % 4 = 0 THEN '256 Go' END AS storage_dict,
        |    CASE WHEN p_partkey % 4 = 1 THEN '12 Go' END AS ram_dict
        |  FROM part),
-       |b0 AS (SELECT *, lower(trim(coalesce(brand,''))) AS lcb, lower(coalesce(title,'')) AS lct FROM r),
+       |b0 AS (SELECT *, lower(trim(coalesce(brand,''))) AS lcb FROM r),
        |b1 AS (SELECT *,
-       |  coalesce(
-       |    CASE WHEN brand IS NOT NULL AND upper(trim(brand)) NOT IN $sentinelsSql
-       |      THEN CASE $sharedBrand
-       |        ELSE upper(substr(trim(brand),1,1)) || lower(substr(trim(brand),2)) END END,
-       |    CASE $sharedTitle ELSE NULL END,
-       |    'Unknown') AS brand_out
+       |  CASE WHEN brand IS NULL OR brand = '' THEN 'Unknown'
+       |    ELSE CASE $sharedBrand
+       |      ELSE upper(substr(brand,1,1)) || lower(substr(brand,2)) END END AS brand_out
        |  FROM b0),
-       |m0 AS (SELECT *,
-       |  regexp_replace(replace(upper(coalesce(title,'')), upper(coalesce(brand_out,' ')), ' '), '[^A-Z0-9 ]+', ' ', 'g') AS tnb
-       |  FROM b1),
+       |m0 AS (SELECT *, trim(replace(lower(title), lower(brand_out), '')) AS tc FROM b1),
        |m1 AS (SELECT *,
        |  coalesce(
-       |    nullif(trim(regexp_extract(tnb, '[A-Z]+ ?[0-9]+[A-Z0-9 ]*', 0)), ''),
-       |    nullif(trim(regexp_extract(tnb, '[0-9]+ ?[A-Z]+[A-Z0-9 ]*', 0)), ''),
-       |    nullif(trim(regexp_extract(tnb, '[A-Z]{2,}', 0)), '')) AS rawm
+       |    nullif(regexp_extract(tc, '([0-9]+\\s*go|[0-9]+\\s*gb)', 1), ''),
+       |    nullif(regexp_extract(tc, '([0-9]+\\s*go\\s+[0-9]+\\s*go\\s+ram)', 1), ''),
+       |    nullif(regexp_extract(tc, '([a-z]+\\s*[0-9]+\\w*)', 1), '')) AS rawm
        |  FROM m0),
        |m2 AS (SELECT *,
-       |  coalesce(nullif(trim(regexp_replace(rawm, '\\s+', ' ', 'g')), ''), 'Unknown') AS model_out,
-       |  concat_ws(' ', title, description) AS text
+       |  CASE WHEN title = '' THEN 'Unknown'
+       |    ELSE coalesce(nullif(trim(regexp_replace(upper(rawm), '\\s+', ' ', 'g')), ''), 'Unknown') END AS model_out,
+       |  lower(title || ' ' || coalesce(description, '')) AS ft
        |  FROM m1),
        |px AS (SELECT *,
        |  coalesce(CAST(nullif(regexp_extract(replace(regexp_replace(price, '[^0-9,.]', '', 'g'), ',', '.'), '[0-9]+\\.?[0-9]*', 0), '') AS DOUBLE), 0.0) AS price_out,
        |  coalesce(CAST(nullif(regexp_extract(replace(regexp_replace(old_price, '[^0-9,.]', '', 'g'), ',', '.'), '[0-9]+\\.?[0-9]*', 0), '') AS DOUBLE), 0.0) AS old_price_out,
        |  coalesce(
-       |    CAST(nullif(regexp_extract(rating, '([0-9]+\\.?[0-9]*)\\s*out of', 1), '') AS DOUBLE),
-       |    CAST(nullif(regexp_extract(rating, '([0-9]+\\.?[0-9]*)\\s*/', 1), '') AS DOUBLE),
+       |    CAST(nullif(regexp_extract(rating, '([0-9]+\\.?[0-9]*)\\s*out of\\s*[0-9]+', 1), '') AS DOUBLE),
+       |    CAST(nullif(regexp_extract(rating, '([0-9]+\\.?[0-9]*)\\s*/\\s*[0-9]+', 1), '') AS DOUBLE),
        |    CAST(nullif(regexp_extract(rating, '([0-9]+\\.?[0-9]*)', 1), '') AS DOUBLE),
        |    0.0) AS rating_out
        |  FROM m2),
+       |sp AS (SELECT *,
+       |  CASE WHEN regexp_extract(ft, '([0-9]+)\\s*(go|gb|go ram)', 1) <> ''
+       |    THEN regexp_extract(ft, '([0-9]+)\\s*(go|gb|go ram)', 1) || ' ' || upper(regexp_extract(ft, '([0-9]+)\\s*(go|gb|go ram)', 2)) END AS storage_regex,
+       |  CASE WHEN regexp_extract(ft, '([0-9]+)\\s*go\\s*ram', 1) <> ''
+       |    THEN regexp_extract(ft, '([0-9]+)\\s*go\\s*ram', 1) || ' Go' END AS ram_regex,
+       |  CASE WHEN regexp_extract(ft, '([0-9]+[.,]?[0-9]*)"', 1) <> ''
+       |    THEN regexp_extract(ft, '([0-9]+[.,]?[0-9]*)"', 1) || '"' END AS screen_regex
+       |  FROM px),
        |id0 AS (SELECT *,
        |  regexp_replace(lower(coalesce(brand_out,'')), '[^a-z0-9]', '', 'g') AS slug_b,
        |  regexp_replace(lower(coalesce(model_out,'')), '[^a-z0-9]', '', 'g') AS slug_m,
-       |  regexp_replace(regexp_extract(lower(coalesce(title,'')), '\\b[a-z]+[0-9]+\\w*\\b', 0), '[^a-z0-9]', '', 'g') AS tok,
-       |  'title_' || substr(md5(coalesce(title,'')), 1, 8) AS md5fb
-       |  FROM px)
+       |  string_split_regex(trim(regexp_replace(lower(title), '[^a-z0-9]', ' ', 'g')), '\\s+') AS words
+       |  FROM sp)
        |SELECT
-       |  concat_ws('_', slug_b,
-       |    CASE WHEN slug_m <> '' AND slug_m <> 'unknown' THEN slug_m
-       |         WHEN tok <> '' THEN tok ELSE md5fb END) AS product_id,
+       |  slug_b || '_' ||
+       |    CASE WHEN slug_m = 'unknown'
+       |      THEN CASE WHEN len(words) > 1 THEN words[2] ELSE 'unknown' END
+       |      ELSE slug_m END AS product_id,
        |  brand_out AS brand, model_out AS model, coalesce(title,'') AS product_name,
-       |  coalesce(storage_dict, nullif(regexp_extract(lower(text), '([0-9]+)\\s*(go|gb)', 1), '')) AS spec_storage,
-       |  coalesce(ram_dict, nullif(regexp_extract(lower(text), '([0-9]+)\\s*go\\s*ram', 1), '')) AS spec_ram,
-       |  nullif(regexp_extract(lower(text), '([0-9]+[.,]?[0-9]*)"', 1), '') AS spec_screen,
+       |  coalesce(storage_dict, storage_regex) AS spec_storage,
+       |  coalesce(ram_dict, ram_regex) AS spec_ram,
+       |  screen_regex AS spec_screen_size,
        |  price_out AS price, old_price_out AS original_price,
        |  'Neuf' AS condition,
        |  CAST(rating_out AS VARCHAR) AS rating,

@@ -114,6 +114,17 @@ object ScalarFunctions {
     when(!isPresent(c), lit("Unknown"))
       .otherwise(BrandMapLookup.column(trim(c), map, titleCaseFallback = true))
 
+  /** F3b — the BASE-path normalize_brand (base_extractor.py:40-51, used
+    * by the Jumia and Electroplanet extractors): falsy-only missing check
+    * — no sentinel list, so the literal string 'NULL' title-cases to
+    * 'Null' (bug-for-bug); ordered map scan; Title Case fallback of the
+    * untrimmed value. */
+  def normalizeBrandBase(c: Column): Column = {
+    val s = coalesce(c.cast("string"), lit(""))
+    when(s === "", lit("Unknown"))
+      .otherwise(BrandMapLookup.column(s, BrandMap, titleCaseFallback = true))
+  }
+
   /** Scan a free-text title for a brand key; null when no key matches.
     * Stage 2/3 of F4. Ref: avito_extractor.py:107-139. */
   def brandFromTitle(title: Column, map: ListMap[String, String] = BrandMap): Column =
@@ -198,6 +209,33 @@ object ScalarFunctions {
     coalesce(fromField, cleaned, lit("Unknown"))
   }
 
+  /** F5b — the BASE-path extract_model_from_title
+    * (base_extractor.py:53-87, used by Jumia and Electroplanet): lowercase
+    * title, remove the (lowercased, normalized) brand substring, then an
+    * ordered regex cascade — Samsung brands first try the galaxy
+    * patterns, everyone gets the generic go/gb + letters-digits patterns —
+    * first group(1) match uppercased with collapsed whitespace, else
+    * "Unknown". A different algorithm from the Avito-fixed cascade (F5). */
+  def extractModelBase(title: Column, brand: Column): Column = {
+    val titleStr = coalesce(title.cast("string"), lit(""))
+    val brandLower = lower(coalesce(brand.cast("string"), lit("")))
+    val tc = trim(replace(lower(titleStr), brandLower, lit("")))
+    val samsungPatterns = Seq(
+      "galaxy\\s+([a-z]\\d+\\w*\\s*\\d*\\w*)",
+      "([a-z]\\d+\\w*\\s*\\d*\\w*)\\s+")
+    val genericPatterns = Seq(
+      "(\\d+\\s*go|\\d+\\s*gb)",
+      "(\\d+\\s*go\\s+\\d+\\s*go\\s+ram)",
+      "([a-z]+\\s*\\d+\\w*)")
+    def firstMatch(pats: Seq[String]): Column =
+      coalesce(pats.map(p => nullif(regexp_extract(tc, p, 1), lit(""))): _*)
+    val raw = when(brandLower.contains("samsung"),
+        firstMatch(samsungPatterns ++ genericPatterns))
+      .otherwise(firstMatch(genericPatterns))
+    val cleaned = nullif(trim(regexp_replace(upper(raw), "\\s+", " ")), lit(""))
+    when(titleStr === "", lit("Unknown")).otherwise(coalesce(cleaned, lit("Unknown")))
+  }
+
   /** Slug: lowercase, keep [a-z0-9] only. */
   def slug(c: Column): Column = regexp_replace(lower(coalesce(c, lit(""))), "[^a-z0-9]", "")
 
@@ -214,6 +252,21 @@ object ScalarFunctions {
       .when(titleToken =!= "", titleToken)
       .otherwise(md5Fb)
     concat_ws("_", b, mFinal)
+  }
+
+  /** F6b — the BASE-path create_product_id (base_extractor.py:103-114,
+    * used by Jumia and Electroplanet): "{slug(brand)}_{slug(model)}",
+    * and when the model slug is exactly "unknown" the SECOND word of the
+    * non-alnum-to-space title becomes the model — no digit requirement,
+    * no md5 fallback; a one-word (or empty) title leaves "unknown". */
+  def productIdBase(brand: Column, model: Column, title: Column): Column = {
+    val b = slug(brand)
+    val m = slug(model)
+    val words = split(trim(regexp_replace(lower(coalesce(title.cast("string"), lit(""))),
+      "[^a-z0-9]", " ")), "\\s+")
+    val secondWord = when(size(words) > 1, element_at(words, 2)).otherwise(lit("unknown"))
+    val mFinal = when(m === "unknown", secondWord).otherwise(m)
+    concat(b, lit("_"), mFinal)
   }
 
   /** F7 — determine_condition: FR/EN substring map; sentinel→'used'.
@@ -247,13 +300,15 @@ object ScalarFunctions {
       .otherwise(lit("used"))
   }
 
-  /** F8 — extract_rating: "4.5 out of 5"→4.5; "4.5/5"→4.5; first decimal in
-    * the string; else 0.0. Ref: jumia_extractor.py:56-78. */
+  /** F8 — extract_rating: "4.5 out of 5"→4.5; "4.5/5"→4.5; first decimal
+    * in the string; else 0.0. The out-of and slash forms require a
+    * trailing number, exactly as the reference's regexes do.
+    * Ref: jumia_extractor.py:56-78. */
   def extractRating(c: Column): Column = {
     val s = c.cast("string")
     coalesce(
-      nullif(regexp_extract(s, "(\\d+\\.?\\d*)\\s*out of", 1), lit("")).cast("double"),
-      nullif(regexp_extract(s, "(\\d+\\.?\\d*)\\s*/", 1), lit("")).cast("double"),
+      nullif(regexp_extract(s, "(\\d+\\.?\\d*)\\s*out of\\s*\\d+", 1), lit("")).cast("double"),
+      nullif(regexp_extract(s, "(\\d+\\.?\\d*)\\s*/\\s*\\d+", 1), lit("")).cast("double"),
       nullif(regexp_extract(s, "(\\d+\\.?\\d*)", 1), lit("")).cast("double"),
       lit(0.0))
   }

@@ -63,9 +63,9 @@ object Transforms {
         .otherwise(map().cast("map<string,string>"))
     }.reduce(map_concat(_, _))
 
-  private def unified(brand: Column, model: Column, name: Column,
+  private def unified(id: Column, brand: Column, model: Column, name: Column,
                       specs: Column, off: Column, source: String, runTs: String): Seq[Column] = Seq(
-    productId(brand, model, name).as("product_id"),
+    id.as("product_id"),
     brand.as("brand"), model.as("model"),
     coalesce(name, lit("")).as("product_name"),
     lit("Smartphone").as("category"),
@@ -121,34 +121,59 @@ object Transforms {
       "battery_health" -> sentinelToNull(col("battery_health")),
       "color" -> sentinelToNull(col("color")),
       "condition" -> sentinelToNull(col("condition")))
-    stagedRaw.select(unified(brand, model, col("title"), specs, off, "Avito", runTs): _*)
+    stagedRaw.select(unified(productId(brand, model, col("title")), brand, model,
+      col("title"), specs, off, "Avito", runTs): _*)
   }
 
-  /** Jumia: brand from field else title scan; storage/ram/screen regexes
-    * over title+description, overridden by the specs dict; naive price
-    * (preserves the "13,875" comma-decimal quirk, the committed golden
-    * output jumia_transformed.json); hardcoded condition "Neuf"
-    * (jumia_extractor.py:15-111). */
+  /** Jumia — faithful to jumia_extractor.py:15-111: BASE-path brand
+    * (falsy-only check), BASE model cascade, BASE product id (words[1]
+    * fallback); storage/ram/screen_size regexes over title+description
+    * with the reference's unit formatting ("512 GO", "12 Go", '6.5"');
+    * specs-dict overrides with last-matching-entry-wins and the
+    * reference's or/and precedence quirk (a 'stockage'/'écran' key
+    * overrides even with an empty value, 'ram'/'storage'/'screen'
+    * require one); naive price (preserves the "13,875" comma-decimal
+    * quirk, committed golden jumia_transformed.json); condition "Neuf". */
   def jumia(raw: DataFrame, runTs: String): DataFrame = {
     val stagedRaw = raw
-      .withColumn("__graft_brand", coalesce(
-        when(isPresent(col("brand")), normalizeBrand(col("brand"))),
-        brandFromTitle(col("title")), lit("Unknown")))
-      .withColumn("__graft_model", extractModel(lit(null).cast("string"), col("title"),
-        col("__graft_brand"), stripMarketing = false))
+      .withColumn("__graft_brand", normalizeBrandBase(col("brand")))
+      .withColumn("__graft_model", extractModelBase(col("title"), col("__graft_brand")))
     val brand = col("__graft_brand")
     val model = col("__graft_model")
-    val text = concat_ws(" ", col("title"), col("description"))
-    val specFromDict = (keys: Seq[String]) => {
-      val entries = map_entries(coalesce(col("specs"), map()))
-      try_element_at(filter(entries,
-        e => keys.map(k => lower(e.getField("key")).contains(k)).reduce(_ || _)), lit(1))
-        .getField("value")
+    // full_text = safe(title) + " " + safe(description), lowercased
+    val ft = lower(concat(coalesce(col("title"), lit("")), lit(" "),
+      coalesce(col("description"), lit(""))))
+    val stG1 = regexp_extract(ft, "(\\d+)\\s*(go|gb|go ram)", 1)
+    val stG2 = regexp_extract(ft, "(\\d+)\\s*(go|gb|go ram)", 2)
+    val storageRegex = when(stG1 =!= "", concat(stG1, lit(" "), upper(stG2)))
+    val ramG = regexp_extract(ft, "(\\d+)\\s*go\\s*ram", 1)
+    val ramRegex = when(ramG =!= "", concat(ramG, lit(" Go")))
+    val scrG = regexp_extract(ft, "(\\d+[.,]?\\d*)\"", 1)
+    val screenRegex = when(scrG =!= "", concat(scrG, lit("\"")))
+    // dict overrides: the reference iterates the dict with an if/elif
+    // chain, so the LAST matching entry wins and each entry hits at most
+    // one branch in chain order
+    val entries = map_entries(coalesce(col("specs"), map().cast("map<string,string>")))
+    def entryVal(e: Column): Column = coalesce(e.getField("value").cast("string"), lit(""))
+    def rawRam(e: Column): Column =
+      lower(e.getField("key")).contains("ram") && entryVal(e) =!= ""
+    def rawSto(e: Column): Column = {
+      val k = lower(e.getField("key"))
+      k.contains("stockage") || (k.contains("storage") && entryVal(e) =!= "")
     }
+    def rawScr(e: Column): Column = {
+      val k = lower(e.getField("key"))
+      k.contains("écran") || (k.contains("screen") && entryVal(e) =!= "")
+    }
+    def lastEntry(pred: Column => Column): Column =
+      try_element_at(filter(entries, pred), lit(-1))
+    val ramE = lastEntry(e => rawRam(e))
+    val stoE = lastEntry(e => !rawRam(e) && rawSto(e))
+    val scrE = lastEntry(e => !rawRam(e) && !rawSto(e) && rawScr(e))
     val specs = specsMap(
-      "storage" -> coalesce(specFromDict(Seq("stockage", "storage")), specStorage(text)),
-      "ram" -> coalesce(specFromDict(Seq("ram")), specRam(text)),
-      "screen" -> coalesce(specFromDict(Seq("écran", "screen")), specScreen(text)))
+      "storage" -> when(stoE.isNotNull, entryVal(stoE)).otherwise(storageRegex),
+      "ram" -> when(ramE.isNotNull, entryVal(ramE)).otherwise(ramRegex),
+      "screen_size" -> when(scrE.isNotNull, entryVal(scrE)).otherwise(screenRegex))
     val off = offer("Jumia",
       price = cleanPrice(col("price")),
       originalPrice = cleanPrice(col("old_price")),
@@ -159,39 +184,41 @@ object Transforms {
       reviews = col("reviews_count_text"),
       url = col("product_url"), sellerName = lit(null).cast("string"),
       scrapedAt = col("scraped_at"))
-    stagedRaw.select(unified(brand, model, col("title"), specs, off, "Jumia", runTs): _*)
+    stagedRaw.select(unified(productIdBase(brand, model, col("title")), brand, model,
+      col("title"), specs, off, "Jumia", runTs): _*)
   }
 
-  /** French spec keys mapped to canonical names
-    * (electroplanet_extractor.py:57-77). */
+  /** French spec keys mapped to the reference's canonical names
+    * (electroplanet_extractor.py:62-72). */
   val ElectroSpecKeys: Seq[(String, String)] = Seq(
     "Capacité de stockage interne" -> "storage",
     "Capacité de la RAM" -> "ram",
     "Marque" -> "brand",
-    "Modèle" -> "model_code",
+    "Modèle" -> "model",
     "Famille de processeur" -> "processor",
     "Résolution de la caméra arrière (numerique)" -> "camera",
-    "Afficher le nom du marketing technologique" -> "display",
-    "Écran Gorilla Glass" -> "glass")
+    "Afficher le nom du marketing technologique" -> "screen_tech",
+    "Écran Gorilla Glass" -> "gorilla_glass")
 
-  /** Electroplanet: model preferentially from the `Modèle` spec, rating
-    * kept as the raw string ("20" — deliberately unparsed,
-    * electroplanet_extractor.py:30), detailed_scraped_at preferred. */
+  /** Electroplanet — faithful to electroplanet_extractor.py:14-77:
+    * BASE-path brand from the `brand` field only (no Marque/title
+    * fallbacks); model is the `Modèle` spec VERBATIM when truthy (no
+    * cleaning pass) else the BASE title cascade; BASE product id; specs
+    * copied under the reference's canonical names when truthy; rating
+    * kept as the raw average_rating string ("20" — deliberately
+    * unparsed); detailed_scraped_at preferred. */
   def electroplanet(raw: DataFrame, runTs: String): DataFrame = {
     val specsIn = coalesce(col("specifications"), map())
     val modelField = try_element_at(specsIn, lit("Modèle"))
     val stagedRaw = raw
-      .withColumn("__graft_brand", coalesce(
-        when(isPresent(col("brand")), normalizeBrand(col("brand"))),
-        when(isPresent(try_element_at(specsIn, lit("Marque"))),
-          normalizeBrand(try_element_at(specsIn, lit("Marque")))),
-        brandFromTitle(col("name")), lit("Unknown")))
+      .withColumn("__graft_brand", normalizeBrandBase(col("brand")))
       .withColumn("__graft_model",
-        extractModel(modelField, col("name"), col("__graft_brand"), stripMarketing = false))
+        when(modelField.isNotNull && modelField =!= "", modelField)
+          .otherwise(extractModelBase(col("name"), col("__graft_brand"))))
     val brand = col("__graft_brand")
     val model = col("__graft_model")
     val specs = specsMap(ElectroSpecKeys.map { case (fr, canon) =>
-      canon -> try_element_at(specsIn, lit(fr))
+      canon -> nullif(try_element_at(specsIn, lit(fr)), lit(""))
     }: _*)
     val off = offer("Electroplanet",
       price = extractPriceFixed(col("price")),
@@ -203,6 +230,7 @@ object Transforms {
       reviews = col("reviews_summary").getField("total_reviews").cast("string"),
       url = col("product_url"), sellerName = col("store"),
       scrapedAt = coalesce(col("detailed_scraped_at"), col("scraped_at")))
-    stagedRaw.select(unified(brand, model, col("name"), specs, off, "Electroplanet", runTs): _*)
+    stagedRaw.select(unified(productIdBase(brand, model, col("name")), brand, model,
+      col("name"), specs, off, "Electroplanet", runTs): _*)
   }
 }

@@ -53,10 +53,11 @@ class PipelineSpec extends SparkSuite {
     // Jumia first in plugin order → its quirk price 13.875 is offer 1
     assert(s24offers.head.getString(0) == "Jumia")
     assert(s24offers.head.getDouble(1) == 13.875)
-    // specs merged: Jumia's dict storage first ("512 Go"), electro fills ram
+    // specs merged: Jumia's dict storage first ("512 Go"), Jumia's regex
+    // ram with the reference's unit formatting (jumia_extractor.py:94)
     val specs = s24.getAs[Map[String, String]]("specifications")
     assert(specs("storage") == "512 Go")   // Jumia's dict value, first-seen
-    assert(specs("ram") == "12")           // Jumia regex over description
+    assert(specs("ram") == "12 Go")        // Jumia regex over description
 
     // multi-source invariant (offre_3 shape)
     val multi = Statistics.multiSourceProducts(res.merged).collect()
