@@ -183,10 +183,12 @@ object ScalarFunctions {
     when(!isPresent(cleaned), lit("Unknown")).otherwise(cleaned)
   }
 
-  /** F5 — extract model from the `model` field when present, else from the
-    * title via an ordered regex cascade (first match wins), uppercased with
-    * marketing words stripped; else "Unknown".
-    * Ref: avito_extractor.py:147-195; base_extractor.py:53-87. */
+  /** F5 — the Avito-FIXED model extraction: the `model` field when
+    * present (cleaned), else the title via the fixed-path ordered regex
+    * cascade (first match wins), uppercased with marketing words
+    * stripped; else "Unknown". The BASE-class cascade used by
+    * Jumia/Electroplanet is [[extractModelBase]] — a different algorithm.
+    * Ref: avito_extractor.py:147-195. */
   def extractModel(model: Column, title: Column, brand: Column,
                    stripMarketing: Boolean = true): Column = {
     val fromField = when(isPresent(model), cleanModelName(model))
@@ -320,8 +322,10 @@ object ScalarFunctions {
       .when(isPresent(adId), concat(lit("https://www.avito.ma/vi/"), adId.cast("string"), lit(".htm")))
       .otherwise(lit("https://www.avito.ma"))
 
-  /** F12 (Jumia regex specs) — storage/ram/screen pulled from title+descr.
-    * Ref: jumia_extractor.py:80-111; dag:440-448. */
+  /** F12 — bare-number storage/ram/screen regexes (the DAG-inline spec
+    * extraction, dag:440-448). The plugin Jumia path formats values with
+    * units and a screen_size key — that version lives inline in
+    * Transforms.jumia (jumia_extractor.py:80-111). */
   def specStorage(text: Column): Column =
     nullif(regexp_extract(lower(text), "(\\d+)\\s*(go|gb)", 1), lit(""))
   def specRam(text: Column): Column =
