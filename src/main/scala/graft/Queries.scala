@@ -1677,6 +1677,43 @@ object Queries {
     """WITH d AS (SELECT DISTINCT event_id % 1000 AS k FROM events)
       |SELECT count(*) AS n_keys, CAST(SUM(k) AS BIGINT) AS key_sum FROM d""".stripMargin
 
+  /** ST4 — gap-based sessionization (session_window, the streaming-native
+    * windowing Spark adds beyond fixed windows; runs identically in batch,
+    * which is what the oracle verifies): per-user sessions split at ≥30
+    * idle minutes, with event counts and exact cent sums. The oracle
+    * reproduces the merge rule with the classic islands technique
+    * (lag + cumulative break sum) — tie rows are order-safe because a
+    * zero gap never breaks a session. */
+  def st4SessionWindows(s: SparkSession, dir: String): DataFrame = {
+    val tsNs = col("ts").cast("long")
+    val sec = (tsNs - tsNs % 1000000000L) / 1000000000L
+    t(s, dir, "events")
+      .where(col("user_id") % 20 === 0)
+      .withColumn("tsec", timestamp_seconds(sec))
+      .groupBy(session_window(col("tsec"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n"), sum(floor(col("value") * 100)).cast("long").as("cents"))
+      .select(col("sw.start").cast("long").as("session_start"), col("user_id"),
+        col("n"), col("cents"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val st4Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec, value
+      |  FROM events WHERE user_id % 20 = 0),
+      |l AS (
+      |  SELECT *, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w >= 1800
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
+      |s2 AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY sec
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM l)
+      |SELECT min(sec) AS session_start, user_id, count(*) AS n,
+      |  CAST(SUM(floor(value*100)) AS BIGINT) AS cents
+      |FROM s2 GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** X6 — deterministic stratified hash-sampling (training-mix
     * rebalancing): per-language keep rates decided by a portable md5
     * bucket of the doc id — the same rows are sampled on every run and
@@ -1931,6 +1968,7 @@ object Queries {
     "k1_salted_agg" -> k1SaltedAgg,
     "st2_streaming_hourly" -> st2StreamingHourly,
     "st3_streaming_dedup" -> st3StreamingDedup,
+    "st4_session_windows" -> st4SessionWindows,
     "x6_hash_sample" -> x6HashSample,
     "x1_lang_id" -> x1LangId,
     "x2_quality" -> x2Quality,
@@ -1985,6 +2023,7 @@ object Queries {
     "x5_pii_scrub" -> x5Sql,
     "k1_salted_agg" -> k1Sql,
     "st3_streaming_dedup" -> st3Sql,
+    "st4_session_windows" -> st4Sql,
     "x6_hash_sample" -> x6Sql,
     "x1_lang_id" -> x1Sql,
     "x2_quality" -> x2Sql,
