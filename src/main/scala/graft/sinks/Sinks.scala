@@ -18,6 +18,38 @@ object Sinks {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** S4b — the reference's output FRAMING: one JSON array file
+    * (ensure_ascii=False equivalent — Spark writes raw UTF-8). The
+    * distributed JSONL parts are re-framed on the driver as a byte
+    * stream (file-level concat through a bounded buffer — no row ever
+    * collects); records stay one-per-line rather than indent=2-exploded.
+    * For bounded report-grade exports; the JSONL sink is the scale path
+    * (a single array file fundamentally cannot be written in parallel). */
+  def writeJsonArray(df: DataFrame, stagingDir: String, outFile: String): Unit = {
+    writeJson(df, stagingDir)
+    val parts = Option(new java.io.File(stagingDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+      .sortBy(_.getName)
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      new java.io.FileOutputStream(outFile), java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      out.write("[\n")
+      var first = true
+      parts.foreach { p =>
+        val src = scala.io.Source.fromFile(p, "UTF-8")
+        try src.getLines().foreach { line =>
+          if (line.nonEmpty) {
+            if (!first) out.write(",\n")
+            out.write("  ")
+            out.write(line)
+            first = false
+          }
+        } finally src.close()
+      }
+      out.write("\n]\n")
+    } finally out.close()
+  }
+
   /** S5 — timestamped backup copy (save_to_json_backup, dag:982-1010). */
   def writeBackup(df: DataFrame, backupDir: String, runTs: String): String = {
     val path = s"$backupDir/marketeye_backup_$runTs"

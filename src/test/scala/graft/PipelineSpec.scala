@@ -107,6 +107,20 @@ class PipelineSpec extends SparkSuite {
       res.statsJson)
   }
 
+  test("S4b array sink: JSONL parts re-framed as one parseable JSON array") {
+    import spark.implicits._
+    val out = tempDir("arraysink")
+    val df = Seq(("a", 1), ("é", 2), ("c", 3)).toDF("k", "v").repartition(2)
+    val file = s"$out/final.json"
+    graft.sinks.Sinks.writeJsonArray(df, s"$out/staging", file)
+    val txt = new String(Files.readAllBytes(Paths.get(file)), StandardCharsets.UTF_8)
+    assert(txt.startsWith("[\n") && txt.endsWith("]\n"))
+    // valid JSON array with all rows and raw UTF-8 (ensure_ascii=False)
+    val parsed = spark.read.option("multiLine", "true").json(file)
+    assert(parsed.count() == 3)
+    assert(txt.contains("é") && !txt.contains("\\u00e9"))
+  }
+
   test("S1 reader: array vs NDJSON autodetect; malformed lines dropped") {
     val raw = tempDir("jsonsrc")
     write(raw, "avito_mixed.json",
