@@ -1106,6 +1106,126 @@ object Queries {
        |ORDER BY seller_name""".stripMargin
   }
 
+  /** P1/CompatMode — the real Transforms.avito in DAG-INLINE mode
+    * end-to-end over the same synthesized raw frame as p1_avito: the DAG
+    * brand map (17 keys, HONOR→Honor, 'NULL'-only sentinel, 7-brand
+    * Title-Case title fallback, no model stage), the naive clean_price,
+    * and the DAG condition map ('excellent' distinct) all composed and
+    * hash-matched. */
+  def p1AvitoDagTransform(s: SparkSession, dir: String): DataFrame = {
+    val k = col("p_partkey")
+    val raw = t(s, dir, "part").select(
+      when(k % 3 === 1, (k % 100000).cast("string")).otherwise(lit(null).cast("string")).as("ad_id"),
+      when(k % 5 === 0, lit("Samsung Galaxy S24 Ultra 512GB"))
+        .when(k % 5 === 1, lit("Honor Magic 5 Lite"))
+        .when(k % 5 === 2, lit("Telephone pas cher"))
+        .when(k % 5 === 3, lit("Xiaomi Redmi Note 12 Pro"))
+        .otherwise(lit("Oppo Reno 8")).as("title"),
+      lit(null).cast("string").as("description"),
+      when(k % 5 === 0, lit("4.500,00")).when(k % 5 === 1, lit("4,500"))
+        .when(k % 5 === 2, lit("250 DH")).when(k % 5 === 3, lit(""))
+        .otherwise(lit("7800")).as("price"),
+      lit("Casablanca").as("city"),
+      when(k % 2 === 0, lit("Maarif")).otherwise(lit(null).cast("string")).as("area"),
+      when(k % 3 === 0, lit("PRO")).otherwise(lit(null).cast("string")).as("seller_type"),
+      concat(lit("s"), lpad(k.cast("string"), 8, "0")).as("seller_name"),
+      lit("Téléphones").as("category"),
+      when(k % 3 === 0, lit("https://www.avito.ma/vi/111.htm"))
+        .when(k % 3 === 1, lit("https://other.com/x"))
+        .otherwise(lit(null).cast("string")).as("url"),
+      concat(lit("2026-01-"), lpad((k % 28 + 1).cast("string"), 2, "0")).as("list_time"),
+      when(k % 4 === 0, lit("SAMSUNG")).when(k % 4 === 1, lit(null).cast("string"))
+        .when(k % 4 === 2, lit("NULL")).otherwise(lit("HONOR")).as("brand"),
+      when(k % 6 === 0, lit("SM-S911B")).otherwise(lit(null).cast("string")).as("model"),
+      lit(null).cast("string").as("storage"), lit(null).cast("string").as("ram"),
+      lit(null).cast("string").as("battery_health"), lit(null).cast("string").as("color"),
+      when(k % 9 === 0, lit("Neuf sous blister")).when(k % 9 === 1, lit("Comme neuf"))
+        .when(k % 9 === 2, lit("excellent état")).when(k % 9 === 3, lit("bon état"))
+        .when(k % 9 === 4, lit("moyen")).when(k % 9 === 5, lit("mauvais"))
+        .when(k % 9 === 6, lit("Reconditionné")).when(k % 9 === 7, lit(""))
+        .otherwise(lit(null).cast("string")).as("condition"))
+    val out = graft.transform.Transforms.avito(raw, "2026-08-12T00:00:00",
+      graft.transform.CompatMode.DagInline)
+    out.select(
+      col("product_id"), col("brand"), col("model"),
+      element_at(col("offers"), 1).getField("price").as("price"),
+      element_at(col("offers"), 1).getField("condition").as("condition"),
+      element_at(col("offers"), 1).getField("seller_name").as("seller_name"))
+      .orderBy("seller_name")
+  }
+
+  val p1AvitoDagSql: String = {
+    val dagField = brandChain(graft.functions.ScalarFunctions.DagFieldBrandMap, "lcb")
+    val dagTitle = graft.functions.ScalarFunctions.DagTitleBrands.map(b =>
+      s"WHEN contains(lct, '${b.toLowerCase}') THEN '$b'").mkString("\n      ")
+    s"""WITH r AS (
+       |  SELECT p_partkey,
+       |    CASE p_partkey % 5 WHEN 0 THEN 'Samsung Galaxy S24 Ultra 512GB' WHEN 1 THEN 'Honor Magic 5 Lite'
+       |      WHEN 2 THEN 'Telephone pas cher' WHEN 3 THEN 'Xiaomi Redmi Note 12 Pro' ELSE 'Oppo Reno 8' END AS title,
+       |    CASE p_partkey % 5 WHEN 0 THEN '4.500,00' WHEN 1 THEN '4,500' WHEN 2 THEN '250 DH'
+       |      WHEN 3 THEN '' ELSE '7800' END AS price,
+       |    's' || lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS seller_name,
+       |    CASE p_partkey % 4 WHEN 0 THEN 'SAMSUNG' WHEN 1 THEN NULL WHEN 2 THEN 'NULL' ELSE 'HONOR' END AS brand,
+       |    CASE WHEN p_partkey % 6 = 0 THEN 'SM-S911B' END AS model,
+       |    CASE p_partkey % 9 WHEN 0 THEN 'Neuf sous blister' WHEN 1 THEN 'Comme neuf' WHEN 2 THEN 'excellent état'
+       |      WHEN 3 THEN 'bon état' WHEN 4 THEN 'moyen' WHEN 5 THEN 'mauvais' WHEN 6 THEN 'Reconditionné'
+       |      WHEN 7 THEN '' ELSE NULL END AS condition
+       |  FROM part),
+       |b0 AS (SELECT *, lower(trim(coalesce(brand,''))) AS lcb, lower(coalesce(title,'')) AS lct,
+       |  lower(coalesce(model,'')) AS lcm FROM r),
+       |b1 AS (SELECT *,
+       |  CASE WHEN brand IS NOT NULL AND brand <> '' AND upper(trim(brand)) <> 'NULL'
+       |    THEN CASE $dagField
+       |      ELSE upper(substr(trim(brand),1,1)) || lower(substr(trim(brand),2)) END
+       |    ELSE CASE $dagTitle
+       |      ELSE 'Unknown' END END AS brand_out
+       |  FROM b0),
+       |m0 AS (SELECT *,
+       |  CASE WHEN model IS NOT NULL AND upper(trim(model)) NOT IN $sentinelsSql
+       |    THEN (CASE WHEN upper(trim(regexp_replace(regexp_replace(model,'[^A-Za-z0-9]+',' ','g'),'\\s+',' ','g'))) IN $sentinelsSql
+       |            THEN 'Unknown'
+       |            ELSE upper(trim(regexp_replace(regexp_replace(model,'[^A-Za-z0-9]+',' ','g'),'\\s+',' ','g'))) END)
+       |    ELSE NULL END AS from_field,
+       |  regexp_replace(replace(upper(coalesce(title,'')), upper(coalesce(brand_out,' ')), ' '), '[^A-Z0-9 ]+', ' ', 'g') AS tnb
+       |  FROM b1),
+       |m1 AS (SELECT *,
+       |  coalesce(
+       |    nullif(trim(regexp_extract(tnb, '[A-Z]+ ?[0-9]+[A-Z0-9 ]*', 0)), ''),
+       |    nullif(trim(regexp_extract(tnb, '[0-9]+ ?[A-Z]+[A-Z0-9 ]*', 0)), ''),
+       |    nullif(trim(regexp_extract(tnb, '[A-Z]{2,}', 0)), '')) AS rawm
+       |  FROM m0),
+       |m2 AS (SELECT *,
+       |  coalesce(from_field,
+       |    nullif(trim(regexp_replace(regexp_replace(rawm, '\\b(ULTRA|PRO|PLUS|MAX|MINI|LITE)\\b', ' ', 'g'), '\\s+', ' ', 'g')), ''),
+       |    'Unknown') AS model_out,
+       |  lower(trim(coalesce(condition,''))) AS lcc
+       |  FROM m1),
+       |c0 AS (SELECT *,
+       |  CASE WHEN condition IS NULL OR condition = '' OR upper(condition) = 'NULL' THEN 'used'
+       |    WHEN contains(lcc,'neuf') OR contains(lcc,'new') THEN 'new'
+       |    WHEN contains(lcc,'bon') OR contains(lcc,'good') THEN 'good'
+       |    WHEN contains(lcc,'excellent') THEN 'excellent'
+       |    WHEN contains(lcc,'moyen') OR contains(lcc,'fair') THEN 'fair'
+       |    WHEN contains(lcc,'mauvais') OR contains(lcc,'poor') THEN 'poor'
+       |    ELSE 'used' END AS condition_out,
+       |  coalesce(CAST(nullif(regexp_extract(replace(regexp_replace(price, '[^0-9,.]', '', 'g'), ',', '.'), '[0-9]+\\.?[0-9]*', 0), '') AS DOUBLE), 0.0) AS price_out
+       |  FROM m2),
+       |id0 AS (SELECT *,
+       |  regexp_replace(lower(coalesce(brand_out,'')), '[^a-z0-9]', '', 'g') AS slug_b,
+       |  regexp_replace(lower(coalesce(model_out,'')), '[^a-z0-9]', '', 'g') AS slug_m,
+       |  regexp_replace(regexp_extract(lower(coalesce(title,'')), '\\b[a-z]+[0-9]+\\w*\\b', 0), '[^a-z0-9]', '', 'g') AS tok,
+       |  'title_' || substr(md5(coalesce(title,'')), 1, 8) AS md5fb
+       |  FROM c0)
+       |SELECT
+       |  concat_ws('_', slug_b,
+       |    CASE WHEN slug_m <> '' AND slug_m <> 'unknown' THEN slug_m
+       |         WHEN tok <> '' THEN tok ELSE md5fb END) AS product_id,
+       |  brand_out AS brand, model_out AS model,
+       |  price_out AS price, condition_out AS condition, seller_name
+       |FROM id0
+       |ORDER BY seller_name""".stripMargin
+  }
+
   /** P1 — the real [[graft.transform.Transforms.jumia]] end-to-end,
     * including the "13,875" comma-decimal golden quirk (naive clean_price
     * on the Jumia path), the shared-map brand fallback, the no-marketing-
@@ -1827,6 +1947,51 @@ object Queries {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** X7 — quality FILTERING (the gate, where x2 is the score): Gopher-
+    * flavor keep/drop per document with the FIRST failing rule as the
+    * drop reason — too_short / too_long / word_len / no_stopwords /
+    * punct, evaluated in that order from the one-pass TextStats fields.
+    * The kept set is what a training-data pipeline feeds downstream. */
+  def x7QualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.functions.TextStats.textStats(coalesce(col("text"), lit("")))
+    val base = docs(s, dir).select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"), col("st.chars").as("chars"), col("st.n_tok").as("n_tok"),
+        col("st.punct").as("punct"), col("st.tok_chars").as("tok_chars"),
+        col("st.stop_all").as("stop_all"))
+    val mwl = col("tok_chars").cast("double") / col("n_tok")
+    val stopR = col("stop_all").cast("double") / col("n_tok")
+    val punctR = col("punct").cast("double") / col("chars")
+    val reason = when(col("n_tok") < 10, lit("too_short"))
+      .when(col("n_tok") > 5000, lit("too_long"))
+      .when(mwl < 2.0 || mwl > 12.0, lit("word_len"))
+      .when(stopR < 0.05, lit("no_stopwords"))
+      .when(punctR > 0.2, lit("punct"))
+    base.select(col("doc_id"), reason.isNull.as("keep"), reason.as("drop_reason"))
+      .orderBy("doc_id")
+  }
+
+  val x7Sql: String = {
+    val allStops = sqlList(TextFunctions.StopwordsEn ++ TextFunctions.StopwordsFr ++ TextFunctions.StopwordsEs)
+    s"""WITH b AS (SELECT doc_id, coalesce(text,'') AS s, $normSql AS nt FROM documents),
+       |m AS (
+       |  SELECT doc_id, length(s) AS chars,
+       |    CASE WHEN nt = '' THEN 0 ELSE len(string_split(nt, ' ')) END AS n_tok,
+       |    length(regexp_replace(s, '[^!-/:-@\\[-`{-~]', '', 'g')) AS punct,
+       |    length(replace(nt, ' ', '')) AS tok_chars,
+       |    len(list_filter(string_split(nt, ' '), x -> x IN $allStops)) AS stop_all
+       |  FROM b),
+       |r AS (
+       |  SELECT doc_id,
+       |    CASE WHEN n_tok < 10 THEN 'too_short'
+       |      WHEN n_tok > 5000 THEN 'too_long'
+       |      WHEN CAST(tok_chars AS DOUBLE) / n_tok < 2.0 OR CAST(tok_chars AS DOUBLE) / n_tok > 12.0 THEN 'word_len'
+       |      WHEN CAST(stop_all AS DOUBLE) / n_tok < 0.05 THEN 'no_stopwords'
+       |      WHEN CAST(punct AS DOUBLE) / chars > 0.2 THEN 'punct' END AS drop_reason
+       |  FROM m)
+       |SELECT doc_id, drop_reason IS NULL AS keep, drop_reason
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   /** X3 — whitespace + BPE-ish token counting. */
   def x3TokenCount(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -1927,6 +2092,7 @@ object Queries {
     "s1_scan_prune" -> s1ScanPrune,
     "s3_sentinel_scrub" -> s3SentinelScrub,
     "p1_avito_transform" -> p1AvitoTransform,
+    "p1_avito_dag" -> p1AvitoDagTransform,
     "p1_jumia_transform" -> p1JumiaTransform,
     "p4_positive_filter" -> p4PositiveFilter,
     "p6_multi_source" -> p6MultiSource,
@@ -1973,6 +2139,7 @@ object Queries {
     "x1_lang_id" -> x1LangId,
     "x2_quality" -> x2Quality,
     "x3_token_count" -> x3TokenCount,
+    "x7_quality_filter" -> x7QualityFilter,
     "x4_fingerprint" -> x4Fingerprint,
     "m1_multimodal_meta" -> m1MultimodalMeta
   )
@@ -1982,6 +2149,7 @@ object Queries {
     "s1_scan_prune" -> s1Sql,
     "s3_sentinel_scrub" -> s3Sql,
     "p1_avito_transform" -> p1AvitoSql,
+    "p1_avito_dag" -> p1AvitoDagSql,
     "p1_jumia_transform" -> p1JumiaSql,
     "p4_positive_filter" -> p4Sql,
     "p6_multi_source" -> p6Sql,
@@ -2028,6 +2196,7 @@ object Queries {
     "x1_lang_id" -> x1Sql,
     "x2_quality" -> x2Sql,
     "x3_token_count" -> x3Sql,
+    "x7_quality_filter" -> x7Sql,
     "x4_fingerprint" -> x4Sql,
     "m1_multimodal_meta" -> m1Sql
   )
