@@ -25,6 +25,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE decides broadcasts from ACTUAL runtime sizes, so a higher
+      // ceiling is safe at any scale (it can never broadcast something
+      // big); 64 MB lets the mid-size build sides of the pair pipelines
+      // skip a shuffle leg locally, same as a tuned cluster would run
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_ABJT", "67108864"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

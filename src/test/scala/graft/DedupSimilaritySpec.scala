@@ -159,6 +159,34 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("VecDot edges: empty arrays give 0, shorter length bounds the loop, float==double") {
+    val df = Seq(
+      (Array[Float](), Array[Float](), 0.0),
+      (Array(1.0f, 2.0f, 3.0f), Array(2.0f, 0.5f), 3.0),     // min-length bound
+      (Array(0.5f, 0.25f), Array(4.0f, 8.0f), 4.0)
+    ).toDF("a", "b", "want")
+    df.select(graft.functions.VecDot.column(col("a"), col("b")).as("got"), col("want"))
+      .collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toSeq.toString))
+    // double arrays too (plane literals path)
+    val dd = Seq((Array(1.0, 2.0), Array(3.0, 4.0), 11.0)).toDF("a", "b", "want")
+    dd.select(graft.functions.VecDot.column(col("a"), col("b")).as("got"), col("want"))
+      .collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("GramHashes: 62-bit range, distinct, consistent with string gram count") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val rows = real.select(
+      size(graft.functions.NativeTextColumns.wordShingles(col("text"), 2)).as("n_str"),
+      graft.functions.NativeTextColumns.gramHashes(col("text"), 2).as("h"))
+      .collect()
+    rows.foreach { r =>
+      val hs = r.getSeq[Long](1)
+      assert(hs.length == r.getInt(0), "hash count must equal distinct gram count")
+      assert(hs.distinct.length == hs.length, "hashes must be distinct")
+      assert(hs.forall(v => v >= 0L && v < (1L << 62)), "62-bit range")
+    }
+  }
+
   test("connected components: chains collapse to min id, singletons self-cluster") {
     // 1-2, 2-3 (a chain), 5-6, singleton 9
     val ids = Seq(1L, 2L, 3L, 5L, 6L, 9L).toDF("id")
