@@ -106,6 +106,22 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(pr == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("native function family evaluates through the SQL surface") {
+    import graft.functions._
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("g_shingles", es => WordShingles(es.head, 2), "scala_udf")
+    reg.createOrReplaceTempFunction("g_minhash",
+      es => MinHashSignature(es.head, 8, 2), "scala_udf")
+    reg.createOrReplaceTempFunction("g_gramhash", es => GramHashes(es.head, 2), "scala_udf")
+    reg.createOrReplaceTempFunction("g_stats", es => TextStats(es.head), "scala_udf")
+    docs.createOrReplaceTempView("sql_docs")
+    val r = spark.sql(
+      """SELECT size(g_shingles(text)) s, size(g_minhash(text)) m,
+        |size(g_gramhash(text)) g, g_stats(text).n_tok t
+        |FROM sql_docs WHERE doc_id = 1""".stripMargin).collect()(0)
+    assert(r.getInt(0) == 8 && r.getInt(1) == 8 && r.getInt(2) == 8 && r.getInt(3) == 9)
+  }
+
   test("native SimHash64 expression: equals the column formulation, codegen-safe, SQL-registered") {
     val nonEmpty = docs.where(length(TextFunctions.normalizeText(col("text"))) > 0)
     val both = nonEmpty.select(col("doc_id"),
