@@ -1272,6 +1272,90 @@ object Queries {
       .orderBy("url")
   }
 
+  /** P1/CompatMode — the real Transforms.jumia in DAG-INLINE mode over
+    * the p1_jumia synth frame: DAG brand map, the DAG's own 3-pattern
+    * cascade, no-fallback product id, dict-only specs, 'new' condition,
+    * first-decimal rating. */
+  def p1JumiaDagTransform(s: SparkSession, dir: String): DataFrame = {
+    val k = col("p_partkey")
+    val raw = t(s, dir, "part").select(
+      when(k % 5 === 0, lit("Samsung Galaxy A14"))
+        .when(k % 5 === 1, lit("Xiaomi Redmi 12"))
+        .when(k % 5 === 2, lit("Telephone 128 Go stockage"))
+        .when(k % 5 === 3, lit("Infinix Hot Deal"))
+        .otherwise(lit("Oppo A58 écran 6.5\" neuf")).as("title"),
+      when(k % 3 === 0, lit("XIAOMI")).when(k % 3 === 1, lit(null).cast("string"))
+        .otherwise(lit("NULL")).as("brand"),
+      when(k % 4 === 0, lit("13,875")).when(k % 4 === 1, lit("1.299,00"))
+        .when(k % 4 === 2, lit("2499")).otherwise(lit("")).as("price"),
+      lit(null).cast("string").as("old_price"),
+      when(k % 4 === 0, lit("4.5 out of 5")).when(k % 4 === 1, lit("3/5"))
+        .when(k % 4 === 2, lit("")).otherwise(lit(null).cast("string")).as("rating"),
+      concat(lit("("), (k % 500).cast("string"), lit(" avis)")).as("reviews_count_text"),
+      concat(lit("https://www.jumia.ma/p"), lpad(k.cast("string"), 8, "0")).as("product_url"),
+      concat(lit("2026-02-"), lpad((k % 28 + 1).cast("string"), 2, "0")).as("scraped_at"),
+      lit(null).cast("string").as("description"),
+      when(k % 4 === 0, map(lit("Stockage interne"), lit("256 Go")))
+        .when(k % 4 === 1, map(lit("RAM"), lit("12 Go")))
+        .when(k % 4 === 3, map(lit("Couleur"), lit("Bleu")))
+        .otherwise(lit(null).cast("map<string,string>")).as("specs"))
+    val out = graft.transform.Transforms.jumia(raw, "2026-08-12T00:00:00",
+      graft.transform.CompatMode.DagInline)
+    out.select(
+      col("product_id"), col("brand"), col("model"), col("product_name"),
+      try_element_at(col("specifications"), lit("storage")).as("spec_storage"),
+      try_element_at(col("specifications"), lit("ram")).as("spec_ram"),
+      element_at(col("offers"), 1).getField("price").as("price"),
+      element_at(col("offers"), 1).getField("condition").as("condition"),
+      element_at(col("offers"), 1).getField("rating").as("rating"),
+      element_at(col("offers"), 1).getField("url").as("url"))
+      .orderBy("url")
+  }
+
+  val p1JumiaDagSql: String = {
+    val dagBrand = brandChain(graft.functions.ScalarFunctions.DagFieldBrandMap, "lcb")
+    s"""WITH r AS (
+       |  SELECT p_partkey,
+       |    CASE p_partkey % 5 WHEN 0 THEN 'Samsung Galaxy A14' WHEN 1 THEN 'Xiaomi Redmi 12'
+       |      WHEN 2 THEN 'Telephone 128 Go stockage' WHEN 3 THEN 'Infinix Hot Deal'
+       |      ELSE 'Oppo A58 écran 6.5" neuf' END AS title,
+       |    CASE p_partkey % 3 WHEN 0 THEN 'XIAOMI' WHEN 1 THEN NULL ELSE 'NULL' END AS brand,
+       |    CASE p_partkey % 4 WHEN 0 THEN '13,875' WHEN 1 THEN '1.299,00' WHEN 2 THEN '2499' ELSE '' END AS price,
+       |    CASE p_partkey % 4 WHEN 0 THEN '4.5 out of 5' WHEN 1 THEN '3/5' WHEN 2 THEN '' ELSE NULL END AS rating,
+       |    'https://www.jumia.ma/p' || lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS product_url,
+       |    CASE WHEN p_partkey % 4 = 0 THEN '256 Go' END AS storage_dict,
+       |    CASE WHEN p_partkey % 4 = 1 THEN '12 Go' END AS ram_dict
+       |  FROM part),
+       |b0 AS (SELECT *, lower(trim(coalesce(brand,''))) AS lcb FROM r),
+       |b1 AS (SELECT *,
+       |  CASE WHEN brand IS NULL OR brand = '' THEN 'Unknown'
+       |    ELSE CASE $dagBrand
+       |      ELSE upper(substr(brand,1,1)) || lower(substr(brand,2)) END END AS brand_out
+       |  FROM b0),
+       |m0 AS (SELECT *, trim(replace(lower(title), lower(brand_out), '')) AS tc FROM b1),
+       |m1 AS (SELECT *,
+       |  coalesce(
+       |    nullif(regexp_extract(tc, '([a-z]+\\s*[0-9]+\\w*\\s*[0-9]*\\w*)', 1), ''),
+       |    nullif(regexp_extract(tc, '([0-9]+\\s*[a-z]+\\s*[0-9]*)', 1), ''),
+       |    nullif(regexp_extract(tc, '([a-z]+\\s*[0-9]+)', 1), '')) AS rawm
+       |  FROM m0),
+       |m2 AS (SELECT *,
+       |  CASE WHEN title = '' THEN 'Unknown'
+       |    ELSE coalesce(nullif(trim(upper(rawm)), ''), 'Unknown') END AS model_out
+       |  FROM m1)
+       |SELECT
+       |  regexp_replace(lower(brand_out), '[^a-z0-9]', '', 'g') || '_' ||
+       |    regexp_replace(lower(model_out), '[^a-z0-9]', '', 'g') AS product_id,
+       |  brand_out AS brand, model_out AS model, trim(title) AS product_name,
+       |  storage_dict AS spec_storage, ram_dict AS spec_ram,
+       |  coalesce(CAST(nullif(regexp_extract(replace(regexp_replace(price, '[^0-9,.]', '', 'g'), ',', '.'), '[0-9]+\\.?[0-9]*', 0), '') AS DOUBLE), 0.0) AS price,
+       |  'new' AS condition,
+       |  CAST(coalesce(CAST(nullif(regexp_extract(rating, '([0-9]+\\.?[0-9]*)', 1), '') AS DOUBLE), 0.0) AS VARCHAR) AS rating,
+       |  product_url AS url
+       |FROM m2
+       |ORDER BY url""".stripMargin
+  }
+
   val p1JumiaSql: String = {
     val sharedBrand = brandChain(BrandMap, "lcb")
     // base-path model cascade: the synthesized brands never contain
@@ -2094,6 +2178,7 @@ object Queries {
     "p1_avito_transform" -> p1AvitoTransform,
     "p1_avito_dag" -> p1AvitoDagTransform,
     "p1_jumia_transform" -> p1JumiaTransform,
+    "p1_jumia_dag" -> p1JumiaDagTransform,
     "p4_positive_filter" -> p4PositiveFilter,
     "p6_multi_source" -> p6MultiSource,
     "j1_stats_join" -> j1StatsJoin,
@@ -2151,6 +2236,7 @@ object Queries {
     "p1_avito_transform" -> p1AvitoSql,
     "p1_avito_dag" -> p1AvitoDagSql,
     "p1_jumia_transform" -> p1JumiaSql,
+    "p1_jumia_dag" -> p1JumiaDagSql,
     "p4_positive_filter" -> p4Sql,
     "p6_multi_source" -> p6Sql,
     "j1_stats_join" -> j1Sql,

@@ -285,6 +285,35 @@ object ScalarFunctions {
       .otherwise(lit("used"))
   }
 
+  /** DAG-inline normalize_brand (dag:73-96): falsy-only missing check,
+    * the DAG's 17-key map (HONOR→Honor), Title Case fallback. */
+  def normalizeBrandDag(c: Column): Column = {
+    val s = coalesce(c.cast("string"), lit(""))
+    when(s === "", lit("Unknown"))
+      .otherwise(BrandMapLookup.column(s, DagFieldBrandMap, titleCaseFallback = true))
+  }
+
+  /** DAG-inline Jumia model cascade (dag:415-433): lowercase title minus
+    * the lowered normalized brand, three ordered patterns, first group
+    * uppercased+trimmed, else "Unknown". */
+  def extractModelJumiaDag(title: Column, brand: Column): Column = {
+    val t = coalesce(title.cast("string"), lit(""))
+    val tc = trim(replace(lower(t), lower(coalesce(brand.cast("string"), lit(""))), lit("")))
+    val pats = Seq(
+      "([a-z]+\\s*\\d+\\w*\\s*\\d*\\w*)",
+      "(\\d+\\s*[a-z]+\\s*\\d*)",
+      "([a-z]+\\s*\\d+)")
+    val m = coalesce(pats.map(p => nullif(regexp_extract(tc, p, 1), lit(""))): _*)
+    when(t === "", lit("Unknown"))
+      .otherwise(coalesce(nullif(trim(upper(m)), lit("")), lit("Unknown")))
+  }
+
+  /** DAG-inline Jumia rating (dag:480-488): first decimal, else 0.0. */
+  def extractRatingDag(c: Column): Column =
+    coalesce(
+      nullif(regexp_extract(c.cast("string"), "(\\d+\\.?\\d*)", 1), lit("")).cast("double"),
+      lit(0.0))
+
   /** F7 DAG-inline variant (dag:196-219, CompatMode.DagInline): ordered
     * substring map neuf/new/bon/good/excellent/moyen/fair/mauvais/poor —
     * 'excellent' maps to 'excellent' (the plugin path folds it into

@@ -68,7 +68,7 @@ object MarketEyePipeline {
         Schemas.avitoSchema), cfg.runTs, cfg.compat)
     case "Jumia" =>
       Transforms.jumia(JsonSource.loadSource(spark, cfg.rawDir, "Jumia",
-        Schemas.jumiaSchema), cfg.runTs)
+        Schemas.jumiaSchema), cfg.runTs, cfg.compat)
     case "Electroplanet" =>
       Transforms.electroplanet(JsonSource.loadSource(spark, cfg.rawDir, "Electroplanet",
         Schemas.electroplanetSchema), cfg.runTs)

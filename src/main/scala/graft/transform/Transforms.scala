@@ -134,7 +134,13 @@ object Transforms {
     * overrides even with an empty value, 'ram'/'storage'/'screen'
     * require one); naive price (preserves the "13,875" comma-decimal
     * quirk, committed golden jumia_transformed.json); condition "Neuf". */
-  def jumia(raw: DataFrame, runTs: String): DataFrame = {
+  def jumia(raw: DataFrame, runTs: String,
+            mode: CompatMode = CompatMode.Plugin): DataFrame = mode match {
+    case CompatMode.Plugin => jumiaPlugin(raw, runTs)
+    case CompatMode.DagInline => jumiaDag(raw, runTs)
+  }
+
+  private def jumiaPlugin(raw: DataFrame, runTs: String): DataFrame = {
     val stagedRaw = raw
       .withColumn("__graft_brand", normalizeBrandBase(col("brand")))
       .withColumn("__graft_model", extractModelBase(col("title"), col("__graft_brand")))
@@ -186,6 +192,51 @@ object Transforms {
       scrapedAt = col("scraped_at"))
     stagedRaw.select(unified(productIdBase(brand, model, col("title")), brand, model,
       col("title"), specs, off, "Jumia", runTs): _*)
+  }
+
+  /** Jumia DAG-inline variant (transform_jumia_item, dag:410-477): the
+    * DAG brand map (falsy-only, HONOR→Honor), the DAG's own 3-pattern
+    * title cascade, "{slug(brand)}_{slug(model)}" with NO fallback,
+    * dict-only ram/storage specs (same or/and precedence quirk; an
+    * unguarded 'stockage' key copies str(value) — null renders 'None'),
+    * condition 'new', first-decimal rating, no original_price field,
+    * scraped_at defaulting to the run timestamp. */
+  private def jumiaDag(raw: DataFrame, runTs: String): DataFrame = {
+    val stagedRaw = raw
+      .withColumn("__graft_brand", normalizeBrandDag(col("brand")))
+      .withColumn("__graft_model", extractModelJumiaDag(col("title"), col("__graft_brand")))
+    val brand = col("__graft_brand")
+    val model = col("__graft_model")
+    val entries = map_entries(coalesce(col("specs"), map().cast("map<string,string>")))
+    def truthy(e: Column): Column =
+      e.getField("value").isNotNull && e.getField("value") =!= ""
+    def rawRam(e: Column): Column =
+      lower(e.getField("key")).contains("ram") && truthy(e)
+    def rawSto(e: Column): Column = {
+      val k = lower(e.getField("key"))
+      k.contains("stockage") || (k.contains("storage") && truthy(e))
+    }
+    def lastEntry(pred: Column => Column): Column =
+      try_element_at(filter(entries, pred), lit(-1))
+    val ramE = lastEntry(e => rawRam(e))
+    val stoE = lastEntry(e => !rawRam(e) && rawSto(e))
+    val specs = specsMap(
+      "ram" -> when(ramE.isNotNull, ramE.getField("value").cast("string")),
+      "storage" -> when(stoE.isNotNull,
+        coalesce(stoE.getField("value").cast("string"), lit("None"))))
+    val off = offer("Jumia",
+      price = cleanPrice(col("price")),
+      originalPrice = lit(null).cast("double"),
+      condition = lit("new"),
+      sellerType = lit(null).cast("string"),
+      city = lit(null).cast("string"), area = lit(null).cast("string"),
+      rating = extractRatingDag(col("rating")).cast("string"),
+      reviews = col("reviews_count_text"),
+      url = col("product_url"), sellerName = lit(null).cast("string"),
+      scrapedAt = coalesce(col("scraped_at"), lit(runTs)))
+    stagedRaw.select(unified(
+      concat(slug(brand), lit("_"), slug(model)), brand, model,
+      trim(col("title")), specs, off, "Jumia", runTs): _*)
   }
 
   /** French spec keys mapped to the reference's canonical names
