@@ -71,7 +71,7 @@ object MarketEyePipeline {
         Schemas.jumiaSchema), cfg.runTs, cfg.compat)
     case "Electroplanet" =>
       Transforms.electroplanet(JsonSource.loadSource(spark, cfg.rawDir, "Electroplanet",
-        Schemas.electroplanetSchema), cfg.runTs)
+        Schemas.electroplanetSchema), cfg.runTs, cfg.compat)
     case other => throw new IllegalArgumentException(s"unknown source: $other")
   }
 

@@ -258,7 +258,13 @@ object Transforms {
     * copied under the reference's canonical names when truthy; rating
     * kept as the raw average_rating string ("20" — deliberately
     * unparsed); detailed_scraped_at preferred. */
-  def electroplanet(raw: DataFrame, runTs: String): DataFrame = {
+  def electroplanet(raw: DataFrame, runTs: String,
+                    mode: CompatMode = CompatMode.Plugin): DataFrame = mode match {
+    case CompatMode.Plugin => electroplanetPlugin(raw, runTs)
+    case CompatMode.DagInline => electroplanetDag(raw, runTs)
+  }
+
+  private def electroplanetPlugin(raw: DataFrame, runTs: String): DataFrame = {
     val specsIn = coalesce(col("specifications"), map())
     val modelField = try_element_at(specsIn, lit("Modèle"))
     val stagedRaw = raw
@@ -283,5 +289,49 @@ object Transforms {
       scrapedAt = coalesce(col("detailed_scraped_at"), col("scraped_at")))
     stagedRaw.select(unified(productIdBase(brand, model, col("name")), brand, model,
       col("name"), specs, off, "Electroplanet", runTs): _*)
+  }
+
+  /** Electroplanet DAG-inline variant (transform_electroplanet_item,
+    * dag:551-610) — the version that produced the repo's committed
+    * electroplanet_transformed.json (GoldenReplaySpec replays it
+    * byte-faithfully): DAG brand map, `Modèle` verbatim else ONE
+    * letters-digits pattern over the brand-stripped name, slug-only id,
+    * 3-key truthy spec mapping, condition 'new', raw average_rating,
+    * detailed_scraped_at falsy-or else scraped_at. */
+  private def electroplanetDag(raw: DataFrame, runTs: String): DataFrame = {
+    val specsIn = coalesce(col("specifications"), map())
+    val modelField = try_element_at(specsIn, lit("Modèle"))
+    val nm = coalesce(col("name").cast("string"), lit(""))
+    val stagedRaw = raw
+      .withColumn("__graft_brand", normalizeBrandDag(col("brand")))
+      .withColumn("__graft_model", {
+        val nc = trim(replace(lower(nm), lower(col("__graft_brand")), lit("")))
+        when(modelField.isNotNull && modelField =!= "", modelField)
+          .otherwise(coalesce(
+            nullif(upper(regexp_extract(nc, "([a-z]+\\s*\\d+\\w*)", 1)), lit("")),
+            lit("Unknown")))
+      })
+    val brand = col("__graft_brand")
+    val model = col("__graft_model")
+    val specs = specsMap(Seq(
+      "Capacité de stockage interne" -> "storage",
+      "Capacité de la RAM" -> "ram",
+      "Modèle" -> "model").map { case (fr, canon) =>
+      canon -> nullif(try_element_at(specsIn, lit(fr)), lit(""))
+    }: _*)
+    val off = offer("Electroplanet",
+      price = cleanPrice(col("price")),
+      originalPrice = lit(null).cast("double"),
+      condition = lit("new"),
+      sellerType = lit(null).cast("string"),
+      city = lit(null).cast("string"), area = lit(null).cast("string"),
+      rating = col("reviews_summary").getField("average_rating"),
+      reviews = col("reviews_summary").getField("total_reviews").cast("string"),
+      url = col("product_url"), sellerName = lit(null).cast("string"),
+      scrapedAt = coalesce(nullif(col("detailed_scraped_at"), lit("")),
+        col("scraped_at"), lit(runTs)))
+    stagedRaw.select(unified(
+      concat(slug(brand), lit("_"), slug(model)), brand, model,
+      trim(nm), specs, off, "Electroplanet", runTs): _*)
   }
 }

@@ -27,6 +27,62 @@ class GoldenReplaySpec extends SparkSuite {
 
   private val refData = "/root/reference/ETL-marketeye_airflow-main/data"
 
+  test("STRICT golden replay: the DAG-inline electroplanet transform reproduces the committed artifact exactly") {
+    // the committed electroplanet_transformed.json was produced by the
+    // DAG-inline transform (3-key specs, 'new' condition, single-pattern
+    // cascade, no original_price) — CompatMode.DagInline must reproduce
+    // EVERY field on all 80 real records
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(refData)))
+    val raw = graft.sources.JsonSource.readJsonAuto(spark,
+      Schemas.electroplanetSchema, Seq(s"$refData/raw/electroplanet_data.json"))
+    val ours = Transforms.electroplanet(raw, "replayTs",
+        graft.transform.CompatMode.DagInline)
+      .select(col("product_id"), col("brand"), col("model"), col("product_name"),
+        col("specifications"), element_at(col("offers"), 1).as("o"))
+      .collect().map(r => r.getAs[org.apache.spark.sql.Row]("o").getAs[String]("url") -> r).toMap
+
+    val committedSchema = StructType(Seq(
+      StructField("product_id", StringType),
+      StructField("brand", StringType),
+      StructField("model", StringType),
+      StructField("product_name", StringType),
+      StructField("specifications", MapType(StringType, StringType)),
+      StructField("offers", ArrayType(StructType(Seq(
+        StructField("source", StringType),
+        StructField("price", DoubleType),
+        StructField("original_price", DoubleType),
+        StructField("currency", StringType),
+        StructField("condition", StringType),
+        StructField("rating", StringType),
+        StructField("reviews_count", StringType),
+        StructField("url", StringType),
+        StructField("scraped_at", StringType)))))))
+    val committed = spark.read.option("multiLine", "true").schema(committedSchema)
+      .json(s"$refData/processed/electroplanet_transformed.json")
+      .select(col("product_id"), col("brand"), col("model"), col("product_name"),
+        col("specifications"), element_at(col("offers"), 1).as("o"))
+      .collect()
+    assert(committed.length == 80)
+
+    committed.foreach { want =>
+      val wo = want.getAs[org.apache.spark.sql.Row]("o")
+      val url = wo.getAs[String]("url")
+      val got = ours.getOrElse(url, fail(s"no replayed product for $url"))
+      val go = got.getAs[org.apache.spark.sql.Row]("o")
+      for (f <- Seq("product_id", "brand", "model", "product_name")) {
+        assert(got.getAs[Any](f) == want.getAs[Any](f),
+          s"$url $f: got ${got.getAs[Any](f)}, committed ${want.getAs[Any](f)}")
+      }
+      assert(got.getAs[Map[String, String]]("specifications") ==
+        want.getAs[Map[String, String]]("specifications"), s"$url specs")
+      for (f <- Seq("source", "price", "original_price", "currency", "condition",
+        "rating", "reviews_count", "scraped_at")) {
+        assert(go.getAs[Any](f) == wo.getAs[Any](f),
+          s"$url offer.$f: got ${go.getAs[Any](f)}, committed ${wo.getAs[Any](f)}")
+      }
+    }
+  }
+
   test("electroplanet golden replay: 80 real records match the committed transform") {
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(refData)))
     val raw = graft.sources.JsonSource.readJsonAuto(spark,
