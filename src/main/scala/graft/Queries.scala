@@ -1335,7 +1335,7 @@ object Queries {
        |m0 AS (SELECT *, trim(replace(lower(title), lower(brand_out), '')) AS tc FROM b1),
        |m1 AS (SELECT *,
        |  coalesce(
-       |    nullif(regexp_extract(tc, '([a-z]+\\s*[0-9]+\\w*\\s*[0-9]*\\w*)', 1), ''),
+       |    nullif(regexp_extract(tc, '([a-z]+\\s*[0-9]+[\\p{L}\\p{N}_]*\\s*[0-9]*[\\p{L}\\p{N}_]*)', 1), ''),
        |    nullif(regexp_extract(tc, '([0-9]+\\s*[a-z]+\\s*[0-9]*)', 1), ''),
        |    nullif(regexp_extract(tc, '([a-z]+\\s*[0-9]+)', 1), '')) AS rawm
        |  FROM m0),
@@ -1389,7 +1389,7 @@ object Queries {
        |  coalesce(
        |    nullif(regexp_extract(tc, '([0-9]+\\s*go|[0-9]+\\s*gb)', 1), ''),
        |    nullif(regexp_extract(tc, '([0-9]+\\s*go\\s+[0-9]+\\s*go\\s+ram)', 1), ''),
-       |    nullif(regexp_extract(tc, '([a-z]+\\s*[0-9]+\\w*)', 1), '')) AS rawm
+       |    nullif(regexp_extract(tc, '([a-z]+\\s*[0-9]+[\\p{L}\\p{N}_]*)', 1), '')) AS rawm
        |  FROM m0),
        |m2 AS (SELECT *,
        |  CASE WHEN title = '' THEN 'Unknown'

@@ -222,13 +222,18 @@ object ScalarFunctions {
     val titleStr = coalesce(title.cast("string"), lit(""))
     val brandLower = lower(coalesce(brand.cast("string"), lit("")))
     val tc = trim(replace(lower(titleStr), brandLower, lit("")))
+    // [\p{L}\p{N}_] instead of \w: Python's \w is unicode ('téléphone'
+    // extends a match through the accents — the committed artifacts pin
+    // 'S10 TÉLÉPHONE') while Java's is ASCII and RE2 has no (?U); the
+    // explicit class means the same thing in Java, RE2, and Python
+    val W = "[\\p{L}\\p{N}_]"
     val samsungPatterns = Seq(
-      "galaxy\\s+([a-z]\\d+\\w*\\s*\\d*\\w*)",
-      "([a-z]\\d+\\w*\\s*\\d*\\w*)\\s+")
+      s"galaxy\\s+([a-z]\\d+$W*\\s*\\d*$W*)",
+      s"([a-z]\\d+$W*\\s*\\d*$W*)\\s+")
     val genericPatterns = Seq(
       "(\\d+\\s*go|\\d+\\s*gb)",
       "(\\d+\\s*go\\s+\\d+\\s*go\\s+ram)",
-      "([a-z]+\\s*\\d+\\w*)")
+      s"([a-z]+\\s*\\d+$W*)")
     def firstMatch(pats: Seq[String]): Column =
       coalesce(pats.map(p => nullif(regexp_extract(tc, p, 1), lit(""))): _*)
     val raw = when(brandLower.contains("samsung"),
@@ -299,8 +304,10 @@ object ScalarFunctions {
   def extractModelJumiaDag(title: Column, brand: Column): Column = {
     val t = coalesce(title.cast("string"), lit(""))
     val tc = trim(replace(lower(t), lower(coalesce(brand.cast("string"), lit(""))), lit("")))
+    // unicode word class, matching Python's \w (see extractModelBase)
+    val W = "[\\p{L}\\p{N}_]"
     val pats = Seq(
-      "([a-z]+\\s*\\d+\\w*\\s*\\d*\\w*)",
+      s"([a-z]+\\s*\\d+$W*\\s*\\d*$W*)",
       "(\\d+\\s*[a-z]+\\s*\\d*)",
       "([a-z]+\\s*\\d+)")
     val m = coalesce(pats.map(p => nullif(regexp_extract(tc, p, 1), lit(""))): _*)

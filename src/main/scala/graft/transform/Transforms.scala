@@ -308,7 +308,7 @@ object Transforms {
         val nc = trim(replace(lower(nm), lower(col("__graft_brand")), lit("")))
         when(modelField.isNotNull && modelField =!= "", modelField)
           .otherwise(coalesce(
-            nullif(upper(regexp_extract(nc, "([a-z]+\\s*\\d+\\w*)", 1)), lit("")),
+            nullif(upper(regexp_extract(nc, "([a-z]+\\s*\\d+[\\p{L}\\p{N}_]*)", 1)), lit("")),
             lit("Unknown")))
       })
     val brand = col("__graft_brand")

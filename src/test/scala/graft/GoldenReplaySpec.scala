@@ -83,6 +83,33 @@ class GoldenReplaySpec extends SparkSuite {
     }
   }
 
+  test("committed jumia artifact: the DAG cascade + slug id reproduce all 2029 docs") {
+    // no raw Jumia scrape ships with the reference, but every committed
+    // doc's model and product_id must be a fixpoint of the DAG functions
+    // applied to its own product_name/brand — 2029 real titles exercise
+    // the cascade far beyond any synthesized fixture
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(refData)))
+    import graft.functions.ScalarFunctions
+    val committed = spark.read.option("multiLine", "true")
+      .schema(StructType(Seq(
+        StructField("product_id", StringType), StructField("brand", StringType),
+        StructField("model", StringType), StructField("product_name", StringType))))
+      .json(s"$refData/processed/jumia_transformed.json")
+    val checked = committed.select(
+      col("product_id"), col("model"),
+      ScalarFunctions.extractModelJumiaDag(col("product_name"), col("brand")).as("model_re"),
+      concat(ScalarFunctions.slug(col("brand")), lit("_"),
+        ScalarFunctions.slug(col("model"))).as("id_re"))
+      .collect()
+    assert(checked.length == 2029)
+    checked.foreach { r =>
+      assert(r.getAs[String]("model") == r.getAs[String]("model_re"),
+        s"model ${r.getAs[String]("model")} vs ${r.getAs[String]("model_re")}")
+      assert(r.getAs[String]("product_id") == r.getAs[String]("id_re"),
+        s"id ${r.getAs[String]("product_id")} vs ${r.getAs[String]("id_re")}")
+    }
+  }
+
   test("electroplanet golden replay: 80 real records match the committed transform") {
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(refData)))
     val raw = graft.sources.JsonSource.readJsonAuto(spark,
