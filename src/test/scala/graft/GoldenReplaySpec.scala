@@ -110,6 +110,45 @@ class GoldenReplaySpec extends SparkSuite {
     }
   }
 
+  test("committed anomaly run: deviation% and trop_haut/bas are formula fixpoints") {
+    // the committed 20:19 anomaly CSV carries (price, mean, std, deviation,
+    // type) per flagged offer — recomputing with OUR Z3/Z4 formulas from
+    // the same doubles must reproduce every committed value bit-exactly
+    // (shortest-roundtrip reprs parse back to the identical double)
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(refData)))
+    val all = spark.read.option("header", "true")
+      .option("multiLine", "true").option("escape", "\"")
+      .csv(s"$refData/processed/all_anomalies_20260102_201927.csv")
+      .select(col("anomaly_price").cast("double").as("p"),
+        col("market_mean").cast("double").as("m"),
+        col("market_std").cast("double").as("s"),
+        col("deviation_percent").cast("double").as("dev"),
+        col("anomaly_type"))
+      .collect()
+    assert(all.length > 100, s"expected a substantial committed run, got ${all.length}")
+    all.foreach { r =>
+      val (p, m, dev) = (r.getDouble(0), r.getDouble(1), r.getDouble(3))
+      assert(math.abs(p - m) / m * 100.0 == dev, s"deviation mismatch: $r")
+      assert(r.getString(4) == (if (p > m) "trop_haut" else "trop_bas"), s"type: $r")
+    }
+    // the 18:42 run's list additionally carries z-scores
+    val listed = spark.read.option("header", "true")
+      .option("multiLine", "true").option("escape", "\"")
+      .csv(s"$refData/processed/anomalies_list_20260102_184238.csv")
+      .select(col("anomaly_price").cast("double").as("p"),
+        col("market_mean_price").cast("double").as("m"),
+        col("z_score").cast("double").as("z"),
+        col("deviation_percent").cast("double").as("dev"))
+      .collect()
+    // the 18:42 CSV's quoting folds some records under multiLine parsing;
+    // every cleanly-parsed row must still satisfy the formulas
+    assert(listed.length >= 10)
+    listed.foreach { r =>
+      val (p, m, dev) = (r.getDouble(0), r.getDouble(1), r.getDouble(3))
+      assert(math.abs(p - m) / m * 100.0 == dev, s"deviation mismatch: $r")
+    }
+  }
+
   test("electroplanet golden replay: 80 real records match the committed transform") {
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(refData)))
     val raw = graft.sources.JsonSource.readJsonAuto(spark,
