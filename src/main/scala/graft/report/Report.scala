@@ -28,6 +28,38 @@ object Report {
        |""".stripMargin
   }
 
+  /** R1-DAG — the DAG-path report BYTE-EXACT (generate_report,
+    * dag:794-817): the Python triple-quoted f-string's leading newline,
+    * 12-space indentation (including on the "blank" lines), and trailing
+    * indent are all part of the committed artifacts and are preserved.
+    * GoldenReplaySpec reproduces a committed report file byte-for-byte
+    * from the committed statistics.json. (Formatting nit carried: Python
+    * :.2f rounds half-even where Java %.2f rounds half-up — no committed
+    * value sits on a boundary.) */
+  def dagReport(totalProducts: Long, totalOffers: Long, avgPrice: Double,
+                minPrice: Double, maxPrice: Double, sources: Seq[String],
+                generatedAt: String): String = {
+    val i = "            "
+    def f2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    "\n" +
+      i + "===========================================\n" +
+      i + s"RAPPORT ETL MARKETEYE - $generatedAt\n" +
+      i + "===========================================\n" +
+      i + "\n" +
+      i + "📊 RÉSUMÉ:\n" +
+      i + s"- Produits uniques: $totalProducts\n" +
+      i + s"- Offres totales: $totalOffers\n" +
+      i + s"- Prix moyen: ${f2(avgPrice)} MAD\n" +
+      i + s"- Prix min: ${f2(minPrice)} MAD\n" +
+      i + s"- Prix max: ${f2(maxPrice)} MAD\n" +
+      i + "\n" +
+      i + s"🌐 SOURCES: ${sources.mkString(", ")}\n" +
+      i + "\n" +
+      i + "✅ Pipeline exécuté avec succès!\n" +
+      i
+  }
+
   /** R2 — plugin-path report: adds top-5 brands and per-source /
     * per-condition distributions (marketeye_operators.py:431-471). */
   def detailed(merged: DataFrame, generatedAt: String): String = {

@@ -149,6 +149,24 @@ class GoldenReplaySpec extends SparkSuite {
     }
   }
 
+  test("DAG report golden: byte-for-byte against a committed report file") {
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(refData)))
+    // the committed statistics.json carries exactly the numbers the
+    // committed 2025-12-17 reports rendered
+    val stats = spark.read.option("multiLine", "true")
+      .json(s"$refData/processed/statistics.json").collect()(0)
+    val rendered = graft.report.Report.dagReport(
+      stats.getAs[Long]("total_products"), stats.getAs[Long]("total_offers"),
+      stats.getAs[Double]("avg_price"), stats.getAs[Double]("min_price"),
+      stats.getAs[Double]("max_price"),
+      stats.getSeq[String](stats.fieldIndex("sources")), "2025-12-17 18:58")
+    val committed = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$refData/processed/report_20251217_185824.txt")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(rendered == committed,
+      s"rendered:\n${rendered.replace(" ", "·")}\ncommitted:\n${committed.replace(" ", "·")}")
+  }
+
   test("electroplanet golden replay: 80 real records match the committed transform") {
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(refData)))
     val raw = graft.sources.JsonSource.readJsonAuto(spark,
