@@ -27,24 +27,37 @@ object Sinks {
     * (a single array file fundamentally cannot be written in parallel). */
   def writeJsonArray(df: DataFrame, stagingDir: String, outFile: String): Unit = {
     writeJson(df, stagingDir)
-    val parts = Option(new java.io.File(stagingDir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
-      .sortBy(_.getName)
+    // Hadoop FS API, not java.io: the staging dir is wherever the job
+    // writes (HDFS/S3/local) — a driver-local File listing would silently
+    // see nothing on a real cluster
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val stagingPath = new org.apache.hadoop.fs.Path(stagingDir)
+    val fs = stagingPath.getFileSystem(conf)
+    val parts = fs.listStatus(stagingPath).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".json"))
+      .sortBy(_.getName.toString)
+    val outPath = new org.apache.hadoop.fs.Path(outFile)
     val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-      new java.io.FileOutputStream(outFile), java.nio.charset.StandardCharsets.UTF_8))
+      outPath.getFileSystem(conf).create(outPath, true),
+      java.nio.charset.StandardCharsets.UTF_8))
     try {
       out.write("[\n")
       var first = true
       parts.foreach { p =>
-        val src = scala.io.Source.fromFile(p, "UTF-8")
-        try src.getLines().foreach { line =>
-          if (line.nonEmpty) {
-            if (!first) out.write(",\n")
-            out.write("  ")
-            out.write(line)
-            first = false
+        val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+          fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+        try {
+          var line = in.readLine()
+          while (line != null) {
+            if (line.nonEmpty) {
+              if (!first) out.write(",\n")
+              out.write("  ")
+              out.write(line)
+              first = false
+            }
+            line = in.readLine()
           }
-        } finally src.close()
+        } finally in.close()
       }
       out.write("\n]\n")
     } finally out.close()
