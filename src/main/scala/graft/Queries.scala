@@ -2076,6 +2076,47 @@ object Queries {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** X8 — per-document keyword extraction by inverse document frequency
+    * (the tf-idf family): token counts per (doc, term), document
+    * frequency over the corpus, score = tf·N/df, top-3 terms per doc
+    * with deterministic tie-breaks. The score uses only IEEE-exact
+    * multiply/divide — ln() is not correctly rounded and differs across
+    * engines in the last ulp, which would make an oracle flaky; the
+    * RANKING is what the operator delivers, and x·N/df orders the same
+    * families of terms as tf·ln(N/df) for fixed tf. Shuffles are keyed
+    * on (doc, term) and term — cardinality grows with data, never a
+    * driver-side collect. */
+  def x8KeywordTerms(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = d.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(idf, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") * col("n_docs") / col("df"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        round(col("score"), 4).as("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val x8Sql: String =
+    s"""WITH norm AS (SELECT doc_id, $normSql AS nt FROM documents),
+       |toks AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM norm WHERE nt <> ''),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+       |idf AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |n AS (SELECT count(*) AS n_docs FROM documents),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf, idf.df,
+       |    CAST(tf.tf AS DOUBLE) * n.n_docs / idf.df AS score
+       |  FROM tf JOIN idf USING (term) CROSS JOIN n),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc)
+       |SELECT doc_id, rank, term, tf, df, round(score, 4) AS score
+       |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   /** X3 — whitespace + BPE-ish token counting. */
   def x3TokenCount(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -2225,6 +2266,7 @@ object Queries {
     "x2_quality" -> x2Quality,
     "x3_token_count" -> x3TokenCount,
     "x7_quality_filter" -> x7QualityFilter,
+    "x8_keyword_terms" -> x8KeywordTerms,
     "x4_fingerprint" -> x4Fingerprint,
     "m1_multimodal_meta" -> m1MultimodalMeta
   )
@@ -2283,6 +2325,7 @@ object Queries {
     "x2_quality" -> x2Sql,
     "x3_token_count" -> x3Sql,
     "x7_quality_filter" -> x7Sql,
+    "x8_keyword_terms" -> x8Sql,
     "x4_fingerprint" -> x4Sql,
     "m1_multimodal_meta" -> m1Sql
   )
