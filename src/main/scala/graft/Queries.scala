@@ -608,8 +608,10 @@ object Queries {
 
   /** F4 — the 3-stage Avito-fixed brand extraction under its own oracle:
     * field (Avito field map incl. HONOR→Huawei) → title scan → model scan
-    * → Unknown. Fallback inputs are single-word so the Title-Case fallback
-    * is expressible in DuckDB (no initcap there). */
+    * → Unknown. The field-stage sentinel list is the reference's 4-entry
+    * one, so the 'NAN' fixture slot pins the Title-Case fallback ('Nan'),
+    * not the title scan. Fallback inputs are single-word so the Title-Case
+    * fallback is expressible in DuckDB (no initcap there). */
   def f4BrandFixed(s: SparkSession, dir: String): DataFrame = {
     val k = col("p_partkey")
     val brand = when(k % 8 === 0, lit("HONOR 90"))
@@ -619,7 +621,7 @@ object Queries {
       .when(k % 8 === 4, lit(""))
       .when(k % 8 === 5, lit("Galaxy"))
       .when(k % 8 === 6, lit("Moto G84"))
-      .otherwise(lit(null).cast("string"))
+      .otherwise(lit("NAN"))
     val title = when(k % 8 === 1, lit("Honor Magic 5"))
       .when(k % 8 === 2, lit("no known maker here"))
       .when(k % 8 === 4, lit(""))
@@ -638,7 +640,7 @@ object Queries {
        |  SELECT p_partkey,
        |    CASE p_partkey % 8 WHEN 0 THEN 'HONOR 90' WHEN 1 THEN NULL WHEN 2 THEN 'NULL'
        |      WHEN 3 THEN 'weirdbrand' WHEN 4 THEN '' WHEN 5 THEN 'Galaxy'
-       |      WHEN 6 THEN 'Moto G84' ELSE NULL END AS brand,
+       |      WHEN 6 THEN 'Moto G84' ELSE 'NAN' END AS brand,
        |    CASE p_partkey % 8 WHEN 1 THEN 'Honor Magic 5' WHEN 2 THEN 'no known maker here'
        |      WHEN 4 THEN '' WHEN 7 THEN 'Sony Xperia' ELSE 'some phone' END AS title,
        |    CASE p_partkey % 8 WHEN 2 THEN 'poco x5' ELSE NULL END AS model
@@ -646,7 +648,7 @@ object Queries {
        |l AS (SELECT p_partkey, brand, lower(trim(coalesce(brand,''))) AS lcb,
        |  lower(coalesce(title,'')) AS lct, lower(coalesce(model,'')) AS lcm FROM r)
        |SELECT p_partkey,
-       |  CASE WHEN brand IS NOT NULL AND upper(trim(brand)) NOT IN ('','NULL','NONE','INCONNU','UNKNOWN','NAN')
+       |  CASE WHEN brand IS NOT NULL AND upper(trim(brand)) NOT IN ('','NULL','NONE','INCONNU')
        |    THEN CASE ${brandChain(graft.functions.ScalarFunctions.AvitoFieldBrandMap, "lcb")}
        |      ELSE upper(substr(trim(brand),1,1)) || lower(substr(trim(brand),2)) END
        |    ELSE coalesce(
@@ -751,7 +753,12 @@ object Queries {
     val brand = when(k % 6 === 0, lit("Samsung")).when(k % 6 === 1, lit("Xiaomi"))
       .when(k % 6 === 2, lit("Apple")).when(k % 6 === 3, lit(null).cast("string"))
       .when(k % 6 === 4, lit("Samsung")).otherwise(lit("Oppo"))
-    val model = when(k % 6 === 4, lit("SM-S936B")).otherwise(lit(null).cast("string"))
+    // model 'INCONNU' pins the 4-entry field-stage sentinel list: it is
+    // NOT a sentinel there (unlike the shared list), so it passes through
+    // the cleaning stage verbatim instead of falling to the title cascade
+    val model = when(k % 6 === 4, lit("SM-S936B"))
+      .when(k % 6 === 2, lit("INCONNU"))
+      .otherwise(lit(null).cast("string"))
     t(s, dir, "part")
       .withColumn("title", title).withColumn("brand", brand).withColumn("model", model)
       .select(col("p_partkey"), col("title"),
@@ -769,14 +776,14 @@ object Queries {
       |    CASE p_partkey % 6 WHEN 0 THEN 'Samsung' WHEN 1 THEN 'Xiaomi'
       |      WHEN 2 THEN 'Apple' WHEN 3 THEN NULL WHEN 4 THEN 'Samsung'
       |      ELSE 'Oppo' END AS brand,
-      |    CASE p_partkey % 6 WHEN 4 THEN 'SM-S936B' ELSE NULL END AS model
+      |    CASE p_partkey % 6 WHEN 4 THEN 'SM-S936B' WHEN 2 THEN 'INCONNU' ELSE NULL END AS model
       |  FROM part),
       |ff AS (
       |  SELECT p_partkey, title,
-      |    CASE WHEN model IS NOT NULL AND upper(trim(model)) NOT IN ('','NULL','NONE','INCONNU','UNKNOWN','NAN')
-      |      THEN (CASE WHEN upper(trim(regexp_replace(regexp_replace(model,'[^A-Za-z0-9]+',' ','g'),'\s+',' ','g'))) IN ('','NULL','NONE','INCONNU','UNKNOWN','NAN')
+      |    CASE WHEN model IS NOT NULL AND upper(trim(model)) NOT IN ('','NULL','NONE','UNKNOWN')
+      |      THEN (CASE WHEN upper(trim(regexp_replace(regexp_replace(model,'[^\p{L}\p{N}_\s]+',' ','g'),'\s+',' ','g'))) = ''
       |              THEN 'Unknown'
-      |              ELSE upper(trim(regexp_replace(regexp_replace(model,'[^A-Za-z0-9]+',' ','g'),'\s+',' ','g'))) END)
+      |              ELSE upper(trim(regexp_replace(regexp_replace(model,'[^\p{L}\p{N}_\s]+',' ','g'),'\s+',' ','g'))) END)
       |      ELSE NULL END AS from_field,
       |    regexp_replace(replace(upper(coalesce(title,'')), upper(coalesce(brand,' ')), ' '), '[^A-Z0-9 ]+', ' ', 'g') AS tnb
       |  FROM r),
@@ -1029,7 +1036,7 @@ object Queries {
        |b0 AS (SELECT *, lower(trim(coalesce(brand,''))) AS lcb, lower(coalesce(title,'')) AS lct,
        |  lower(coalesce(model,'')) AS lcm FROM r),
        |b1 AS (SELECT *,
-       |  CASE WHEN brand IS NOT NULL AND upper(trim(brand)) NOT IN $sentinelsSql
+       |  CASE WHEN brand IS NOT NULL AND upper(trim(brand)) NOT IN ('','NULL','NONE','INCONNU')
        |    THEN CASE $avitoField
        |      ELSE upper(substr(trim(brand),1,1)) || lower(substr(trim(brand),2)) END
        |    ELSE coalesce(
@@ -1038,10 +1045,10 @@ object Queries {
        |      'Unknown') END AS brand_out
        |  FROM b0),
        |m0 AS (SELECT *,
-       |  CASE WHEN model IS NOT NULL AND upper(trim(model)) NOT IN $sentinelsSql
-       |    THEN (CASE WHEN upper(trim(regexp_replace(regexp_replace(model,'[^A-Za-z0-9]+',' ','g'),'\\s+',' ','g'))) IN $sentinelsSql
+       |  CASE WHEN model IS NOT NULL AND upper(trim(model)) NOT IN ('','NULL','NONE','UNKNOWN')
+       |    THEN (CASE WHEN upper(trim(regexp_replace(regexp_replace(model,'[^\\p{L}\\p{N}_\\s]+',' ','g'),'\\s+',' ','g'))) = ''
        |            THEN 'Unknown'
-       |            ELSE upper(trim(regexp_replace(regexp_replace(model,'[^A-Za-z0-9]+',' ','g'),'\\s+',' ','g'))) END)
+       |            ELSE upper(trim(regexp_replace(regexp_replace(model,'[^\\p{L}\\p{N}_\\s]+',' ','g'),'\\s+',' ','g'))) END)
        |    ELSE NULL END AS from_field,
        |  regexp_replace(replace(upper(coalesce(title,'')), upper(coalesce(brand_out,' ')), ' '), '[^A-Z0-9 ]+', ' ', 'g') AS tnb
        |  FROM b1),

@@ -110,10 +110,15 @@ case class MergeProductRows(child: Expression, dedupPerProduct: Boolean)
     while (i < n) {
       val r = rows(i)
       skip = false
-      if (dedupPerProduct && !r.isNullAt(OfferIdx)) {
-        val o = r.getStruct(OfferIdx, offerT.length)
-        val key = (if (o.isNullAt(srcFieldIdx)) null else o.getUTF8String(srcFieldIdx),
-          if (o.isNullAt(urlFieldIdx)) null else o.getUTF8String(urlFieldIdx))
+      if (dedupPerProduct) {
+        // a null offer keys as (null,null) — identical to the window
+        // formulation this fold replaced (partitionBy offer.source,
+        // offer.url groups null offers together and keeps the first)
+        val key = if (r.isNullAt(OfferIdx)) (null, null) else {
+          val o = r.getStruct(OfferIdx, offerT.length)
+          (if (o.isNullAt(srcFieldIdx)) null else o.getUTF8String(srcFieldIdx),
+            if (o.isNullAt(urlFieldIdx)) null else o.getUTF8String(urlFieldIdx))
+        }
         skip = !seen.add(key)
       }
       if (skip) { i += 1 }

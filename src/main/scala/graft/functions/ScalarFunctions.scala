@@ -29,6 +29,19 @@ object ScalarFunctions {
   def isPresent(c: Column): Column =
     c.isNotNull && !upper(trim(c)).isin(Sentinels: _*)
 
+  /** The Avito-fixed BRAND field-stage sentinel list is shorter than the
+    * shared one — ['', 'NULL', 'NONE', 'INCONNU'] only
+    * (avito_extractor.py:94), so brand='NAN' is *present* there and
+    * Title-Cases to 'Nan' instead of falling to the title scan. */
+  private val BrandFieldSentinels = Seq("", "NULL", "NONE", "INCONNU")
+
+  /** …and the MODEL field stage has its own list again —
+    * ['', 'NULL', 'NONE', 'UNKNOWN'] (avito_extractor.py:150). */
+  private val ModelFieldSentinels = Seq("", "NULL", "NONE", "UNKNOWN")
+
+  private def presentPer(c: Column, sentinels: Seq[String]): Column =
+    c.isNotNull && !upper(trim(c)).isin(sentinels: _*)
+
   /** F10 — safe_string: null→"", passthrough otherwise (numbers already cast
     * upstream). Ref: base_extractor.py:32-38. */
   def safeString(c: Column): Column = coalesce(c.cast("string"), lit(""))
@@ -132,11 +145,14 @@ object ScalarFunctions {
 
   /** F4 — 3-stage Avito brand: explicit field (Avito field map) → title
     * scan → model scan (Avito title map) → "Unknown". Bug-for-bug with
-    * the reference's fixed path, including HONOR→'Huawei'.
+    * the reference's fixed path, including HONOR→'Huawei' and the
+    * 4-entry field-stage sentinel list (brand='NAN'/'UNKNOWN' is present
+    * there → Title-Case fallback 'Nan'/'Unknown', never the title scan).
     * Ref: avito_extractor.py:90-145. */
   def extractBrandFixed(brand: Column, title: Column, model: Column): Column =
     coalesce(
-      when(isPresent(brand), normalizeBrand(brand, AvitoFieldBrandMap)),
+      when(presentPer(brand, BrandFieldSentinels),
+        BrandMapLookup.column(trim(brand), AvitoFieldBrandMap, titleCaseFallback = true)),
       brandFromTitle(title, AvitoTitleBrandMap),
       brandFromTitle(model, AvitoTitleBrandMap),
       lit("Unknown"))
@@ -175,12 +191,14 @@ object ScalarFunctions {
     * Ref: avito_extractor.py:171. */
   private val MarketingWords = "\\b(ULTRA|PRO|PLUS|MAX|MINI|LITE)\\b"
 
-  /** F11 — clean_model_name: non-alnum→space, collapse, UPPER, ""→Unknown.
-    * Ref: base_extractor.py:141-150. */
+  /** F11 — clean_model_name: non-alnum→space, collapse, UPPER; only the
+    * EMPTY result (or empty/null input) falls back to "Unknown" — the
+    * reference has no sentinel list here, so 'NONE!' cleans to 'NONE'.
+    * Ref: base_extractor.py:141-152. */
   def cleanModelName(c: Column): Column = {
     val cleaned = upper(trim(regexp_replace(
       regexp_replace(c, "[^A-Za-z0-9]+", " "), "\\s+", " ")))
-    when(!isPresent(cleaned), lit("Unknown")).otherwise(cleaned)
+    when(cleaned.isNull || cleaned === "", lit("Unknown")).otherwise(cleaned)
   }
 
   /** F5 — the Avito-FIXED model extraction: the `model` field when
@@ -191,7 +209,13 @@ object ScalarFunctions {
     * Ref: avito_extractor.py:147-195. */
   def extractModel(model: Column, title: Column, brand: Column,
                    stripMarketing: Boolean = true): Column = {
-    val fromField = when(isPresent(model), cleanModelName(model))
+    // field stage: 4-entry sentinel list (model='INCONNU'/'NAN' is
+    // present → cleaned verbatim); cleaning keeps unicode letters like
+    // the reference's \w class (avito_extractor.py:150-155)
+    val fieldCleaned = upper(trim(regexp_replace(
+      regexp_replace(model, "[^\\p{L}\\p{N}_\\s]+", " "), "\\s+", " ")))
+    val fromField = when(presentPer(model, ModelFieldSentinels),
+      when(fieldCleaned === "", lit("Unknown")).otherwise(fieldCleaned))
     // strip the brand (canonical + raw) from the title before pattern scan
     val t0 = upper(coalesce(title, lit("")))
     val tNoBrand = regexp_replace(

@@ -178,31 +178,39 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .cache()
+    // a corpus with zero near-dup pairs is a legitimate, common input:
+    // every document is its own cluster, no iteration needed (and the
+    // loop below would otherwise run one vacuous round over empty frames)
+    if (edges.isEmpty) {
+      edges.unpersist()
+      return ids.select(col("id"), col("id").as("cluster_id"))
+    }
     // iterate ONLY over nodes that have an edge: singletons (the vast
     // majority of a near-dup corpus) can never change label, so they
     // join back in one final pass instead of riding every round's
     // shuffles — the loop's working set is the non-singleton subgraph
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).cache()
-    // labels only ever decrease, so the label sum is strictly monotone
-    // while anything changes — a one-aggregate convergence check instead
-    // of a next-vs-previous join per round
-    var prevSum: Option[Long] = None
+    // convergence: carry each node's previous label through the same
+    // aggregation (labels only ever decrease, so unchanged ⟺ fixpoint).
+    // An exact emptiness probe on the cached round result — works for any
+    // id type (string doc ids included), no driver-side numeric fold
     var converged = false
     while (!converged) {
       val propagated = edges
-        .join(labels.withColumnRenamed("id", "src"), "src")
+        .join(labels.withColumnRenamed("id", "src").select("src", "label"), "src")
         .select(col("dst").as("id"), col("label"))
-      val next = labels.select("id", "label").union(propagated)
-        .groupBy("id").agg(min("label").as("label")).cache()
-      val s = next.agg(sum("label")).collect()(0).getLong(0)
-      converged = prevSum.contains(s)
-      prevSum = Some(s)
+      val next = labels
+        .select(col("id"), col("label"), col("label").as("prev"))
+        .union(propagated.select(col("id"), col("label"), lit(null).as("prev")))
+        .groupBy("id").agg(min("label").as("label"), max("prev").as("prev"))
+        .cache()
+      converged = next.where(col("label") =!= col("prev")).isEmpty
       labels.unpersist()
       labels = next
     }
     edges.unpersist()
-    ids.join(labels, Seq("id"), "left")
+    ids.join(labels.select("id", "label"), Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
   }
 

@@ -148,16 +148,28 @@ object Sinks {
     * URLs this just opens and closes a connection. */
   def ensureDatabase(url: String, props: java.util.Properties): Unit = {
     if (url.startsWith("jdbc:postgresql:")) {
-      val slash = url.lastIndexOf('/')
-      val (base, db) = (url.substring(0, slash), url.substring(slash + 1))
-      val conn = java.sql.DriverManager.getConnection(s"$base/postgres", props)
+      // jdbc:postgresql://host:port/db?user=x&ssl=true — the db name is
+      // the last path segment BEFORE any query string; query params stay
+      // on the admin connection so credentials/ssl flags keep working
+      val q = url.indexOf('?')
+      val (path, query) = if (q >= 0) (url.substring(0, q), url.substring(q)) else (url, "")
+      val slash = path.lastIndexOf('/')
+      val (base, db) = (path.substring(0, slash), path.substring(slash + 1))
+      val conn = java.sql.DriverManager.getConnection(s"$base/postgres$query", props)
       try {
-        val rs = conn.createStatement()
-          .executeQuery(s"SELECT 1 FROM pg_database WHERE datname = '$db'")
-        val exists = try rs.next() finally rs.close()
+        // parameterized probe (db names are data, not SQL)
+        val ps = conn.prepareStatement("SELECT 1 FROM pg_database WHERE datname = ?")
+        val exists = try {
+          ps.setString(1, db)
+          val rs = ps.executeQuery()
+          try rs.next() finally rs.close()
+        } finally ps.close()
         if (!exists) {
+          // CREATE DATABASE cannot be parameterized; quote the identifier
+          // (double any embedded quotes) so unusual names cannot escape
+          val quoted = "\"" + db.replace("\"", "\"\"") + "\""
           val st = conn.createStatement()
-          try st.execute(s"CREATE DATABASE $db") finally st.close()
+          try st.execute(s"CREATE DATABASE $quoted") finally st.close()
         }
       } finally conn.close()
     } else {

@@ -253,11 +253,15 @@ object Transforms {
 
   /** Electroplanet — faithful to electroplanet_extractor.py:14-77:
     * BASE-path brand from the `brand` field only (no Marque/title
-    * fallbacks); model is the `Modèle` spec VERBATIM when truthy (no
-    * cleaning pass) else the BASE title cascade; BASE product id; specs
-    * copied under the reference's canonical names when truthy; rating
-    * kept as the raw average_rating string ("20" — deliberately
-    * unparsed); detailed_scraped_at preferred. */
+    * fallbacks); model is the `Modèle` spec VERBATIM when truthy AND not
+    * the literal 'Unknown' (`specs.get('Modèle') or "Unknown"` followed
+    * by `if model == "Unknown"` re-runs the title cascade on both an
+    * absent spec and a spec that literally says 'Unknown'); BASE
+    * product id; specs copied under the reference's canonical names when
+    * truthy; price via the BASE clean_price (','→'.', so "13,875" parses
+    * 13.875 — the extractor calls self.clean_price, not the fixed
+    * variant); rating kept as the raw average_rating string ("20" —
+    * deliberately unparsed); detailed_scraped_at preferred. */
   def electroplanet(raw: DataFrame, runTs: String,
                     mode: CompatMode = CompatMode.Plugin): DataFrame = mode match {
     case CompatMode.Plugin => electroplanetPlugin(raw, runTs)
@@ -270,7 +274,8 @@ object Transforms {
     val stagedRaw = raw
       .withColumn("__graft_brand", normalizeBrandBase(col("brand")))
       .withColumn("__graft_model",
-        when(modelField.isNotNull && modelField =!= "", modelField)
+        when(modelField.isNotNull && modelField =!= "" && modelField =!= "Unknown",
+            modelField)
           .otherwise(extractModelBase(col("name"), col("__graft_brand"))))
     val brand = col("__graft_brand")
     val model = col("__graft_model")
@@ -278,8 +283,8 @@ object Transforms {
       canon -> nullif(try_element_at(specsIn, lit(fr)), lit(""))
     }: _*)
     val off = offer("Electroplanet",
-      price = extractPriceFixed(col("price")),
-      originalPrice = extractPriceFixed(col("old_price")),
+      price = cleanPrice(col("price")),
+      originalPrice = cleanPrice(col("old_price")),
       condition = lit("Neuf"),
       sellerType = lit(null).cast("string"),
       city = lit(null).cast("string"), area = lit(null).cast("string"),

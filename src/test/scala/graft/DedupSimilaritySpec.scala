@@ -212,6 +212,23 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
   }
 
+  test("connected components: empty pair set → every id self-clusters (no NPE)") {
+    val ids = Seq(4L, 7L).toDF("id")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(4L -> 4L, 7L -> 7L))
+  }
+
+  test("connected components: string doc ids cluster to the lexicographic min") {
+    val ids = Seq("doc-a", "doc-b", "doc-c", "doc-z").toDF("id")
+    val pairs = Seq(("doc-b", "doc-c"), ("doc-a", "doc-b")).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(ids, pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("doc-a" -> "doc-a", "doc-b" -> "doc-a",
+      "doc-c" -> "doc-a", "doc-z" -> "doc-z"))
+  }
+
   test("verifyJaccard plan: the corpus gram-set table is never broadcast") {
     val nonEmpty = docs.where(length(TextFunctions.normalizeText(col("text"))) > 0)
     val verified = Dedup.minhashNearDup(nonEmpty, "text", "doc_id",

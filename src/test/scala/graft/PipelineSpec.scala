@@ -107,6 +107,28 @@ class PipelineSpec extends SparkSuite {
       res.statsJson)
   }
 
+  test("P1 electroplanet plugin: 'Modèle'='Unknown' re-runs the title cascade; price is BASE clean_price") {
+    import org.apache.spark.sql.functions._
+    val raw = tempDir("electro_unknown")
+    // the reference's `specs.get('Modèle') or "Unknown"` + `if model ==
+    // "Unknown"` means a spec that LITERALLY says 'Unknown' falls to the
+    // title cascade (electroplanet_extractor.py:18-20); price goes through
+    // BASE clean_price, so a comma-decimal "13,875" parses 13.875
+    write(raw, "electroplanet_data.json",
+      """[
+        |{"product_url":"https://www.electroplanet.ma/u1.html","name":"XIAOMI REDMI NOTE 13 128GB","brand":"Xiaomi","price":"13,875 DH","store":"Electroplanet","scraped_at":"2026-01-01 02:21:12","specifications":{"Modèle":"Unknown"},"reviews_summary":{"average_rating":"20","total_reviews":1}},
+        |{"product_url":"https://www.electroplanet.ma/u2.html","name":"SAMSUNG GALAXY S24","brand":"Samsung","price":"9 490 DH","store":"Electroplanet","scraped_at":"2026-01-01 02:21:12","specifications":{"Modèle":"S24 ULTRA"},"reviews_summary":{"average_rating":"20","total_reviews":1}}
+        |]""".stripMargin)
+    val rawDf = graft.sources.JsonSource.readJsonAuto(spark,
+      graft.schema.Schemas.electroplanetSchema, Seq(s"$raw/electroplanet_data.json"))
+    val got = graft.transform.Transforms.electroplanet(rawDf, "ts")
+      .select(col("product_id"), col("model"),
+        element_at(col("offers"), 1).getField("price").as("price"))
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(got("xiaomi_128gb") == ("128GB", 13.875))  // cascade ran; comma-decimal quirk
+    assert(got("samsung_s24ultra")._1 == "S24 ULTRA") // verbatim spec model kept
+  }
+
   test("S4b array sink: JSONL parts re-framed as one parseable JSON array") {
     import spark.implicits._
     val out = tempDir("arraysink")

@@ -63,7 +63,13 @@ class ScalarFunctionsSpec extends SparkSuite {
       ("SAMSUNG", "whatever", "x", "Samsung"),
       ("NULL", "Galaxy S24 Ultra", "x", "Samsung"),
       (null, "telephone", "redmi note 12", "Xiaomi"),
-      (null, "telephone", "telephone", "Unknown")
+      (null, "telephone", "telephone", "Unknown"),
+      // the FIELD-stage sentinel list is only ['','NULL','NONE','INCONNU']
+      // (avito_extractor.py:94): 'NAN'/'UNKNOWN' are present there and
+      // Title-Case instead of falling through to the title scan
+      ("NAN", "Sony Xperia", null, "Nan"),
+      ("UNKNOWN", "Sony Xperia", null, "Unknown"),
+      ("INCONNU", "Sony Xperia", null, "Sony")
     ).toDF("brand", "title", "model", "want")
     val got = df.select(extractBrandFixed(col("brand"), col("title"), col("model")), col("want"))
       .collect()
@@ -129,6 +135,32 @@ class ScalarFunctionsSpec extends SparkSuite {
       .toDF("model", "title", "brand")
     val got = df.select(extractModel(col("model"), col("title"), col("brand"))).collect()(0).getString(0)
     assert(got == "S24 512GB")
+  }
+
+  test("F5 field stage: 4-entry sentinel list and unicode-aware cleaning") {
+    val cases = Seq(
+      // 'INCONNU' is NOT a model-field sentinel (avito_extractor.py:150):
+      // it passes through the cleaning stage verbatim
+      ("INCONNU", "Samsung Galaxy S24", "Samsung", "INCONNU"),
+      // 'UNKNOWN' IS one → title cascade runs
+      ("UNKNOWN", "Samsung Galaxy S24", "Samsung", "S24"),
+      // unicode \w parity: accents survive the [^\w\s] cleaning
+      ("Téléphone X1", "t", "b", "TÉLÉPHONE X1"),
+      // cleaning can null out a present field only via emptiness
+      ("!!!", "Samsung Galaxy S24", "Samsung", "Unknown"))
+    cases.foreach { case (m, t, b, want) =>
+      val got = Seq((m, t, b)).toDF("model", "title", "brand")
+        .select(extractModel(col("model"), col("title"), col("brand")))
+        .collect()(0).getString(0)
+      assert(got == want, s"extractModel(model=$m)")
+    }
+  }
+
+  test("F11 clean_model_name: empty-only fallback, no sentinel list (base_extractor.py:141-152)") {
+    assert(eval1("none!", cleanModelName) == "NONE")
+    assert(eval1("Galaxy-S24", cleanModelName) == "GALAXY S24")
+    assert(eval1("  ", cleanModelName) == "Unknown")
+    assert(eval1(null.asInstanceOf[String], cleanModelName) == "Unknown")
   }
 
   test("F6 product_id: slug, token fallback, md5 fallback; always [a-z0-9_]*") {
