@@ -20,11 +20,18 @@ object Bench {
     System.setProperty("graft.cacheTables", "true")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
+    // reducer count: HALF the cores, measured fastest across the catalog
+    // (32 reducers on local[32] pay more per-task scheduling than the
+    // extra width buys at sf0.1; explode-amplified stages re-widen
+    // explicitly — see Dedup.pairsFromGroups). On a real cluster this is
+    // per-job tuned to data volume; AQE still coalesces below this.
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      math.max(1, cpus.toInt / 2).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // AQE decides broadcasts from ACTUAL runtime sizes, so a higher
       // ceiling is safe at any scale (it can never broadcast something
       // big); 64 MB lets the mid-size build sides of the pair pipelines

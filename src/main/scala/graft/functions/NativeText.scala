@@ -135,11 +135,34 @@ object NativeText {
         ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
       seen.add(h1 * 1073741824L + (h2 >> 2))
     }
-    val out = new Array[Any](seen.size())
+    val out = new Array[Long](seen.size())
     var i = 0
     val it = seen.iterator()
     while (it.hasNext) { out(i) = it.next().longValue(); i += 1 }
-    new GenericArrayData(out)
+    // sorted so consumers can merge-intersect (set semantics — order
+    // carries no information; every consumer is order-insensitive)
+    java.util.Arrays.sort(out)
+    new GenericArrayData(out.map(Long.box).toArray[Any])
+  }
+
+  /** |a ∩ b| of two SORTED distinct long arrays by linear merge — the
+    * compiled twin of size(array_intersect(a, b)), which builds a hash
+    * set per evaluation; on the pair-verify hot path that allocation
+    * dominates. Codegen entry point. */
+  def sortedIntersectSize(a: ArrayData, b: ArrayData): Int = {
+    var i = 0
+    var j = 0
+    var n = 0
+    val na = a.numElements()
+    val nb = b.numElements()
+    while (i < na && j < nb) {
+      val va = a.getLong(i)
+      val vb = b.getLong(j)
+      if (va == vb) { n += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    n
   }
 
   /** One-pass text statistics (codegen entry point for [[TextStats]]). */
@@ -257,9 +280,29 @@ case class SortedPairs(child: Expression)
   override protected def withNewChildInternal(c: Expression): SortedPairs = copy(child = c)
 }
 
+/** int |a ∩ b| of two sorted distinct long arrays — see
+  * [[NativeText.sortedIntersectSize]]. */
+case class SortedIntersectSize(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_sorted_intersect_size"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NativeText.sortedIntersectSize(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.NativeText.sortedIntersectSize($a, $b);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectSize =
+    copy(left = l, right = r)
+}
+
 object NativeTextColumns {
   def wordShingles(c: Column, n: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(c), n))
+  def sortedIntersectSize(a: Column, b: Column): Column =
+    GraftBridge.column(SortedIntersectSize(GraftBridge.expression(a), GraftBridge.expression(b)))
   def gramHashes(c: Column, n: Int): Column =
     GraftBridge.column(GramHashes(GraftBridge.expression(c), n))
   def minhashSignature(c: Column, numHashes: Int, shingleN: Int): Column =

@@ -14,30 +14,35 @@ import org.apache.spark.sql.functions._
   *     z-score (k·σ, the 18:42 reference run) and IQR fences (the 20:19
   *     run's distribution-shaped rule).
   *
-  * Scale notes: group stats are computed with window functions over a
-  * single hash-partition of the group key — one shuffle, no self-join, and
-  * the same shuffle serves the per-offer metrics. Sums run in decimal
-  * (exact, order-insensitive) then cast to double, so results are
-  * deterministic under any partitioning — required both for the DuckDB
-  * oracle hash-match and for reproducible runs on a 1000-executor cluster.
+  * Scale notes: group stats are a hash AGGREGATION joined back to the
+  * offers, not a window. A whole-partition window must hash-partition AND
+  * fully sort every offer row by the group key before emitting anything;
+  * the aggregation combines map-side (the shuffle carries one partial per
+  * group per task, not every row), and AQE picks broadcast vs shuffle for
+  * the join-back from the stats table's actual size (unbounded at corpus
+  * scale — never force broadcast). Sums run in decimal (exact,
+  * order-insensitive) then cast to double, so results are deterministic
+  * under any partitioning — required both for the DuckDB oracle
+  * hash-match and for reproducible runs on a 1000-executor cluster.
   */
 object Anomaly {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
   /** Adds deterministic per-group stats columns (n, mean, std) over the
-    * given keys without a self-join. std is sample std (ddof=1), computed
-    * from exact decimal sums — matches pandas .std() per the reference
-    * artifacts (SURVEY.md §2.8 Z2). */
+    * given keys. std is sample std (ddof=1), computed from exact decimal
+    * sums — matches pandas .std() per the reference artifacts (SURVEY.md
+    * §2.8 Z2). Formulated as groupBy + join-back rather than a window:
+    * identical values (the sums are order-insensitive), but the agg
+    * partially aggregates map-side instead of sorting every offer row
+    * within its hash partition. */
   def withGroupStats(df: DataFrame, keys: Seq[String], priceCol: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*)
     val p = col(priceCol)
-    val n = count(lit(1)).over(w)
-    val s1 = sum(dec(p)).over(w).cast("double")
-    val s2 = sum(dec(p) * dec(p)).over(w).cast("double")
-    df.withColumn("n_offers", n)
-      .withColumn("s1x", s1)
-      .withColumn("s2x", s2)
+    val stats = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_offers"),
+        sum(dec(p)).cast("double").as("s1x"),
+        sum(dec(p) * dec(p)).cast("double").as("s2x"))
+    df.join(stats, keys)
       .withColumn("market_mean", col("s1x") / col("n_offers"))
       .withColumn("market_std",
         when(col("n_offers") > 1,

@@ -124,12 +124,20 @@ object Dedup {
     * quadratic work a degenerate bucket (stop-gram, near-constant band)
     * can contribute. */
   private def pairsFromGroups(df: DataFrame, groupCols: Seq[String],
-                              idCol: String, maxGroup: Int): DataFrame =
-    df.groupBy(groupCols.map(col): _*)
+                              idCol: String, maxGroup: Int): DataFrame = {
+    val buckets = df.groupBy(groupCols.map(col): _*)
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .where(size(col("ids")) > 1 && size(col("ids")) <= maxGroup)
+    // the explosion amplifies each bucket row up to maxGroup²/2×, so its
+    // input must be spread over the full cluster width EXPLICITLY: both a
+    // small shuffle-partition setting and AQE's byte-based coalescing
+    // judge the bucket rows by their (tiny) size and would serialize the
+    // quadratic stage onto a few tasks
+    buckets
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(explode(graft.functions.NativeTextColumns.sortedPairs(col("ids"))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
+  }
 
   /** Exact Jaccard over distinct-gram sets for given candidate pairs.
     * The gram-set side is joined with SHUFFLE_HASH (never broadcast): the
@@ -145,7 +153,10 @@ object Dedup {
     candidates
       .join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("toks", "toks_a"), "id_a")
       .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("toks", "toks_b"), "id_b")
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      // gram-hash sets are sorted: |∩| is a compiled linear merge instead
+      // of array_intersect's per-pair hash-set build
+      .withColumn("inter", graft.functions.NativeTextColumns
+        .sortedIntersectSize(col("toks_a"), col("toks_b")))
       .withColumn("uni", size(col("toks_a")) + size(col("toks_b")) - col("inter"))
       .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
       .where(col("jaccard") >= threshold)
@@ -175,8 +186,14 @@ object Dedup {
     * near-cliques). At larger diameters switch the edge step to
     * large-star/small-star contraction — same loop skeleton. */
   def connectedComponents(ids: DataFrame, pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // symmetrize with ONE pass over the pair set: pairs is typically the
+    // output of the whole minhash/verify pipeline, and a union of two
+    // selects would compute that pipeline twice before the cache fills
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .cache()
     // a corpus with zero near-dup pairs is a legitimate, common input:
     // every document is its own cluster, no iteration needed (and the

@@ -50,8 +50,16 @@ object ProductMerge {
     *                        anywhere before (plugin path A2); products left
     *                        with no offers disappear
     */
+  /** @param preReduce run the per-product dedup as a hash pre-aggregation
+    *                   before the collect shuffle (map-side combine; the
+    *                   winning plan whenever scrape duplication is
+    *                   non-trivial, i.e. the same (source,url) offer is
+    *                   seen across many runs). With no duplication it adds
+    *                   one aggregation pass over unreduced data — disable
+    *                   for dedup-free inputs. */
   def merge(products: DataFrame, sourceOrder: Seq[String] = PluginOrder,
-            dedupPerProduct: Boolean = true, dedupGlobal: Boolean = false): DataFrame = {
+            dedupPerProduct: Boolean = true, dedupGlobal: Boolean = false,
+            preReduce: Boolean = true): DataFrame = {
     val exploded = products
       .where(length(normalizeId(col("product_id"))) > 0)
       .select(normalizeId(col("product_id")).as("product_id"),
@@ -68,18 +76,47 @@ object ProductMerge {
       exploded.withColumn("grn", row_number().over(w)).where(col("grn") === 1).drop("grn")
     } else exploded
 
+    // per-product (source,url) dedup is a REDUCTION (keep the min-ord row
+    // per key), so when enabled it runs as a hash aggregation FIRST:
+    // partial aggregation dedups map-side, and the wide rows that the
+    // fold would discard anyway never enter a shuffle. A dedup-skipped
+    // row contributes nothing to the fold (name/specs/sources/timestamps
+    // included — MergeProductRows skips it wholesale), and the min-ord
+    // row of a key is never skipped, so this is exactly the fold's own
+    // dedup executed earlier. At real scrape fan-in (the same offer seen
+    // across many runs) the collect shuffle shrinks by the dup factor;
+    // the fold's in-pass dedup stays on as an idempotent guard.
+    val preDeduped = if (dedupPerProduct && preReduce) {
+      val payload = struct(
+        col("ord"), col("brand"), col("model"), col("product_name"),
+        col("category"), col("specifications"), col("sources"),
+        col("created_at"), col("last_updated"), col("offer"))
+      globallyDeduped
+        .groupBy(col("product_id"),
+          col("offer.source").as("__k_src"), col("offer.url").as("__k_url"))
+        // graft MinByOrd, not the built-in min_by: a struct-valued min_by
+        // buffer is not UnsafeRow-mutable, so Spark would run the whole
+        // pre-dedup as a SortAggregate (full sort of every offer row);
+        // the typed-imperative form hash-aggregates with O(1) group state
+        // and only materializes the wide payload when a row wins its key
+        .agg(graft.functions.MinByOrd.minBy(col("ord"), payload).as("w"))
+        .select(col("product_id"), col("w.p.ord").as("ord"), col("w.p.brand").as("brand"),
+          col("w.p.model").as("model"), col("w.p.product_name").as("product_name"),
+          col("w.p.category").as("category"), col("w.p.specifications").as("specifications"),
+          col("w.p.sources").as("sources"), col("w.p.created_at").as("created_at"),
+          col("w.p.last_updated").as("last_updated"), col("w.p.offer").as("offer"))
+    } else globallyDeduped
+
     // one hash aggregation collects the per-product rows; the whole fold
     // (ord sort, per-product (source,url) dedup, longest-name tie-break,
     // first-non-null spec merge, encounter-order source union, min/max
     // timestamps) is the compiled single-pass MergeProductRows
-    // expression. The per-product dedup key is local to the group, so it
-    // runs inside the fold instead of as a pre-aggregation window — one
-    // shuffle for the whole merge instead of two. (The GLOBAL dedup key
-    // spans products, so that one stays a window when enabled.) The
-    // previous column formulation (lambda-comparator array_sort + five
-    // higher-order chains) evaluated an interpreted expression tree per
-    // element and dominated the merge stage at offers-per-product fan-in.
-    globallyDeduped
+    // expression. (The GLOBAL dedup key spans products, so that one
+    // stays a window when enabled.) The previous column formulation
+    // (lambda-comparator array_sort + five higher-order chains) evaluated
+    // an interpreted expression tree per element and dominated the merge
+    // stage at offers-per-product fan-in.
+    preDeduped
       .groupBy("product_id")
       .agg(collect_list(struct(
         col("ord"), col("brand"), col("model"), col("product_name").as("name"),
