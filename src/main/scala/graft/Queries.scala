@@ -48,6 +48,21 @@ object Queries {
         t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism).persist())
     else t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
 
+  /** One-pass total order for BOUNDED results. A global `orderBy` is a
+    * range exchange, and range partitioning SAMPLES its child — executing
+    * the entire query plan a second time just to pick bounds (measured ≈2×
+    * on the transform-heavy queries). Every catalog query ends in an
+    * aggregation/filter with a small bounded result, so shuffling that
+    * result to one partition and sorting it there is exact, deterministic,
+    * and executes the plan once. (A genuinely unbounded result — none in
+    * this catalog — would use orderBy's range sort instead.) */
+  private implicit class SortSmallOps(df: DataFrame) {
+    def sortSmall(c0: String, cs: String*): DataFrame =
+      df.repartition(1).sortWithinPartitions((col(c0) +: cs.map(col)): _*)
+    def sortSmall(c0: Column, cs: Column*): DataFrame =
+      df.repartition(1).sortWithinPartitions((c0 +: cs): _*)
+  }
+
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   /** Exact, order-insensitive sum of a ≤2-decimal double column. */
   private def dsum(c: Column): Column = sum(dec(c)).cast("double")
@@ -72,7 +87,7 @@ object Queries {
         sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
           .cast("double").as("sum_disc"),
         count(lit(1)).as("n"))
-      .orderBy("l_returnflag", "l_linestatus")
+      .sortSmall("l_returnflag", "l_linestatus")
 
   val q1Sql: String =
     s"""SELECT l_returnflag, l_linestatus,
@@ -89,7 +104,7 @@ object Queries {
     t(s, dir, "lineitem")
       .filter(col("l_quantity") > 45)
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
-      .orderBy("l_orderkey", "l_linenumber")
+      .sortSmall("l_orderkey", "l_linenumber")
 
   val s1Sql: String =
     """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM lineitem
@@ -105,7 +120,7 @@ object Queries {
     t(s, dir, "supplier")
       .withColumn("raw", raw)
       .select(col("s_suppkey"), col("raw"), sentinelToNull(col("raw")).as("scrubbed"))
-      .orderBy("s_suppkey")
+      .sortSmall("s_suppkey")
   }
 
   val s3Sql: String =
@@ -126,7 +141,7 @@ object Queries {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(floor(col("value") * 100)).cast("long").as("cents"))
-      .orderBy("event_type")
+      .sortSmall("event_type")
 
   val p4Sql: String =
     """SELECT event_type, count(*) AS n, CAST(SUM(floor(value*100)) AS BIGINT) AS cents
@@ -138,7 +153,7 @@ object Queries {
       .groupBy("l_partkey")
       .agg(countDistinct("l_suppkey").as("n_src"), count(lit(1)).as("n_off"))
       .where(col("n_src") > 1)
-      .orderBy("l_partkey")
+      .sortSmall("l_partkey")
 
   val p6Sql: String =
     """SELECT l_partkey, count(DISTINCT l_suppkey) AS n_src, count(*) AS n_off
@@ -156,7 +171,7 @@ object Queries {
       .withColumn("mean_price", mean)
       .where(col("l_extendedprice") > col("mean_price") * 1.8)
       .select("l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice", "mean_price")
-      .orderBy("l_partkey", "l_orderkey", "l_linenumber")
+      .sortSmall("l_partkey", "l_orderkey", "l_linenumber")
   }
 
   val j1Sql: String =
@@ -173,18 +188,31 @@ object Queries {
   def a1MergeProducts(s: SparkSession, dir: String): DataFrame = {
     val part = t(s, dir, "part")
     val li = t(s, dir, "lineitem")
+    // two-level rollup instead of one agg with countDistinct: a distinct
+    // aggregate alongside plain ones plans an Expand (every input row
+    // duplicated per aggregation group) and drags every other aggregate
+    // through extra PartialMerge phases — measured 3× this formulation.
+    // Level 1 pre-aggregates per product (p_name is constant there), so
+    // level 2's count(*) IS the distinct product count.
     part.join(li, part("p_partkey") === li("l_partkey"))
+      .groupBy("p_brand", "p_partkey")
+      .agg(count(lit(1)).as("n1"),
+        collect_set(col("l_returnflag")).as("s1"),
+        first(col("p_name")).as("name"),
+        min(col("l_extendedprice")).as("mn1"),
+        max(col("l_extendedprice")).as("mx1"))
       .groupBy("p_brand")
       .agg(
-        countDistinct("l_partkey").as("n_products"),
-        count(lit(1)).as("n_offers"),
-        concat_ws(",", sort_array(collect_set(col("l_returnflag")))).as("sources"),
+        count(lit(1)).as("n_products"),
+        sum(col("n1")).as("n_offers"),
+        concat_ws(",", sort_array(array_distinct(flatten(collect_list(col("s1"))))))
+          .as("sources"),
         graft.functions.MinByOrd.maxBy(
-          struct(length(col("p_name")).as("len"), col("p_name").as("name")),
-          col("p_name")).getField("p").as("top_name"),
-        min(col("l_extendedprice")).as("min_price"),
-        max(col("l_extendedprice")).as("max_price"))
-      .orderBy("p_brand")
+          struct(length(col("name")).as("len"), col("name").as("name")),
+          col("name")).getField("p").as("top_name"),
+        min(col("mn1")).as("min_price"),
+        max(col("mx1")).as("max_price"))
+      .sortSmall("p_brand")
   }
 
   val a1Sql: String =
@@ -264,7 +292,7 @@ object Queries {
         .cast("double").as("sum_price"),
       element_at(col("offers"), 1).getField("url").as("first_url"),
       col("created_at"), col("last_updated"))
-      .orderBy("product_id")
+      .sortSmall("product_id")
   }
 
   val a1bSql: String =
@@ -354,7 +382,7 @@ object Queries {
     t(s, dir, "orders")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"))
-      .orderBy(desc("n"), col("o_orderpriority"))
+      .sortSmall(desc("n"), col("o_orderpriority"))
 
   val a4Sql: String =
     """SELECT o_orderpriority, count(*) AS n FROM orders
@@ -380,7 +408,7 @@ object Queries {
           floor(col("max_price")).cast("long").cast("string")))
       .select("l_partkey", "n", "min_price", "max_price", "mean_price",
         "std_price", "med", "price_range")
-      .orderBy("l_partkey")
+      .sortSmall("l_partkey")
 
   val a6Sql: String =
     s"""WITH g AS (
@@ -439,7 +467,7 @@ object Queries {
     c.unionByName(sp).groupBy("kind")
       .agg(count(lit(1)).as("n"), min("name").as("min_name"),
         max("name").as("max_name"), dsum(col("bal")).as("sum_bal"))
-      .orderBy("kind")
+      .sortSmall("kind")
   }
 
   val u1Sql: String =
@@ -461,7 +489,7 @@ object Queries {
         sum(floor(col("value") * 100)).over(w.rowsBetween(Window.unboundedPreceding, 0))
           .cast("long"))
       .select("user_id", "event_id", "rn", "running_cents")
-      .orderBy("user_id", "event_id")
+      .sortSmall("user_id", "event_id")
   }
 
   val w1Sql: String =
@@ -484,7 +512,7 @@ object Queries {
     t(s, dir, "events")
       .groupBy(hourEpoch.as("hour_epoch"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(floor(col("value") * 100)).cast("long").as("cents"))
-      .orderBy("hour_epoch", "event_type")
+      .sortSmall("hour_epoch", "event_type")
   }
 
   val st1Sql: String =
@@ -509,7 +537,7 @@ object Queries {
     t(s, dir, "part")
       .withColumn("raw", raw)
       .select(col("p_partkey"), col("raw"), cleanPrice(col("raw")).as("price"))
-      .orderBy("p_partkey")
+      .sortSmall("p_partkey")
   }
 
   val f1Sql: String =
@@ -539,7 +567,7 @@ object Queries {
     t(s, dir, "part")
       .withColumn("raw", raw)
       .select(col("p_partkey"), col("raw"), extractPriceFixed(col("raw")).as("price"))
-      .orderBy("p_partkey")
+      .sortSmall("p_partkey")
   }
 
   val f2Sql: String =
@@ -594,7 +622,7 @@ object Queries {
     t(s, dir, "part")
       .withColumn("raw", raw)
       .select(col("p_partkey"), col("raw"), normalizeBrand(col("raw")).as("brand"))
-      .orderBy("p_partkey")
+      .sortSmall("p_partkey")
   }
 
   val f3Sql: String =
@@ -639,7 +667,7 @@ object Queries {
       .withColumn("brand", brand).withColumn("title", title).withColumn("model", model)
       .select(col("p_partkey"),
         extractBrandFixed(col("brand"), col("title"), col("model")).as("brand_out"))
-      .orderBy("p_partkey")
+      .sortSmall("p_partkey")
   }
 
   val f4Sql: String =
@@ -686,7 +714,7 @@ object Queries {
       .withColumn("brand", brand).withColumn("title", title)
       .select(col("p_partkey"),
         extractBrandDagInline(col("brand"), col("title")).as("brand_out"))
-      .orderBy("p_partkey")
+      .sortSmall("p_partkey")
   }
 
   val f4DagSql: String =
@@ -726,7 +754,7 @@ object Queries {
       .withColumn("raw", raw)
       .select(col("o_orderkey"), col("raw"),
         determineConditionDag(col("raw")).as("condition"))
-      .orderBy("o_orderkey")
+      .sortSmall("o_orderkey")
   }
 
   val f7DagSql: String =
@@ -770,7 +798,7 @@ object Queries {
       .withColumn("title", title).withColumn("brand", brand).withColumn("model", model)
       .select(col("p_partkey"), col("title"),
         extractModel(col("model"), col("title"), col("brand")).as("model_out"))
-      .orderBy("p_partkey")
+      .sortSmall("p_partkey")
   }
 
   val f5Sql: String =
@@ -820,7 +848,7 @@ object Queries {
     t(s, dir, "part")
       .withColumn("brand", brand).withColumn("model", model).withColumn("title", title)
       .select(col("p_partkey"), productId(col("brand"), col("model"), col("title")).as("product_id"))
-      .orderBy("p_partkey")
+      .sortSmall("p_partkey")
   }
 
   val f6Sql: String =
@@ -861,7 +889,7 @@ object Queries {
     t(s, dir, "orders")
       .withColumn("raw", raw)
       .select(col("o_orderkey"), col("raw"), determineCondition(col("raw")).as("condition"))
-      .orderBy("o_orderkey")
+      .sortSmall("o_orderkey")
   }
 
   val f7Sql: String =
@@ -896,7 +924,7 @@ object Queries {
     t(s, dir, "customer")
       .withColumn("raw", raw)
       .select(col("c_custkey"), col("raw"), extractRating(col("raw")).as("rating"))
-      .orderBy("c_custkey")
+      .sortSmall("c_custkey")
   }
 
   val f8Sql: String =
@@ -927,7 +955,7 @@ object Queries {
         specStorage(col("text")).as("storage"),
         specRam(col("text")).as("ram"),
         specScreen(col("text")).as("screen"))
-      .orderBy("p_partkey")
+      .sortSmall("p_partkey")
   }
 
   val f12Sql: String =
@@ -1010,7 +1038,7 @@ object Queries {
       element_at(col("offers"), 1).getField("seller_name").as("seller_name"),
       element_at(col("offers"), 1).getField("scraped_at").as("scraped_at"),
       col("created_at"))
-      .orderBy("seller_name")
+      .sortSmall("seller_name")
   }
 
   val p1AvitoSql: String = {
@@ -1165,7 +1193,7 @@ object Queries {
       element_at(col("offers"), 1).getField("price").as("price"),
       element_at(col("offers"), 1).getField("condition").as("condition"),
       element_at(col("offers"), 1).getField("seller_name").as("seller_name"))
-      .orderBy("seller_name")
+      .sortSmall("seller_name")
   }
 
   val p1AvitoDagSql: String = {
@@ -1283,7 +1311,7 @@ object Queries {
       element_at(col("offers"), 1).getField("reviews_count").as("reviews_count"),
       element_at(col("offers"), 1).getField("url").as("url"),
       element_at(col("offers"), 1).getField("scraped_at").as("scraped_at"))
-      .orderBy("url")
+      .sortSmall("url")
   }
 
   /** P1/CompatMode — the real Transforms.jumia in DAG-INLINE mode over
@@ -1323,7 +1351,7 @@ object Queries {
       element_at(col("offers"), 1).getField("condition").as("condition"),
       element_at(col("offers"), 1).getField("rating").as("rating"),
       element_at(col("offers"), 1).getField("url").as("url"))
-      .orderBy("url")
+      .sortSmall("url")
   }
 
   val p1JumiaDagSql: String = {
@@ -1475,7 +1503,7 @@ object Queries {
         col("l_extendedprice"), round(col("market_mean"), 2).as("mean_r"),
         round(col("market_std"), 2).as("std_r"), round(col("z_score"), 4).as("z_r"),
         col("anomaly_type"))
-      .orderBy("l_partkey", "l_orderkey", "l_linenumber")
+      .sortSmall("l_partkey", "l_orderkey", "l_linenumber")
 
   val z3Sql: String =
     s"""WITH st AS ($zStatsSql),
@@ -1518,7 +1546,7 @@ object Queries {
         k = 1.5, minGroupSize = 3)
       .groupBy("l_partkey")
       .agg(count(lit(1)).as("n_outliers"))
-      .orderBy("l_partkey")
+      .sortSmall("l_partkey")
 
   val z6Sql: String =
     """WITH q AS (
@@ -1546,7 +1574,7 @@ object Queries {
       .withColumn("fp", fingerprint(col("text")))
       .groupBy("fp")
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"))
-      .orderBy("fp")
+      .sortSmall("fp")
 
   val d1Sql: String =
     s"""SELECT md5($normSql) AS fp, count(*) AS n_docs, min(doc_id) AS keep_id
@@ -1558,7 +1586,7 @@ object Queries {
     val d = docs(s, dir).where(length(normalizeText(col("text"))) > 0)
     Dedup.minhashNearDup(d, "text", "doc_id", bands = 4, rowsPerBand = 2,
         threshold = 0.2, shingleN = 2)
-      .orderBy("id_a", "id_b")
+      .sortSmall("id_a", "id_b")
   }
 
   // Shared CTE pipeline of the minhash near-dup oracle (also the base of
@@ -1614,7 +1642,7 @@ object Queries {
       threshold = 0.2, shingleN = 2)
     Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
       .select(col("id").as("doc_id"), col("cluster_id"))
-      .orderBy("doc_id")
+      .sortSmall("doc_id")
   }
 
   val d8Sql: String =
@@ -1634,7 +1662,7 @@ object Queries {
     docs(s, dir)
       .where(length(normalizeText(col("text"))) > 0)
       .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
-      .orderBy("doc_id")
+      .sortSmall("doc_id")
 
   val d3Sql: String = {
     val hx = "strpos('0123456789abcdef', substr(md5(t.tok), %d, 1)) - 1"
@@ -1655,7 +1683,7 @@ object Queries {
   def d4NgramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docs(s, dir), "text", "doc_id", "lang",
         n = 2, threshold = 0.05)
-      .orderBy("id_a", "id_b")
+      .sortSmall("id_a", "id_b")
 
   val d4Sql: String =
     s"""WITH norm AS (SELECT doc_id, lang, $normSql AS nt FROM documents),
@@ -1685,7 +1713,7 @@ object Queries {
     Similarity.bruteForceTopK(
         emb.where(col("vec_id") < 1000), emb.where(col("vec_id") < 5),
         "vec_id", "embedding", k = 5)
-      .orderBy("query_id", "rank")
+      .sortSmall("query_id", "rank")
   }
 
   val d5Sql: String = {
@@ -1713,7 +1741,7 @@ object Queries {
     val emb = t(s, dir, "embeddings")
     Similarity.lshTopK(emb.where(col("vec_id") < 1000), emb.where(col("vec_id") < 5),
         "vec_id", "embedding", k = 5, numPlanes = 8, dim = 64, probeBits = 2)
-      .orderBy("query_id", "rank")
+      .sortSmall("query_id", "rank")
   }
 
   val d6Sql: String = {
@@ -1763,7 +1791,7 @@ object Queries {
     Similarity.IvfIndex.topK(emb.where(col("vec_id") < 1000), emb.where(col("vec_id") < 5),
         "vec_id", "embedding", k = 5,
         centroids = Similarity.md5Centroids(8, 64), nprobe = 2)
-      .orderBy("query_id", "rank")
+      .sortSmall("query_id", "rank")
   }
 
   val d9Sql: String = {
@@ -1810,7 +1838,7 @@ object Queries {
     Similarity.cosineNearDupPairs(
         t(s, dir, "embeddings").where(col("vec_id") < 500), "vec_id", "embedding",
         threshold = 0.8)
-      .orderBy("id_a", "id_b")
+      .sortSmall("id_a", "id_b")
 
   val d7Sql: String = {
     val dotProd = "list_reduce(list_transform(list_zip(%s, %s), s -> s[1] * s[2]), (a, b) -> a + b)"
@@ -1838,7 +1866,7 @@ object Queries {
         merge = Seq(sum("pn").cast("long").as("n"),
           sum("ps").cast("double").as("sum_price"),
           min("pmn").as("min_price"), max("pmx").as("max_price")))
-      .orderBy("l_returnflag")
+      .sortSmall("l_returnflag")
 
   val k1Sql: String =
     s"""SELECT l_returnflag, count(*) AS n,
@@ -1868,7 +1896,7 @@ object Queries {
     val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
-    s.table(name).orderBy("hour_epoch", "event_type")
+    s.table(name).sortSmall("hour_epoch", "event_type")
   }
 
   /** ST3 — streaming exact dedup through the real engine: events stream
@@ -1912,7 +1940,7 @@ object Queries {
       .agg(count(lit(1)).as("n"), sum(floor(col("value") * 100)).cast("long").as("cents"))
       .select(col("sw.start").cast("long").as("session_start"), col("user_id"),
         col("n"), col("cents"))
-      .orderBy("user_id", "session_start")
+      .sortSmall("user_id", "session_start")
   }
 
   val st4Sql: String =
@@ -1942,7 +1970,7 @@ object Queries {
         rates = Map("en" -> 50, "fr" -> 25), defaultRate = 10)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).cast("long").as("id_sum"))
-      .orderBy("lang")
+      .sortSmall("lang")
 
   val x6Sql: String = {
     val hx = (i: Int) => s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
@@ -1971,7 +1999,7 @@ object Queries {
           .when(col("fr") >= col("es"), lit("fr"))
           .otherwise(lit("es")).as("pred"))
       .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
-      .orderBy("lang", "pred")
+      .sortSmall("lang", "pred")
   }
 
   val x1Sql: String =
@@ -2017,7 +2045,7 @@ object Queries {
     base.select(col("doc_id"), col("chars"), col("n_tok"),
         round(punctR, 4).as("punct_r"), round(upperR, 4).as("upper_r"),
         round(stopR, 4).as("stop_r"), quality.as("quality"))
-      .orderBy("doc_id")
+      .sortSmall("doc_id")
   }
 
   val x2Sql: String = {
@@ -2065,7 +2093,7 @@ object Queries {
       .when(stopR < 0.05, lit("no_stopwords"))
       .when(punctR > 0.2, lit("punct"))
     base.select(col("doc_id"), reason.isNull.as("keep"), reason.as("drop_reason"))
-      .orderBy("doc_id")
+      .sortSmall("doc_id")
   }
 
   val x7Sql: String = {
@@ -2114,7 +2142,7 @@ object Queries {
       .where(col("rank") <= 3)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
         round(col("score"), 4).as("score"))
-      .orderBy("doc_id", "rank")
+      .sortSmall("doc_id", "rank")
   }
 
   val x8Sql: String =
@@ -2136,7 +2164,7 @@ object Queries {
     t(s, dir, "documents")
       .select(col("doc_id"), tokenCount(col("text")).as("n_ws"),
         bpeTokenCount(col("text")).as("n_bpe"))
-      .orderBy("doc_id")
+      .sortSmall("doc_id")
 
   val x3Sql: String =
     s"""WITH norm AS (SELECT doc_id, $normSql AS nt, coalesce(text,'') AS s FROM documents)
@@ -2151,7 +2179,7 @@ object Queries {
     t(s, dir, "documents")
       .select(col("doc_id"), fingerprint(col("text")).as("fp"),
         md5_16(normalizeText(col("text"))).as("fp64"))
-      .orderBy("doc_id")
+      .sortSmall("doc_id")
 
   val x4Sql: String =
     s"""SELECT doc_id, md5($normSql) AS fp, substr(md5($normSql), 1, 16) AS fp64
@@ -2175,7 +2203,7 @@ object Queries {
         piiCount(injected, TextFunctions.PiiIpRe).as("n_ip"),
         piiCount(injected, TextFunctions.PiiPhoneRe).as("n_phone"),
         md5(redactPii(injected)).as("fp_redacted"))
-      .orderBy("doc_id")
+      .sortSmall("doc_id")
   }
 
   val x5Sql: String = {
@@ -2209,7 +2237,7 @@ object Queries {
         (hv(1) % 192 + 64).as("width"),
         (hv(3) % 192 + 64).as("height"),
         (hv(5) % 30 + 1).as("frames"))
-      .orderBy("doc_id")
+      .sortSmall("doc_id")
   }
 
   val m1Sql: String = {
