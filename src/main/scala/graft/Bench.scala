@@ -40,6 +40,14 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_ABJT", "67108864"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // streaming state/commit logs on tmpfs: micro-batch commit latency is
+      // filesystem fsync, not plan work (a cluster would put this on fast
+      // shared storage); falls back to the default temp dir if absent
+      .config("spark.sql.streaming.checkpointLocation",
+        sys.env.getOrElse("SPARK_GRAFT_CKPT",
+          (if (new java.io.File("/dev/shm").isDirectory) "/dev/shm"
+           else System.getProperty("java.io.tmpdir")) +
+            s"/graft-bench-ckpt-${java.util.UUID.randomUUID()}"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -50,9 +58,23 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
 
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+
     def timed(name: String): Double = {
       val t0 = System.nanoTime()
-      try { force(name); (System.nanoTime() - t0) / 1e9 }
+      val g0 = gcMillis()
+      try {
+        force(name)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val gc = gcMillis() - g0
+        // GC share per query on stderr — separates allocation pressure
+        // (fix the operator) from plan work (fix the plan)
+        if (gc > 100) System.err.println(f"[bench] $name%-28s ${sec}%6.2f s  gc ${gc}%4d ms")
+        sec
+      }
       catch { case NonFatal(e) =>
         failed += name
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")

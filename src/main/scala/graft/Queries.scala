@@ -1890,7 +1890,8 @@ object Queries {
     * memory sink, complete mode) and hash-matched against the identical
     * DuckDB oracle: streaming/batch parity is verified, not assumed. */
   def st2StreamingHourly(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // schema from the (possibly cached) batch table — no extra footer read
+    val schema = t(s, dir, "events").schema
     // the streaming file source wants a directory: stream the sf dir with a
     // glob filter selecting only the events table
     val stream = s.readStream.schema(schema)
@@ -1915,7 +1916,7 @@ object Queries {
     * even though which duplicate arrives first is not. The oracle is the
     * batch distinct over the same key. */
   def st3StreamingDedup(s: SparkSession, dir: String): DataFrame = {
-    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val schema = t(s, dir, "events").schema
     val stream = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .select((col("event_id") % 1000).as("k"))
@@ -2139,11 +2140,17 @@ object Queries {
     * driver-side collect. */
   def x8KeywordTerms(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val toks = d.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // (doc, term) counting is row-local: TermCounts emits each document's
+    // term-frequency list map-side, so the token instances are never
+    // shuffled. df then comes from a count window over term (one shuffle)
+    // instead of a groupBy + join back (two).
+    val tf = d.select(col("doc_id"),
+        explode(graft.functions.NativeTextColumns.termCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
     val n = d.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(idf, "term").crossJoin(broadcast(n))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .crossJoin(broadcast(n))
       .withColumn("score",
         col("tf").cast("double") * col("n_docs") / col("df"))
     val w = Window.partitionBy("doc_id").orderBy(desc("score"), col("term"))

@@ -165,6 +165,29 @@ object NativeText {
     n
   }
 
+  /** Per-document term frequencies in one pass (codegen entry point for
+    * [[TermCounts]]): tokenize, count into an insertion-ordered map, emit
+    * array<struct<term,tf>>. Map-side replacement for
+    * explode(tokens) → groupBy(doc, term) — the (doc, term) aggregation is
+    * group-local to the row, so shuffling individual token instances only
+    * to count them next to their own document is pure waste at any scale. */
+  def termCounts(input: UTF8String): ArrayData = {
+    val counts = new java.util.LinkedHashMap[String, Long]()
+    tokenize(input.toString).foreach { t =>
+      val c = counts.get(t)
+      counts.put(t, if (c == null) 1L else c + 1L)
+    }
+    val out = new Array[Any](counts.size())
+    var i = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** One-pass text statistics (codegen entry point for [[TextStats]]). */
   def textStatsRow(input: UTF8String): InternalRow = {
     val s = input.toString
@@ -224,6 +247,24 @@ case class GramHashes(child: Expression, shingleN: Int) extends UnaryExpression 
       s"${ev.value} = graft.functions.NativeText.gramHashes($c, $shingleN);")
 
   override protected def withNewChildInternal(c: Expression): GramHashes = copy(child = c)
+}
+
+/** array<struct<term:string,tf:long>> of per-document term frequencies —
+  * see [[NativeText.termCounts]]. */
+case class TermCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_term_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    NativeText.termCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeText.termCounts($c);")
+
+  override protected def withNewChildInternal(c: Expression): TermCounts = copy(child = c)
 }
 
 /** MinHash signature (numHashes longs) of a text column — see
@@ -307,6 +348,8 @@ object NativeTextColumns {
     GraftBridge.column(GramHashes(GraftBridge.expression(c), n))
   def minhashSignature(c: Column, numHashes: Int, shingleN: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(c), numHashes, shingleN))
+  def termCounts(c: Column): Column =
+    GraftBridge.column(TermCounts(GraftBridge.expression(c)))
   def sortedPairs(c: Column): Column =
     GraftBridge.column(SortedPairs(GraftBridge.expression(c)))
 }

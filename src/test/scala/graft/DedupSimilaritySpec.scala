@@ -98,6 +98,16 @@ class DedupSimilaritySpec extends SparkSuite {
       assert(r.getSeq[Long](1).forall(v => v >= 0L && v < (1L << 35)),
         s"minhash out of 35-bit range doc ${r.getLong(0)}")
     }
+    // term counts (map-side tf) vs explode + groupBy over the same tokens
+    val natTf = real.select(col("doc_id"),
+        explode(graft.functions.NativeTextColumns.termCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.term"), col("tc.tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val colTf = real.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(natTf == colTf, "termCounts disagrees with explode+groupBy tf")
     // pairs
     val pr = Seq((Seq(1L, 2L, 3L), 0)).toDF("ids", "x")
       .select(graft.functions.NativeTextColumns.sortedPairs(col("ids")).as("p"))
