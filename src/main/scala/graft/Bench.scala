@@ -40,6 +40,12 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_ABJT", "67108864"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the generated-class cache defaults to 100 entries; a catalog of ~60
+      // distinct queries compiles several codegen stages each, so at the
+      // default size every re-execution evicts, re-runs janino, AND loses
+      // the JIT state of the previous (now-discarded) class. Any long-lived
+      // app serving a query catalog wants this sized to its working set.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // streaming state/commit logs on tmpfs: micro-batch commit latency is
       // filesystem fsync, not plan work (a cluster would put this on fast
       // shared storage); falls back to the default temp dir if absent
