@@ -1860,6 +1860,45 @@ object Queries {
        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.8 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** D7b — the SCALE path of d7: near-dup pairs from LSH-bucketed
+    * candidates (Hamming-≤2 probes over md5-derived hyperplane buckets)
+    * verified by exact cosine. The threshold is set low enough that the
+    * random test embeddings produce rows, so the oracle exercises the
+    * probe/verify machinery, not just an empty set. The oracle mirrors
+    * the candidate restriction exactly (same planes, buckets, masks), so
+    * it is a full rows+schema+hash match. */
+  def d7bNearDupLsh(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.cosineNearDupLshPairs(
+        t(s, dir, "embeddings").where(col("vec_id") < 500), "vec_id", "embedding",
+        threshold = 0.3, numPlanes = 8, dim = 64, probeBits = 2)
+      .sortSmall("id_a", "id_b")
+
+  val d7bSql: String = {
+    val dotProd = "list_reduce(list_transform(list_zip(%s, %s), s -> s[1] * s[2]), (a, b) -> a + b)"
+    val h8 = "list_reduce(list_transform(range(1, 9), i -> CAST(strpos('0123456789abcdef', substr(md5('plane:' || CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+    s"""WITH pw AS (
+       |  SELECT p, d, CAST($h8 AS DOUBLE) / 4294967296.0 * 2 - 1 AS w
+       |  FROM range(8) pr(p), range(64) dr(d)),
+       |pl AS (SELECT p, list(w ORDER BY d) AS wl FROM pw GROUP BY p),
+       |e AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE vec_id < 500),
+       |eb AS (
+       |  SELECT id, CAST(SUM(CASE WHEN ${dotProd.format("v", "wl")} >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM e, pl GROUP BY id),
+       |masks AS (
+       |  SELECT CAST(0 AS BIGINT) AS m
+       |  UNION ALL SELECT CAST(1 AS BIGINT) << i FROM range(8) a(i)
+       |  UNION ALL SELECT (CAST(1 AS BIGINT) << i) + (CAST(1 AS BIGINT) << j)
+       |    FROM range(8) a(i), range(8) b(j) WHERE i < j),
+       |p AS (
+       |  SELECT ba.id AS id_a, bb.id AS id_b,
+       |    round(${dotProd.format("va.v", "vb.v")} / (sqrt(${dotProd.format("va.v", "va.v")}) * sqrt(${dotProd.format("vb.v", "vb.v")})), 4) AS cos
+       |  FROM eb ba, masks, eb bb, e va, e vb
+       |  WHERE xor(ba.bucket, m) = bb.bucket AND ba.id < bb.id
+       |    AND va.id = ba.id AND vb.id = bb.id)
+       |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** K1 — skew-salted two-phase aggregation. The plan spreads each hot key
     * over 16 deterministic salt buckets before the final combine; the
     * oracle is the PLAIN single-phase GROUP BY — hash-matching proves the
@@ -1889,12 +1928,27 @@ object Queries {
     * Structured Streaming engine (file source → incremental aggregation →
     * memory sink, complete mode) and hash-matched against the identical
     * DuckDB oracle: streaming/batch parity is verified, not assumed. */
+  /** Session clone for stateful streaming queries with the state-partition
+    * count sized to the stream: a streaming aggregation creates one state
+    * store (files, maintenance, commit) per shuffle partition, FIXED at
+    * first batch. The parent session's reducer count is sized for the
+    * batch catalog; a small hourly aggregate wants a handful of stores,
+    * not one per core (at production volume size it up — it is per-query
+    * here, not global). The clone shares the SparkContext; the parent's
+    * runtime confs are untouched. */
+  private def streamSession(s: SparkSession, statePartitions: Int): SparkSession = {
+    val c = s.newSession()
+    c.conf.set("spark.sql.shuffle.partitions", statePartitions)
+    c
+  }
+
   def st2StreamingHourly(s: SparkSession, dir: String): DataFrame = {
     // schema from the (possibly cached) batch table — no extra footer read
     val schema = t(s, dir, "events").schema
+    val ss = streamSession(s, 4)
     // the streaming file source wants a directory: stream the sf dir with a
     // glob filter selecting only the events table
-    val stream = s.readStream.schema(schema)
+    val stream = ss.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
     val tsNs = col("ts").cast("long")
     val sec = (tsNs - tsNs % 1000000000L) / 1000000000L
@@ -1906,7 +1960,7 @@ object Queries {
     val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
-    s.table(name).sortSmall("hour_epoch", "event_type")
+    ss.table(name).sortSmall("hour_epoch", "event_type")
   }
 
   /** ST3 — streaming exact dedup through the real engine: events stream
@@ -1917,7 +1971,8 @@ object Queries {
     * batch distinct over the same key. */
   def st3StreamingDedup(s: SparkSession, dir: String): DataFrame = {
     val schema = t(s, dir, "events").schema
-    val stream = s.readStream.schema(schema)
+    val ss = streamSession(s, 4)
+    val stream = ss.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .select((col("event_id") % 1000).as("k"))
     val deduped = graft.streaming.EventStream.dedupKeys(stream, "k")
@@ -1925,7 +1980,7 @@ object Queries {
     val q = deduped.writeStream.outputMode("append").format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
-    s.table(name)
+    ss.table(name)
       .agg(count(lit(1)).as("n_keys"), sum(col("k")).cast("long").as("key_sum"))
   }
 
@@ -2312,6 +2367,7 @@ object Queries {
     "d5_cosine_topk" -> d5CosineTopK,
     "d6_cosine_lsh" -> d6CosineLsh,
     "d7_embedding_neardup" -> d7EmbeddingNearDup,
+    "d7b_neardup_lsh" -> d7bNearDupLsh,
     "d8_neardup_clusters" -> d8NeardupClusters,
     "d9_ivf_topk" -> d9IvfTopk,
     "x5_pii_scrub" -> x5PiiScrub,
@@ -2372,6 +2428,7 @@ object Queries {
     "d6_cosine_lsh" -> d6Sql,
     "st2_streaming_hourly" -> st1Sql,
     "d7_embedding_neardup" -> d7Sql,
+    "d7b_neardup_lsh" -> d7bSql,
     "d8_neardup_clusters" -> d8Sql,
     "d9_ivf_topk" -> d9Sql,
     "x5_pii_scrub" -> x5Sql,

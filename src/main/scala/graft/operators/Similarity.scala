@@ -115,6 +115,33 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Embedding near-dup at scale: LSH-bucketed candidate pairs verified
+    * with the exact cosine — the scale path whose bounded verifier is
+    * [[cosineNearDupPairs]]. Every vector is bucketed map-side by
+    * hyperplane signs; one join side explodes the Hamming-≤probeBits probe
+    * masks, so a pair whose buckets differ in ≤ probeBits bits matches on
+    * exactly ONE mask (masks are distinct, each vector has one bucket) —
+    * no dedup pass. Work is Σ_bucket |bucket|², never n²; pairs in buckets
+    * differing by more bits are missed (recall tunable via
+    * numPlanes/probeBits, asserted in DedupSimilaritySpec). */
+  def cosineNearDupLshPairs(df: DataFrame, idCol: String, vecCol: String,
+                            threshold: Double, numPlanes: Int, dim: Int,
+                            probeBits: Int = 2): DataFrame = {
+    val side = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+        lshBucket(col(vecCol), numPlanes, dim).as("bucket"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val a = side.select(col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"),
+      explode(array(probeMasks(numPlanes, probeBits).map(m =>
+        col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val b = side.select(col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"),
+      col("bucket"))
+    a.join(b, Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
   /** IVF (inverted-file) ANN index: a coarse quantizer of `nlist`
     * centroids trained with a few Lloyd iterations (deterministic seeding:
     * the first `nlist` vectors by id), then each vector is assigned to its

@@ -78,6 +78,22 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(ann(0).getLong(1) == 50L, s"expected planted neighbor first, got ${ann.toSeq}")
   }
 
+  test("LSH near-dup pairs: planted pair found, found set agrees with the exact verifier") {
+    val rnd = new scala.util.Random(7)
+    val base = Array.tabulate(16)(_ => rnd.nextFloat())
+    val corpus = (0L to 49L).map(i => (i, Array.tabulate(16)(_ => rnd.nextFloat()))) :+
+      ((50L, base.map(_ + 0.01f))) :+ ((51L, base))
+    val df = corpus.toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupLshPairs(df, "vec_id", "embedding",
+      threshold = 0.9, numPlanes = 8, dim = 16, probeBits = 2).collect()
+    assert(pairs.exists(r => r.getLong(0) == 50L && r.getLong(1) == 51L),
+      s"planted near-dup (50,51) missing: ${pairs.toSeq}")
+    val exact = Similarity.cosineNearDupPairs(df, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet.subsetOf(exact),
+      "LSH path reported a pair the exact verifier rejects")
+  }
+
   test("native shingle/minhash/pairs expressions equal the column formulations") {
     val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     // shingles
