@@ -205,25 +205,41 @@ object Dedup {
     // iterate ONLY over nodes that have an edge: singletons (the vast
     // majority of a near-dup corpus) can never change label, so they
     // join back in one final pass instead of riding every round's
-    // shuffles — the loop's working set is the non-singleton subgraph
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).cache()
+    // shuffles — the loop's working set is the non-singleton subgraph.
+    //
+    // Each round's result is EAGERLY materialized with its lineage cut:
+    // `labels` feeds the next round twice (the carried labels and the
+    // propagation join), so an uncut plan tree DOUBLES per round —
+    // analysis, plan descriptions, and task binaries go exponential in
+    // the cluster diameter long before the data does (caught by the
+    // 12-node chain test: rendering round 11's plan OOMed an 8 GB
+    // driver). With the cut, per-round plan size is O(1); this is the
+    // standard iterative-algorithm discipline on Spark (GraphX/MLlib
+    // checkpoint their Pregel state the same way). When the caller has
+    // configured a checkpoint dir the cut is a RELIABLE checkpoint
+    // (survives executor loss — the right mode for long cluster runs);
+    // otherwise localCheckpoint keeps blocks on executors, which is fine
+    // for the small number of rounds a near-dup graph needs.
+    val reliable = ids.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    var labels = cut(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     // convergence: carry each node's previous label through the same
     // aggregation (labels only ever decrease, so unchanged ⟺ fixpoint).
-    // An exact emptiness probe on the cached round result — works for any
-    // id type (string doc ids included), no driver-side numeric fold
+    // An exact emptiness probe on the materialized round result — works
+    // for any id type (string doc ids included), no driver-side numeric
+    // fold
     var converged = false
     while (!converged) {
       val propagated = edges
         .join(labels.withColumnRenamed("id", "src").select("src", "label"), "src")
         .select(col("dst").as("id"), col("label"))
-      val next = labels
+      val next = cut(labels
         .select(col("id"), col("label"), col("label").as("prev"))
         .union(propagated.select(col("id"), col("label"), lit(null).as("prev")))
-        .groupBy("id").agg(min("label").as("label"), max("prev").as("prev"))
-        .cache()
+        .groupBy("id").agg(min("label").as("label"), max("prev").as("prev")))
       converged = next.where(col("label") =!= col("prev")).isEmpty
-      labels.unpersist()
       labels = next
     }
     edges.unpersist()

@@ -255,6 +255,31 @@ class DedupSimilaritySpec extends SparkSuite {
       "doc-c" -> "doc-a", "doc-z" -> "doc-z"))
   }
 
+  test("connected components: long chain converges across many propagation rounds") {
+    // a path graph's min label travels one hop per round — 12 nodes force
+    // ~11 rounds, exercising the convergence loop well past the 1-2 round
+    // near-clique regime of real dup clusters
+    val n = 12L
+    val ids = (1L to n).toDF("id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to n).map(_ -> 1L).toMap)
+  }
+
+  test("LSH near-dup plan: candidates join on the bucket key, never a cartesian") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = Similarity.cosineNearDupLshPairs(emb, "vec_id", "embedding",
+      threshold = 0.3, numPlanes = 8, dim = 64, probeBits = 2)
+    // equi-vs-nested-loop is decided at planning; walk the node tree
+    // instead of rendering it (the plan string embeds 8×64 plane literals
+    // per stage and is needlessly huge)
+    val nodes = pairs.queryExecution.sparkPlan.collect { case n => n.nodeName }
+    assert(nodes.exists(_.contains("Join")), s"expected a join in $nodes")
+    assert(!nodes.exists(n => n.contains("BroadcastNestedLoopJoin") || n.contains("CartesianProduct")),
+      s"LSH pair generation degenerated to an all-pairs join: $nodes")
+  }
+
   test("verifyJaccard plan: the corpus gram-set table is never broadcast") {
     val nonEmpty = docs.where(length(TextFunctions.normalizeText(col("text"))) > 0)
     val verified = Dedup.minhashNearDup(nonEmpty, "text", "doc_id",

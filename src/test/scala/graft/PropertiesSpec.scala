@@ -46,6 +46,24 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("property: termCounts tf sums to the token count, terms distinct") {
+    import graft.functions.TextFunctions
+    val inputs = (sample(400) ++ Seq("a a a", "é ü ñ", "ONE one OnE", null)).map(Option(_))
+    val out = inputs.toDF("v")
+      .select(TextFunctions.tokenCount(col("v")).as("n"),
+        graft.functions.NativeTextColumns.termCounts(col("v")).as("tc"))
+      .collect()
+    out.zip(inputs).foreach { case (r, in) =>
+      if (in.isDefined) {
+        val tcs = r.getSeq[Row](1)
+        assert(tcs.map(_.getLong(1)).sum == r.getInt(0).toLong,
+          s"tf sum != token count for $in")
+        val terms = tcs.map(_.getString(0))
+        assert(terms.distinct.length == terms.length, s"duplicate terms for $in")
+      }
+    }
+  }
+
   test("property: price parsers are total, non-negative, finite") {
     val inputs = sample(500)
     val out = inputs.map(Option(_)).toDF("v")
