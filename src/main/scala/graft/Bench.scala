@@ -102,6 +102,16 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val ckptRoot = spark.conf.get("spark.sql.streaming.checkpointLocation")
     spark.stop()
+    // an EXPLICIT checkpoint root is not temp-deleted by Spark the way
+    // implicit per-query temp checkpoints are — clean up our own
+    if (ckptRoot.contains("graft-bench-ckpt")) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(ckptRoot))
+    }
   }
 }

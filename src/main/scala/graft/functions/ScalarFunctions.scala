@@ -26,8 +26,7 @@ object ScalarFunctions {
     when(c.isNull || upper(trim(c)).isin(Sentinels: _*), lit(null)).otherwise(c)
 
   /** True when a string column is present and non-sentinel. */
-  def isPresent(c: Column): Column =
-    c.isNotNull && !upper(trim(c)).isin(Sentinels: _*)
+  def isPresent(c: Column): Column = presentPer(c, Sentinels)
 
   /** The Avito-fixed BRAND field-stage sentinel list is shorter than the
     * shared one — ['', 'NULL', 'NONE', 'INCONNU'] only

@@ -29,6 +29,21 @@ object Anomaly {
 
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Join per-group aggregates back onto the rows NULL-SAFELY: groupBy
+    * forms a group for null keys (and the window formulation these
+    * join-backs replaced computed stats over null key partitions too), so
+    * the join must not silently drop null-keyed rows the way
+    * `join(stats, keys)`'s null-unsafe equality would — a null brand/model
+    * is ordinary scrape data, not an error. EqualNullSafe is still an
+    * equi-key for Spark's hash joins (and AQE still picks broadcast vs
+    * shuffle from the stats table's runtime size). */
+  private def joinBackNullSafe(rows: DataFrame, stats: DataFrame,
+                               keys: Seq[String]): DataFrame = {
+    val renamed = keys.foldLeft(stats)((d, k) => d.withColumnRenamed(k, "__g_" + k))
+    val cond = keys.map(k => col(k) <=> col("__g_" + k)).reduce(_ && _)
+    rows.join(renamed, cond).drop(keys.map("__g_" + _): _*)
+  }
+
   /** Adds deterministic per-group stats columns (n, mean, std) over the
     * given keys. std is sample std (ddof=1), computed from exact decimal
     * sums — matches pandas .std() per the reference artifacts (SURVEY.md
@@ -42,7 +57,7 @@ object Anomaly {
       .agg(count(lit(1)).as("n_offers"),
         sum(dec(p)).cast("double").as("s1x"),
         sum(dec(p) * dec(p)).cast("double").as("s2x"))
-    df.join(stats, keys)
+    joinBackNullSafe(df, stats, keys)
       .withColumn("market_mean", col("s1x") / col("n_offers"))
       .withColumn("market_std",
         when(col("n_offers") > 1,
@@ -87,7 +102,7 @@ object Anomaly {
       .withColumn("iqr", col("q3") - col("q1"))
       .withColumn("lo", col("q1") - lit(k) * col("iqr"))
       .withColumn("hi", col("q3") + lit(k) * col("iqr"))
-    offers.join(q, keys)
+    joinBackNullSafe(offers, q, keys)
       .where(p < col("lo") || p > col("hi"))
   }
 

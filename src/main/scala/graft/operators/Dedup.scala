@@ -240,6 +240,10 @@ object Dedup {
         .union(propagated.select(col("id"), col("label"), lit(null).as("prev")))
         .groupBy("id").agg(min("label").as("label"), max("prev").as("prev")))
       converged = next.where(col("label") =!= col("prev")).isEmpty
+      // `next` is materialized — the previous round's blocks can go now
+      // rather than waiting for ContextCleaner GC (reliable-checkpoint
+      // FILES follow spark.cleaner.referenceTracking.cleanCheckpoints)
+      labels.unpersist()
       labels = next
     }
     edges.unpersist()

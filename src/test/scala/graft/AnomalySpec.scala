@@ -17,6 +17,22 @@ class AnomalySpec extends SparkSuite {
     assert(math.abs(r.getAs[Double]("market_std") - 10.0) < 1e-12) // sqrt(100)
   }
 
+  test("group stats: null group keys form their own group, never dropped") {
+    // a null brand/model is ordinary scrape data; the join-back must be
+    // null-safe or those rows silently vanish from anomaly detection
+    val df = Seq((Option.empty[String], 10.0), (None, 20.0), (None, 30.0),
+      (Some("b"), 5.0)).toDF("k", "price")
+    val got = Anomaly.withGroupStats(df, Seq("k"), "price")
+    assert(got.count() == 4, "null-keyed rows were dropped by the join-back")
+    val nulls = got.where(col("k").isNull).collect()
+    assert(nulls.length == 3)
+    assert(nulls.forall(_.getAs[Double]("market_mean") == 20.0))
+    // IQR path shares the join-back: null group must survive there too
+    val iqr = Anomaly.iqrAnomalies(df.union(Seq((Option.empty[String], 900.0))
+      .toDF("k", "price")), Seq("k"), "price")
+    assert(iqr.where(col("k").isNull).count() == 1, "null-key outlier missing")
+  }
+
   test("metrics: deviation_percent and z_score formulas") {
     val df = Seq(("g", 100.0), ("g", 200.0), ("g", 300.0), ("g", 600.0)).toDF("k", "price")
     val m = Anomaly.withMetrics(Anomaly.withGroupStats(df, Seq("k"), "price"), "price")
