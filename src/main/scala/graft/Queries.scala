@@ -2053,6 +2053,59 @@ object Queries {
        |FROM b WHERE bucket < rate GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** X9 — benchmark decontamination: corpus docs whose bigram-overlap
+    * fraction with any eval-set doc (every 50th doc plays the benchmark)
+    * reaches 0.2. Spark intersects 62-bit gram hashes, the oracle
+    * intersects the string grams themselves — set sizes and intersections
+    * are equal (the hash is injective-in-practice and deterministic), so
+    * the fractions match exactly. */
+  def x9Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).where(length(normalizeText(col("text"))) > 0)
+    graft.operators.Decontaminate.overlapAgainst(
+        corpus = d.where(col("doc_id") % 50 =!= 0),
+        evalSet = d.where(col("doc_id") % 50 === 0),
+        textCol = "text", idCol = "doc_id", shingleN = 2, threshold = 0.2)
+      .sortSmall("doc_id")
+  }
+
+  val x9Sql: String =
+    s"""WITH norm AS (SELECT doc_id, $normSql AS nt FROM documents),
+       |tk AS (SELECT doc_id, string_split(nt, ' ') AS toks, len(string_split(nt, ' ')) AS k FROM norm WHERE nt <> ''),
+       |sh AS (SELECT doc_id, CASE WHEN k <= 2 THEN [array_to_string(toks, ' ')]
+       |  ELSE list_transform(range(0, k - 1), i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')) END AS gr FROM tk),
+       |g AS (SELECT DISTINCT doc_id, unnest(gr) AS gram FROM sh),
+       |sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+       |ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE doc_id % 50 = 0),
+       |cg AS (SELECT doc_id, gram FROM g WHERE doc_id % 50 <> 0),
+       |o AS (SELECT cg.doc_id, ev.eval_id, count(*) AS inter
+       |  FROM cg JOIN ev USING (gram) GROUP BY 1, 2),
+       |f AS (SELECT o.doc_id, eval_id, round(CAST(inter AS DOUBLE) / sz.n, 4) AS overlap
+       |  FROM o JOIN sz ON o.doc_id = sz.doc_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY overlap DESC, eval_id) AS rn FROM f)
+       |SELECT doc_id, eval_id, overlap FROM r WHERE rn = 1 AND overlap >= 0.2
+       |ORDER BY doc_id""".stripMargin
+
+  /** X10 — sequence packing (concat-then-chunk, 512-token budget, per
+    * source, ordered by doc_id): per-pack document counts and token sums. */
+  def x10SequencePacking(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.assignPacks(t(s, dir, "documents"),
+        partitionCol = "source", orderCol = "doc_id",
+        tokenCount = bpeTokenCount(col("text")), budget = 512)
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("tok_sum"))
+      .sortSmall("source", "pack_id")
+
+  val x10Sql: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS n_tok
+      |  FROM documents),
+      |c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+      |p AS (SELECT source, CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS pack_id, n_tok FROM c)
+      |SELECT source, pack_id, count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
+      |FROM p GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
+
   private def sqlList(words: Seq[String]): String =
     words.map(w => s"'$w'").mkString("(", ",", ")")
 
@@ -2386,6 +2439,8 @@ object Queries {
     "x3_token_count" -> x3TokenCount,
     "x7_quality_filter" -> x7QualityFilter,
     "x8_keyword_terms" -> x8KeywordTerms,
+    "x9_decontaminate" -> x9Decontaminate,
+    "x10_sequence_packing" -> x10SequencePacking,
     "x4_fingerprint" -> x4Fingerprint,
     "m1_multimodal_meta" -> m1MultimodalMeta
   )
@@ -2446,6 +2501,8 @@ object Queries {
     "x3_token_count" -> x3Sql,
     "x7_quality_filter" -> x7Sql,
     "x8_keyword_terms" -> x8Sql,
+    "x9_decontaminate" -> x9Sql,
+    "x10_sequence_packing" -> x10Sql,
     "x4_fingerprint" -> x4Sql,
     "m1_multimodal_meta" -> m1Sql
   )

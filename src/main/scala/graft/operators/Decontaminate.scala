@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora: find documents whose
+  * n-gram overlap with an evaluation/benchmark set is high enough that
+  * keeping them would leak test data into training (the standard
+  * n-gram-overlap decontamination rule of LLM data pipelines).
+  *
+  * Shape at scale: an inverted-index join on 62-bit gram hashes — the
+  * corpus never self-joins and no side is forced to broadcast (the eval
+  * set is usually small, and AQE broadcasts it while it fits; a corpus-
+  * sized eval set degrades to a shuffle join instead of OOM). Shuffle
+  * volume is (doc_id, gram-hash) pairs, 16 bytes a row, never document
+  * text. Use a shingle size large enough that grams are discriminative
+  * (8+ tokens is the usual decontamination choice; stop-grams at tiny n
+  * flood the join the same way they flood any inverted index).
+  */
+object Decontaminate {
+
+  /** Per corpus document, the eval document with the highest gram-overlap
+    * fraction |grams(doc) ∩ grams(eval)| / |grams(doc)|, keeping only
+    * documents at or above `threshold` (the contaminated set to drop).
+    * Ties break to the smallest eval id; fractions are rounded to 4
+    * places — both for cross-engine determinism. */
+  def overlapAgainst(corpus: DataFrame, evalSet: DataFrame, textCol: String,
+                     idCol: String, shingleN: Int, threshold: Double): DataFrame = {
+    def grams(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as), Dedup.gramHashSet(col(textCol), shingleN).as("g"))
+    val cg = grams(corpus, "doc_id")
+      .select(col("doc_id"), size(col("g")).as("n"), explode(col("g")).as("gram"))
+    val eg = grams(evalSet, "eval_id")
+      .select(col("eval_id"), explode(col("g")).as("gram"))
+    val overlaps = cg.join(eg, "gram")
+      .groupBy("doc_id", "eval_id", "n")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("overlap", round(col("inter").cast("double") / col("n"), 4))
+    val w = Window.partitionBy("doc_id").orderBy(desc("overlap"), col("eval_id"))
+    overlaps.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("overlap") >= threshold)
+      .select("doc_id", "eval_id", "overlap")
+  }
+}
