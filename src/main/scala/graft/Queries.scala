@@ -956,6 +956,68 @@ object Queries {
       |    0.0) AS rating
       |FROM r ORDER BY c_custkey""".stripMargin
 
+  /** F9 — Avito URL builder: keep a real avito.ma URL, else rebuild from a
+    * present (non-sentinel) ad id, else the bare domain
+    * (avito_extractor.py:306-316). */
+  def f9AvitoUrl(s: SparkSession, dir: String): DataFrame = {
+    val k = col("p_partkey")
+    val url = when(k % 4 === 0, lit("https://www.avito.ma/vi/123.htm"))
+      .when(k % 4 === 1, lit("https://other.com/x"))
+      .when(k % 4 === 2, lit(""))
+      .otherwise(lit(null).cast("string"))
+    val adId = when(k % 5 === 0, lit("98765")).when(k % 5 === 1, lit("NULL"))
+      .when(k % 5 === 2, lit("")).when(k % 5 === 3, lit(null).cast("string"))
+      .otherwise(lit("55"))
+    t(s, dir, "part")
+      .withColumn("url", url).withColumn("ad_id", adId)
+      .select(col("p_partkey"), col("url"), col("ad_id"),
+        buildAvitoUrl(col("url"), col("ad_id")).as("final_url"))
+      .sortSmall("p_partkey")
+  }
+
+  val f9Sql: String =
+    s"""WITH r AS (
+       |  SELECT p_partkey,
+       |    CASE p_partkey % 4 WHEN 0 THEN 'https://www.avito.ma/vi/123.htm'
+       |      WHEN 1 THEN 'https://other.com/x' WHEN 2 THEN '' END AS url,
+       |    CASE p_partkey % 5 WHEN 0 THEN '98765' WHEN 1 THEN 'NULL' WHEN 2 THEN ''
+       |      WHEN 3 THEN NULL ELSE '55' END AS ad_id
+       |  FROM part)
+       |SELECT p_partkey, url, ad_id,
+       |  CASE WHEN contains(coalesce(url,''), 'avito.ma') THEN url
+       |    WHEN ad_id IS NOT NULL AND upper(trim(ad_id)) NOT IN ('','NULL','NONE','INCONNU','UNKNOWN','NAN')
+       |      THEN 'https://www.avito.ma/vi/' || ad_id || '.htm'
+       |    ELSE 'https://www.avito.ma' END AS final_url
+       |FROM r ORDER BY p_partkey""".stripMargin
+
+  /** F10 — safe_string: null→"", string passthrough, numbers rendered via
+    * cast (base_extractor.py:32-38). */
+  def f10SafeString(s: SparkSession, dir: String): DataFrame = {
+    val k = col("p_partkey")
+    val raw = when(k % 4 === 0, lit("hello"))
+      .when(k % 4 === 1, lit(""))
+      .when(k % 4 === 2, lit(" spaced "))
+      .otherwise(lit(null).cast("string"))
+    t(s, dir, "part")
+      .withColumn("raw", raw)
+      .select(col("p_partkey"), col("raw"),
+        safeString(col("raw")).as("safe_raw"),
+        safeString((k % 1000).cast("int")).as("safe_num"),
+        safeString(lit(null).cast("int")).as("safe_null_num"))
+      .sortSmall("p_partkey")
+  }
+
+  val f10Sql: String =
+    """WITH r AS (
+      |  SELECT p_partkey,
+      |    CASE p_partkey % 4 WHEN 0 THEN 'hello' WHEN 1 THEN '' WHEN 2 THEN ' spaced ' END AS raw
+      |  FROM part)
+      |SELECT p_partkey, raw,
+      |  coalesce(raw, '') AS safe_raw,
+      |  CAST(p_partkey % 1000 AS VARCHAR) AS safe_num,
+      |  '' AS safe_null_num
+      |FROM r ORDER BY p_partkey""".stripMargin
+
   /** F12 — storage/ram/screen spec extraction from free text. */
   def f12Specs(s: SparkSession, dir: String): DataFrame = {
     val k = col("p_partkey")
@@ -1492,6 +1554,224 @@ object Queries {
        |ORDER BY url""".stripMargin
   }
 
+  /** Shared synthesized Electroplanet raw frame: French spec keys per
+    * residue class (Modèle present/'Unknown'/''/absent to exercise every
+    * branch of the model guard), BASE-path brand inputs, naive-price
+    * formats, a reviews_summary struct, and a detailed_scraped_at that is
+    * present/empty/null (the plugin and DAG paths treat '' differently —
+    * plugin's plain coalesce keeps it, the DAG's falsy-or falls through). */
+  private def electroRaw(s: SparkSession, dir: String): DataFrame = {
+    val k = col("p_partkey")
+    t(s, dir, "part").select(
+      when(k % 5 === 0, lit("Samsung Galaxy A14"))
+        .when(k % 5 === 1, lit("Xiaomi Redmi 12"))
+        .when(k % 5 === 2, lit("Telephone 128 Go stockage"))
+        .when(k % 5 === 3, lit("Infinix Hot Deal"))
+        .otherwise(lit("Oppo A58 écran 6.5\" neuf")).as("name"),
+      when(k % 3 === 0, lit("XIAOMI")).when(k % 3 === 1, lit(null).cast("string"))
+        .otherwise(lit("NULL")).as("brand"),
+      when(k % 4 === 0, lit("13,875")).when(k % 4 === 1, lit("1.299,00"))
+        .when(k % 4 === 2, lit("2499")).otherwise(lit("")).as("price"),
+      when(k % 2 === 0, lit("2,999")).otherwise(lit(null).cast("string")).as("old_price"),
+      when(k % 6 === 0, map(lit("Modèle"), lit("Redmi Note 13 Pro"),
+          lit("Capacité de stockage interne"), lit("256 Go"), lit("Marque"), lit("Xiaomi")))
+        .when(k % 6 === 1, map(lit("Modèle"), lit("Unknown"), lit("Capacité de la RAM"), lit("8 Go")))
+        .when(k % 6 === 2, map(lit("Modèle"), lit(""), lit("Famille de processeur"), lit("Snapdragon 8")))
+        .when(k % 6 === 3, map(lit("Écran Gorilla Glass"), lit("Oui"),
+          lit("Résolution de la caméra arrière (numerique)"), lit("50 MP")))
+        .when(k % 6 === 4, lit(null).cast("map<string,string>"))
+        .otherwise(map(lit("Afficher le nom du marketing technologique"), lit("AMOLED"),
+          lit("Capacité de stockage interne"), lit(""))).as("specifications"),
+      struct(
+        when(k % 3 === 0, lit("20")).when(k % 3 === 1, lit("4.5"))
+          .otherwise(lit(null).cast("string")).as("average_rating"),
+        (k % 500).cast("int").as("total_reviews")).as("reviews_summary"),
+      concat(lit("https://www.electroplanet.ma/p"), lpad(k.cast("string"), 8, "0")).as("product_url"),
+      when(k % 2 === 0, lit("Electroplanet Rabat")).otherwise(lit(null).cast("string")).as("store"),
+      when(k % 3 === 0, lit("2026-03-01T10:00:00")).when(k % 3 === 1, lit(""))
+        .otherwise(lit(null).cast("string")).as("detailed_scraped_at"),
+      concat(lit("2026-03-"), lpad((k % 28 + 1).cast("string"), 2, "0")).as("scraped_at"))
+  }
+
+  /** P1 — the real [[graft.transform.Transforms.electroplanet]] (plugin
+    * path) end-to-end: BASE brand (falsy-only), `Modèle` spec verbatim
+    * unless empty/'Unknown' (then the BASE title cascade), BASE product
+    * id with words[1] fallback, canonical French spec-key mapping,
+    * naive clean_price (the "13,875"→13.875 quirk is on this path too —
+    * the extractor calls self.clean_price), raw average_rating string,
+    * detailed_scraped_at preferred with a plain null-only coalesce.
+    * Ref: electroplanet_extractor.py:14-77. */
+  def p1ElectroTransform(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.transform.Transforms.electroplanet(electroRaw(s, dir), "2026-08-12T00:00:00")
+    out.select(
+      col("product_id"), col("brand"), col("model"), col("product_name"),
+      try_element_at(col("specifications"), lit("storage")).as("spec_storage"),
+      try_element_at(col("specifications"), lit("ram")).as("spec_ram"),
+      try_element_at(col("specifications"), lit("brand")).as("spec_brand"),
+      try_element_at(col("specifications"), lit("model")).as("spec_model"),
+      try_element_at(col("specifications"), lit("processor")).as("spec_processor"),
+      try_element_at(col("specifications"), lit("camera")).as("spec_camera"),
+      try_element_at(col("specifications"), lit("screen_tech")).as("spec_screen_tech"),
+      try_element_at(col("specifications"), lit("gorilla_glass")).as("spec_gorilla"),
+      element_at(col("offers"), 1).getField("price").as("price"),
+      element_at(col("offers"), 1).getField("original_price").as("original_price"),
+      element_at(col("offers"), 1).getField("condition").as("condition"),
+      element_at(col("offers"), 1).getField("rating").as("rating"),
+      element_at(col("offers"), 1).getField("reviews_count").as("reviews_count"),
+      element_at(col("offers"), 1).getField("url").as("url"),
+      element_at(col("offers"), 1).getField("seller_name").as("seller_name"),
+      element_at(col("offers"), 1).getField("scraped_at").as("scraped_at"))
+      .sortSmall("url")
+  }
+
+  val p1ElectroSql: String = {
+    val sharedBrand = brandChain(BrandMap, "lcb")
+    s"""WITH r AS (
+       |  SELECT p_partkey,
+       |    CASE p_partkey % 5 WHEN 0 THEN 'Samsung Galaxy A14' WHEN 1 THEN 'Xiaomi Redmi 12'
+       |      WHEN 2 THEN 'Telephone 128 Go stockage' WHEN 3 THEN 'Infinix Hot Deal'
+       |      ELSE 'Oppo A58 écran 6.5" neuf' END AS name,
+       |    CASE p_partkey % 3 WHEN 0 THEN 'XIAOMI' WHEN 1 THEN NULL ELSE 'NULL' END AS brand,
+       |    CASE p_partkey % 4 WHEN 0 THEN '13,875' WHEN 1 THEN '1.299,00' WHEN 2 THEN '2499' ELSE '' END AS price,
+       |    CASE WHEN p_partkey % 2 = 0 THEN '2,999' END AS old_price,
+       |    CASE p_partkey % 6 WHEN 0 THEN 'Redmi Note 13 Pro' WHEN 1 THEN 'Unknown' WHEN 2 THEN '' END AS spec_modele,
+       |    CASE p_partkey % 6 WHEN 0 THEN '256 Go' WHEN 5 THEN '' END AS spec_storage_in,
+       |    CASE WHEN p_partkey % 6 = 1 THEN '8 Go' END AS spec_ram_in,
+       |    CASE WHEN p_partkey % 6 = 0 THEN 'Xiaomi' END AS spec_marque,
+       |    CASE WHEN p_partkey % 6 = 2 THEN 'Snapdragon 8' END AS spec_proc,
+       |    CASE WHEN p_partkey % 6 = 3 THEN '50 MP' END AS spec_cam,
+       |    CASE WHEN p_partkey % 6 = 5 THEN 'AMOLED' END AS spec_st,
+       |    CASE WHEN p_partkey % 6 = 3 THEN 'Oui' END AS spec_gg,
+       |    CASE p_partkey % 3 WHEN 0 THEN '20' WHEN 1 THEN '4.5' END AS avg_rating,
+       |    CAST(p_partkey % 500 AS VARCHAR) AS total_reviews,
+       |    'https://www.electroplanet.ma/p' || lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS product_url,
+       |    CASE WHEN p_partkey % 2 = 0 THEN 'Electroplanet Rabat' END AS store,
+       |    CASE p_partkey % 3 WHEN 0 THEN '2026-03-01T10:00:00' WHEN 1 THEN '' END AS detailed_scraped_at,
+       |    '2026-03-' || lpad(CAST(p_partkey % 28 + 1 AS VARCHAR), 2, '0') AS scraped_at
+       |  FROM part),
+       |b0 AS (SELECT *, lower(trim(coalesce(brand,''))) AS lcb FROM r),
+       |b1 AS (SELECT *,
+       |  CASE WHEN brand IS NULL OR brand = '' THEN 'Unknown'
+       |    ELSE CASE $sharedBrand
+       |      ELSE upper(substr(brand,1,1)) || lower(substr(brand,2)) END END AS brand_out
+       |  FROM b0),
+       |m0 AS (SELECT *, trim(replace(lower(name), lower(brand_out), '')) AS tc FROM b1),
+       |m1 AS (SELECT *,
+       |  coalesce(
+       |    nullif(regexp_extract(tc, '([0-9]+\\s*go|[0-9]+\\s*gb)', 1), ''),
+       |    nullif(regexp_extract(tc, '([0-9]+\\s*go\\s+[0-9]+\\s*go\\s+ram)', 1), ''),
+       |    nullif(regexp_extract(tc, '([a-z]+\\s*[0-9]+[\\p{L}\\p{N}_]*)', 1), '')) AS rawm
+       |  FROM m0),
+       |m2 AS (SELECT *,
+       |  CASE WHEN spec_modele IS NOT NULL AND spec_modele <> '' AND spec_modele <> 'Unknown'
+       |    THEN spec_modele
+       |    ELSE CASE WHEN name = '' THEN 'Unknown'
+       |      ELSE coalesce(nullif(trim(regexp_replace(upper(rawm), '\\s+', ' ', 'g')), ''), 'Unknown') END
+       |    END AS model_out
+       |  FROM m1),
+       |px AS (SELECT *,
+       |  coalesce(CAST(nullif(regexp_extract(replace(regexp_replace(price, '[^0-9,.]', '', 'g'), ',', '.'), '[0-9]+\\.?[0-9]*', 0), '') AS DOUBLE), 0.0) AS price_out,
+       |  coalesce(CAST(nullif(regexp_extract(replace(regexp_replace(old_price, '[^0-9,.]', '', 'g'), ',', '.'), '[0-9]+\\.?[0-9]*', 0), '') AS DOUBLE), 0.0) AS old_price_out
+       |  FROM m2),
+       |id0 AS (SELECT *,
+       |  regexp_replace(lower(coalesce(brand_out,'')), '[^a-z0-9]', '', 'g') AS slug_b,
+       |  regexp_replace(lower(coalesce(model_out,'')), '[^a-z0-9]', '', 'g') AS slug_m,
+       |  string_split_regex(trim(regexp_replace(lower(name), '[^a-z0-9]', ' ', 'g')), '\\s+') AS words
+       |  FROM px)
+       |SELECT
+       |  slug_b || '_' ||
+       |    CASE WHEN slug_m = 'unknown'
+       |      THEN CASE WHEN len(words) > 1 THEN words[2] ELSE 'unknown' END
+       |      ELSE slug_m END AS product_id,
+       |  brand_out AS brand, model_out AS model, coalesce(name,'') AS product_name,
+       |  nullif(spec_storage_in, '') AS spec_storage,
+       |  spec_ram_in AS spec_ram,
+       |  spec_marque AS spec_brand,
+       |  nullif(spec_modele, '') AS spec_model,
+       |  spec_proc AS spec_processor,
+       |  spec_cam AS spec_camera,
+       |  spec_st AS spec_screen_tech,
+       |  spec_gg AS spec_gorilla,
+       |  price_out AS price, old_price_out AS original_price,
+       |  'Neuf' AS condition,
+       |  avg_rating AS rating,
+       |  total_reviews AS reviews_count,
+       |  product_url AS url, store AS seller_name,
+       |  coalesce(detailed_scraped_at, scraped_at) AS scraped_at
+       |FROM id0
+       |ORDER BY url""".stripMargin
+  }
+
+  /** P1/CompatMode — the real Transforms.electroplanet in DAG-INLINE mode
+    * (transform_electroplanet_item, dag:551-610): DAG brand map, `Modèle`
+    * verbatim when merely truthy (a literal 'Unknown' spec stays — unlike
+    * the plugin path), ONE letters-digits pattern over the brand-stripped
+    * name, slug-only id with no fallback, 3-key truthy specs, 'new'
+    * condition, falsy-or detailed_scraped_at (empty string falls through
+    * to scraped_at). */
+  def p1ElectroDagTransform(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.transform.Transforms.electroplanet(electroRaw(s, dir), "2026-08-12T00:00:00",
+      graft.transform.CompatMode.DagInline)
+    out.select(
+      col("product_id"), col("brand"), col("model"), col("product_name"),
+      try_element_at(col("specifications"), lit("storage")).as("spec_storage"),
+      try_element_at(col("specifications"), lit("ram")).as("spec_ram"),
+      try_element_at(col("specifications"), lit("model")).as("spec_model"),
+      element_at(col("offers"), 1).getField("price").as("price"),
+      element_at(col("offers"), 1).getField("condition").as("condition"),
+      element_at(col("offers"), 1).getField("rating").as("rating"),
+      element_at(col("offers"), 1).getField("url").as("url"),
+      element_at(col("offers"), 1).getField("scraped_at").as("scraped_at"))
+      .sortSmall("url")
+  }
+
+  val p1ElectroDagSql: String = {
+    val dagBrand = brandChain(graft.functions.ScalarFunctions.DagFieldBrandMap, "lcb")
+    s"""WITH r AS (
+       |  SELECT p_partkey,
+       |    CASE p_partkey % 5 WHEN 0 THEN 'Samsung Galaxy A14' WHEN 1 THEN 'Xiaomi Redmi 12'
+       |      WHEN 2 THEN 'Telephone 128 Go stockage' WHEN 3 THEN 'Infinix Hot Deal'
+       |      ELSE 'Oppo A58 écran 6.5" neuf' END AS name,
+       |    CASE p_partkey % 3 WHEN 0 THEN 'XIAOMI' WHEN 1 THEN NULL ELSE 'NULL' END AS brand,
+       |    CASE p_partkey % 4 WHEN 0 THEN '13,875' WHEN 1 THEN '1.299,00' WHEN 2 THEN '2499' ELSE '' END AS price,
+       |    CASE p_partkey % 6 WHEN 0 THEN 'Redmi Note 13 Pro' WHEN 1 THEN 'Unknown' WHEN 2 THEN '' END AS spec_modele,
+       |    CASE p_partkey % 6 WHEN 0 THEN '256 Go' WHEN 5 THEN '' END AS spec_storage_in,
+       |    CASE WHEN p_partkey % 6 = 1 THEN '8 Go' END AS spec_ram_in,
+       |    CASE p_partkey % 3 WHEN 0 THEN '20' WHEN 1 THEN '4.5' END AS avg_rating,
+       |    'https://www.electroplanet.ma/p' || lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS product_url,
+       |    CASE p_partkey % 3 WHEN 0 THEN '2026-03-01T10:00:00' WHEN 1 THEN '' END AS detailed_scraped_at,
+       |    '2026-03-' || lpad(CAST(p_partkey % 28 + 1 AS VARCHAR), 2, '0') AS scraped_at
+       |  FROM part),
+       |b0 AS (SELECT *, lower(trim(coalesce(brand,''))) AS lcb FROM r),
+       |b1 AS (SELECT *,
+       |  CASE WHEN brand IS NULL OR brand = '' THEN 'Unknown'
+       |    ELSE CASE $dagBrand
+       |      ELSE upper(substr(brand,1,1)) || lower(substr(brand,2)) END END AS brand_out
+       |  FROM b0),
+       |m0 AS (SELECT *, trim(replace(lower(name), lower(brand_out), '')) AS tc FROM b1),
+       |m1 AS (SELECT *,
+       |  nullif(upper(regexp_extract(tc, '([a-z]+\\s*[0-9]+[\\p{L}\\p{N}_]*)', 1)), '') AS rawm
+       |  FROM m0),
+       |m2 AS (SELECT *,
+       |  CASE WHEN spec_modele IS NOT NULL AND spec_modele <> '' THEN spec_modele
+       |    ELSE coalesce(rawm, 'Unknown') END AS model_out
+       |  FROM m1)
+       |SELECT
+       |  regexp_replace(lower(brand_out), '[^a-z0-9]', '', 'g') || '_' ||
+       |    regexp_replace(lower(model_out), '[^a-z0-9]', '', 'g') AS product_id,
+       |  brand_out AS brand, model_out AS model, trim(name) AS product_name,
+       |  nullif(spec_storage_in, '') AS spec_storage,
+       |  spec_ram_in AS spec_ram,
+       |  nullif(spec_modele, '') AS spec_model,
+       |  coalesce(CAST(nullif(regexp_extract(replace(regexp_replace(price, '[^0-9,.]', '', 'g'), ',', '.'), '[0-9]+\\.?[0-9]*', 0), '') AS DOUBLE), 0.0) AS price,
+       |  'new' AS condition,
+       |  avg_rating AS rating,
+       |  product_url AS url,
+       |  coalesce(nullif(detailed_scraped_at, ''), scraped_at) AS scraped_at
+       |FROM m2
+       |ORDER BY url""".stripMargin
+  }
+
   // ---------------------------------------------------------------------
   // Anomaly detection (Z1–Z6)
   // ---------------------------------------------------------------------
@@ -1847,11 +2127,14 @@ object Queries {
 
   /** D7 — embedding-cosine near-duplicate pairs (exact over a bounded id
     * range; the LSH/IVF candidate paths are verified against this in
-    * tests). */
+    * tests). Threshold 0.4 is chosen so the sf0.01 synthetic embeddings
+    * (near-orthogonal random vectors) actually produce pairs — at 0.8 the
+    * oracle was vacuous (0 rows both sides) and proved nothing about the
+    * cosine formula. */
   def d7EmbeddingNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(
         t(s, dir, "embeddings").where(col("vec_id") < 500), "vec_id", "embedding",
-        threshold = 0.8)
+        threshold = 0.4)
       .sortSmall("id_a", "id_b")
 
   val d7Sql: String = {
@@ -1862,7 +2145,7 @@ object Queries {
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |    round(${dotProd.format("a.v", "b.v")} / (sqrt(${dotProd.format("a.v", "a.v")}) * sqrt(${dotProd.format("b.v", "b.v")})), 4) AS cos
        |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-       |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.8 ORDER BY id_a, id_b""".stripMargin
+       |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
   }
 
   /** D7b — the SCALE path of d7: near-dup pairs from LSH-bucketed
@@ -2391,6 +2674,8 @@ object Queries {
     "p1_avito_dag" -> p1AvitoDagTransform,
     "p1_jumia_transform" -> p1JumiaTransform,
     "p1_jumia_dag" -> p1JumiaDagTransform,
+    "p1_electroplanet_transform" -> p1ElectroTransform,
+    "p1_electroplanet_dag" -> p1ElectroDagTransform,
     "p4_positive_filter" -> p4PositiveFilter,
     "p6_multi_source" -> p6MultiSource,
     "j1_stats_join" -> j1StatsJoin,
@@ -2414,6 +2699,8 @@ object Queries {
     "f7_condition" -> f7Condition,
     "f7_condition_dag" -> f7ConditionDag,
     "f8_rating" -> f8Rating,
+    "f9_avito_url" -> f9AvitoUrl,
+    "f10_safe_string" -> f10SafeString,
     "f12_specs" -> f12Specs,
     "z3_zscore_anomalies" -> z3ZscoreAnomalies,
     "z5_anomaly_summary" -> z5AnomalySummary,
@@ -2453,6 +2740,8 @@ object Queries {
     "p1_avito_dag" -> p1AvitoDagSql,
     "p1_jumia_transform" -> p1JumiaSql,
     "p1_jumia_dag" -> p1JumiaDagSql,
+    "p1_electroplanet_transform" -> p1ElectroSql,
+    "p1_electroplanet_dag" -> p1ElectroDagSql,
     "p4_positive_filter" -> p4Sql,
     "p6_multi_source" -> p6Sql,
     "j1_stats_join" -> j1Sql,
@@ -2476,6 +2765,8 @@ object Queries {
     "f7_condition" -> f7Sql,
     "f7_condition_dag" -> f7DagSql,
     "f8_rating" -> f8Sql,
+    "f9_avito_url" -> f9Sql,
+    "f10_safe_string" -> f10Sql,
     "f12_specs" -> f12Sql,
     "z3_zscore_anomalies" -> z3Sql,
     "z5_anomaly_summary" -> z5Sql,
