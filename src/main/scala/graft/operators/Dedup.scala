@@ -183,9 +183,13 @@ object Dedup {
     * a Pregel superstep as two shuffles. The driver loop holds only a
     * convergence count, never data rows; rounds needed = cluster
     * diameter, which for near-dup graphs is small (dup clusters are
-    * near-cliques). At larger diameters switch the edge step to
-    * large-star/small-star contraction — same loop skeleton. */
-  def connectedComponents(ids: DataFrame, pairs: DataFrame): DataFrame = {
+    * near-cliques). A pathological high-diameter graph (chains of
+    * borderline pairs) would pay diameter rounds, so after
+    * `lpMaxRounds` un-converged rounds the loop abandons propagation
+    * and restarts as large-star/small-star contraction
+    * ([[starContraction]]), which converges in O(log d) rounds. */
+  def connectedComponents(ids: DataFrame, pairs: DataFrame,
+                          lpMaxRounds: Int = 20): DataFrame = {
     // symmetrize with ONE pass over the pair set: pairs is typically the
     // output of the whole minhash/verify pipeline, and a union of two
     // selects would compute that pipeline twice before the cache fills
@@ -231,7 +235,8 @@ object Dedup {
     // for any id type (string doc ids included), no driver-side numeric
     // fold
     var converged = false
-    while (!converged) {
+    var rounds = 0
+    while (!converged && rounds < lpMaxRounds) {
       val propagated = edges
         .join(labels.withColumnRenamed("id", "src").select("src", "label"), "src")
         .select(col("dst").as("id"), col("label"))
@@ -245,10 +250,87 @@ object Dedup {
       // FILES follow spark.cleaner.referenceTracking.cleanCheckpoints)
       labels.unpersist()
       labels = next
+      rounds += 1
+    }
+    if (!converged) {
+      // diameter exceeded the propagation budget: restart as star
+      // contraction on the same edge set (labels so far are partial mins
+      // — contraction recomputes from scratch in O(log d) rounds, so
+      // carrying them in would complicate the rounds proof for no
+      // asymptotic gain)
+      labels.unpersist()
+      val (starLabels, _) = starContraction(edges)
+      labels = starLabels
     }
     edges.unpersist()
     ids.join(labels.select("id", "label"), Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
+  }
+
+  /** Large-star/small-star contraction — the O(log d)-round connected
+    * components of Kiveris et al., "Connected Components in MapReduce and
+    * Beyond" (SoCC'14). Works on any ordered id type (min = component
+    * label, as in the propagation loop).
+    *
+    * Each round, on canonical (u > v) edges:
+    *  - LARGE-STAR: every neighbor strictly larger than u re-attaches to
+    *    the minimum of u's closed neighborhood — long tails fold onto
+    *    local minima, halving chain lengths per round.
+    *  - SMALL-STAR: u and all its smaller neighbors attach to their
+    *    collective minimum — after this every node has at most ONE parent.
+    *
+    * Converged when no parent is also a child: with unique parents that
+    * is exactly a star forest, and a canonical star's center is smaller
+    * than all its leaves, i.e. the component minimum. Per round: two
+    * groupBy+join pairs and one emptiness probe, all on the edge set —
+    * nothing is ever collected to the driver, per-node state is one
+    * (node, parent) row, and the lineage is cut per round exactly like
+    * the propagation loop.
+    *
+    * @param edges symmetric or directed pair list with columns (src, dst);
+    *        self-loops tolerated.
+    * @return (labels — columns (id, label), one row per non-isolated
+    *        node; rounds taken) */
+  private[graft] def starContraction(edges: DataFrame): (DataFrame, Int) = {
+    val reliable = edges.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def cut(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    var cur = cut(edges
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .where(col("u") =!= col("v")).distinct())
+    var converged = cur.isEmpty
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 64, "star contraction failed to converge in 64 rounds")
+      // large-star over the symmetrized adjacency
+      val sym = cur
+        .select(explode(array(
+          struct(col("u").as("a"), col("v").as("b")),
+          struct(col("v").as("a"), col("u").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+      val minsL = sym.groupBy("a").agg(min("b").as("mb"))
+        .select(col("a"), least(col("mb"), col("a")).as("m"))
+      // (b, m) for b > a: m ≤ a < b, so results stay canonical, no loops
+      val afterLarge = sym.join(minsL, "a").where(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v")).distinct()
+      // small-star: u and its smaller neighbors onto min(neighbors ∪ {u})
+      val minsS = afterLarge.groupBy("u").agg(min("v").as("m"))
+      val afterSmall = afterLarge.join(minsS, "u")
+        .select(explode(array(
+          struct(col("u").as("x"), col("m").as("y")),
+          struct(col("v").as("x"), col("m").as("y")))).as("e"))
+        .select(col("e.x").as("u"), col("e.y").as("v"))
+        .where(col("u") =!= col("v")).distinct()
+      val next = cut(afterSmall)
+      // star-forest test on the materialized round result
+      converged = next.alias("c").join(
+        next.select(col("u").as("v")).alias("p"), Seq("v")).isEmpty
+      cur.unpersist()
+      cur = next
+    }
+    (cur.select(col("u").as("id"), col("v").as("label")), rounds)
   }
 
   /** Portable 16-bit SimHash: per token take the first 4 hex chars of md5

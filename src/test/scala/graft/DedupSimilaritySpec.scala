@@ -267,6 +267,36 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got == (1L to n).map(_ -> 1L).toMap)
   }
 
+  test("star contraction: 64-node chain converges in O(log d) rounds, not d") {
+    // worst case for label propagation: a path graph of diameter 63 would
+    // take 63 propagation rounds; large-star/small-star folds chain
+    // length roughly in half per round
+    val n = 64L
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val (labels, rounds) = Dedup.starContraction(pairs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (2L to n).map(_ -> 1L).toMap) // root 1 labels itself implicitly
+    assert(rounds <= 10, s"expected O(log 63) ≈ 6-8 rounds, took $rounds")
+  }
+
+  test("star contraction: multiple components + string ids match propagation") {
+    val pairs = Seq(("b", "c"), ("a", "b"), ("x", "y")).toDF("src", "dst")
+    val (labels, _) = Dedup.starContraction(pairs)
+    val got = labels.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == Map("b" -> "a", "c" -> "a", "y" -> "x"))
+  }
+
+  test("connected components: propagation budget exceeded → star fallback, same answer") {
+    // lpMaxRounds=2 cannot finish an 11-hop chain by propagation; the
+    // result must come from the contraction fallback and be identical
+    val n = 12L
+    val ids = (1L to n).toDF("id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(ids, pairs, lpMaxRounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (1L to n).map(_ -> 1L).toMap)
+  }
+
   test("LSH near-dup plan: candidates join on the bucket key, never a cartesian") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pairs = Similarity.cosineNearDupLshPairs(emb, "vec_id", "embedding",
