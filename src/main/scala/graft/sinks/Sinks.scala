@@ -18,15 +18,60 @@ object Sinks {
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Python `json.dump(..., ensure_ascii=False, indent=2)` rendering of
+    * one JSON document (the reference's exact writer settings,
+    * M/dags/marketeye_etl_dag.py:279-281): 2-space indent steps, `": "`
+    * key separator, `",\n"` item separator, bare `{}` / `[]` for empty
+    * containers, non-ASCII raw. Scalars re-serialize through Jackson —
+    * the same library that produced the staged JSONL — so number and
+    * string tokens pass through byte-identical. */
+  private def pyPretty(node: com.fasterxml.jackson.databind.JsonNode,
+                       pad: String, sb: java.lang.StringBuilder): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (node.isObject) {
+      if (node.isEmpty) { sb.append("{}"); return }
+      sb.append("{\n")
+      var first = true
+      node.fields().asScala.foreach { e =>
+        if (!first) sb.append(",\n")
+        first = false
+        sb.append(pad).append("  ")
+          .append(com.fasterxml.jackson.databind.node.TextNode.valueOf(e.getKey).toString)
+          .append(": ")
+        pyPretty(e.getValue, pad + "  ", sb)
+      }
+      sb.append("\n").append(pad).append("}")
+    } else if (node.isArray) {
+      if (node.isEmpty) { sb.append("[]"); return }
+      sb.append("[\n")
+      var first = true
+      node.elements().asScala.foreach { v =>
+        if (!first) sb.append(",\n")
+        first = false
+        sb.append(pad).append("  ")
+        pyPretty(v, pad + "  ", sb)
+      }
+      sb.append("\n").append(pad).append("]")
+    } else sb.append(node.toString)
+  }
+
   /** S4b — the reference's output FRAMING: one JSON array file
     * (ensure_ascii=False equivalent — Spark writes raw UTF-8). The
     * distributed JSONL parts are re-framed on the driver as a byte
     * stream (file-level concat through a bounded buffer — no row ever
-    * collects); records stay one-per-line rather than indent=2-exploded.
-    * For bounded report-grade exports; the JSONL sink is the scale path
-    * (a single array file fundamentally cannot be written in parallel). */
-  def writeJsonArray(df: DataFrame, stagingDir: String, outFile: String): Unit = {
-    writeJson(df, stagingDir)
+    * collects). Default framing keeps records one-per-line; `indent2 =
+    * true` reproduces the reference's `json.dump(..., indent=2)` bytes
+    * exactly (GoldenReplaySpec pins it against the committed
+    * electroplanet_transformed.json), staging with ignoreNullFields=false
+    * because Python writes explicit nulls. For bounded report-grade
+    * exports; the JSONL sink is the scale path (a single array file
+    * fundamentally cannot be written in parallel). */
+  def writeJsonArray(df: DataFrame, stagingDir: String, outFile: String,
+                     indent2: Boolean = false): Unit = {
+    if (indent2)
+      df.write.mode(SaveMode.Overwrite).option("ignoreNullFields", "false").json(stagingDir)
+    else writeJson(df, stagingDir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     // Hadoop FS API, not java.io: the staging dir is wherever the job
     // writes (HDFS/S3/local) — a driver-local File listing would silently
     // see nothing on a real cluster
@@ -52,14 +97,19 @@ object Sinks {
             if (line.nonEmpty) {
               if (!first) out.write(",\n")
               out.write("  ")
-              out.write(line)
+              if (indent2) {
+                val sb = new java.lang.StringBuilder()
+                pyPretty(mapper.readTree(line), "  ", sb)
+                out.write(sb.toString)
+              } else out.write(line)
               first = false
             }
             line = in.readLine()
           }
         } finally in.close()
       }
-      out.write("\n]\n")
+      // json.dump ends at the closing bracket — no trailing newline
+      if (indent2) out.write("\n]") else out.write("\n]\n")
     } finally out.close()
   }
 

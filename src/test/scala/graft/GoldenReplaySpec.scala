@@ -83,6 +83,53 @@ class GoldenReplaySpec extends SparkSuite {
     }
   }
 
+  test("S4b byte parity: the indent=2 array sink reproduces the committed artifact byte-for-byte") {
+    // round-trip the committed file through Spark and the sink: read with
+    // a schema in the artifact's exact key order (ints as LongType so
+    // reviews_count renders 1, not 1.0), restage as JSONL, re-frame with
+    // indent2 — every byte of the reference's json.dump(ensure_ascii=
+    // False, indent=2) output must come back, including explicit nulls,
+    // bare {} specs, and the missing trailing newline
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(refData)))
+    val f = s"$refData/processed/electroplanet_transformed.json"
+    val schema = StructType(Seq(
+      StructField("product_id", StringType),
+      StructField("brand", StringType),
+      StructField("model", StringType),
+      StructField("product_name", StringType),
+      StructField("specifications", MapType(StringType, StringType)),
+      StructField("offers", ArrayType(StructType(Seq(
+        StructField("source", StringType),
+        StructField("price", DoubleType),
+        StructField("currency", StringType),
+        StructField("condition", StringType),
+        StructField("rating", StringType),
+        StructField("reviews_count", LongType),
+        StructField("url", StringType),
+        StructField("scraped_at", StringType))))),
+      StructField("metadata", StructType(Seq(
+        StructField("sources", ArrayType(StringType)),
+        StructField("created_at", StringType),
+        StructField("last_updated", StringType))))))
+    val df = spark.read.option("multiLine", "true").schema(schema).json(f).coalesce(1)
+    val tmp = java.nio.file.Files.createTempDirectory("golden_array").toString
+    val outFile = s"$tmp/out.json"
+    graft.sinks.Sinks.writeJsonArray(df, s"$tmp/staging", outFile, indent2 = true)
+    val want = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val got = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(outFile)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    if (got != want) {
+      val i = got.zip(want).indexWhere(p => p._1 != p._2) match {
+        case -1 => math.min(got.length, want.length)
+        case n => n
+      }
+      fail(s"byte mismatch at offset $i (got len ${got.length}, want ${want.length}):\n" +
+        s"got  …${got.slice(math.max(0, i - 80), i + 80)}…\n" +
+        s"want …${want.slice(math.max(0, i - 80), i + 80)}…")
+    }
+  }
+
   test("committed jumia artifact: the DAG cascade + slug id reproduce all 2029 docs") {
     // no raw Jumia scrape ships with the reference, but every committed
     // doc's model and product_id must be a fixpoint of the DAG functions
