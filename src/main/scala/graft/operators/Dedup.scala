@@ -387,6 +387,12 @@ object Dedup {
     // but O(|docs|) rows — a FORCED broadcast would OOM at corpus scale,
     // while a forced shuffle re-shuffles the (much larger) pair set twice.
     // AQE broadcasts while it fits and degrades to a shuffle join beyond.
+    // (Carrying each doc's size through pair generation as an (id, sz)
+    // struct — eliminating both joins — was measured and REJECTED: with
+    // struct group keys the pair aggregation falls off the primitive-key
+    // hash-agg fast path, and even grouping on plain ids with min(sz)
+    // carry-alongs, the wider collect_list/explode stream costs more than
+    // the AQE-broadcast joins it saves; same-JVM A/B in BENCH_NOTES.)
     val sizes = sets.select(col("id"), size(col("gr")).as("sz"))
     pairsFromGroups(grams, Seq("blk", "gram"), "id", maxDf)
       .groupBy(col("id_a"), col("id_b"))
