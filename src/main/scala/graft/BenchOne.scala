@@ -1,0 +1,40 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Single-query timing harness for iterating on one operator without
+  * paying the full catalog: `runMain graft.BenchOne <query> [repeats]`.
+  * Same session shape as [[Bench]] (cached tables, AQE, codegen cache),
+  * prints per-run seconds and the row count so a perf experiment can't
+  * silently change the result. */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: BenchOne <queryName>[,<queryName>...] [repeats]")
+    val names = args(0).split(",").toSeq
+    val repeats = if (args.length > 1) args(1).toInt else 2
+    System.setProperty("graft.cacheTables", "true")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      math.max(1, cpus.toInt / 2).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      val rows = fn(spark, sfDir).count()
+      (1 to repeats).foreach { i =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        println(f"[bench-one] $name run$i ${(System.nanoTime() - t0) / 1e9}%.3f s  rows=$rows")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1979,7 +1979,22 @@ object Queries {
         n = 2, threshold = 0.05)
       .sortSmall("id_a", "id_b")
 
-  val d4Sql: String =
+  /** D4b — the same exact jaccard join at a production near-dup threshold
+    * (0.8), computed with the All-Pairs/PPJoin prefix filter: only the
+    * rarest (1−t) fraction of each document's grams is indexed, so the
+    * candidate set collapses to near the true pair set instead of every
+    * gram co-occurrence. Lossless — the oracle is the brute-force
+    * formulation at the same threshold, so any dropped pair fails the
+    * hash gate. */
+  def d4bJaccardPrefix(s: SparkSession, dir: String): DataFrame =
+    Dedup.prefixJaccardPairs(docs(s, dir), "text", "doc_id", "lang",
+        n = 2, threshold = 0.8)
+      .sortSmall("id_a", "id_b")
+
+  /** Brute-force capped-jaccard oracle at a given threshold — shared by
+    * d4 (counting formulation, t=0.05) and d4b (prefix-filtered, t=0.8):
+    * both Spark plans must reproduce this one definition exactly. */
+  private def d4SqlAt(threshold: Double): String =
     s"""WITH norm AS (SELECT doc_id, lang, $normSql AS nt FROM documents),
        |tk AS (SELECT doc_id, lang, string_split(nt, ' ') AS toks, len(string_split(nt, ' ')) AS k FROM norm WHERE nt <> ''),
        |e AS (SELECT doc_id, lang, toks, k FROM tk UNION ALL SELECT doc_id, lang, [nt], 1 FROM norm WHERE nt = ''),
@@ -1999,7 +2014,10 @@ object Queries {
        |j AS (
        |  SELECT i.id_a, i.id_b, round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
        |  FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b)
-       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.05 ORDER BY id_a, id_b""".stripMargin
+       |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
+
+  val d4Sql: String = d4SqlAt(0.05)
+  val d4bSql: String = d4SqlAt(0.8)
 
   /** D5 — brute-force cosine top-k over the embedding column. */
   def d5CosineTopK(s: SparkSession, dir: String): DataFrame = {
@@ -2709,6 +2727,7 @@ object Queries {
     "d2_minhash_neardup" -> d2MinhashNearDup,
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
+    "d4b_jaccard_prefix" -> d4bJaccardPrefix,
     "d5_cosine_topk" -> d5CosineTopK,
     "d6_cosine_lsh" -> d6CosineLsh,
     "d7_embedding_neardup" -> d7EmbeddingNearDup,
@@ -2775,6 +2794,7 @@ object Queries {
     "d2_minhash_neardup" -> d2Sql,
     "d3_simhash" -> d3Sql,
     "d4_ngram_jaccard" -> d4Sql,
+    "d4b_jaccard_prefix" -> d4bSql,
     "d5_cosine_topk" -> d5Sql,
     "d6_cosine_lsh" -> d6Sql,
     "st2_streaming_hourly" -> st1Sql,

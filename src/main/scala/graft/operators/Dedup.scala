@@ -404,4 +404,82 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
+
+  /** Prefix-filtered exact n-gram Jaccard (All-Pairs/PPJoin prefix filter,
+    * Bayardo et al. WWW'07 / Xiao et al. WWW'08) — the high-threshold
+    * scale path of [[ngramJaccardPairs]]. Same output for any threshold
+    * (lossless), but candidate volume scales with (1−t)·|grams| instead
+    * of |grams|: at t=0.8 only the rarest ~20% of each document's grams
+    * are indexed, so the pair blow-up of the full inverted index never
+    * materializes. At t=0.05 the prefix is ~95% of each set and the
+    * extra verify joins make it strictly worse than the counting
+    * formulation — use [[ngramJaccardPairs]] there.
+    *
+    * Prefix lemma (proved via the minimal shared element): order grams by
+    * a global total order (here: ascending document frequency, then gram —
+    * rarest first minimizes postings). If |A∩B| ≥ α then the smallest
+    * shared gram lies within the first |A|−α+1 grams of A AND the first
+    * |B|−α+1 of B, so indexing only those prefixes finds every qualifying
+    * pair. jaccard ≥ t implies |A'∩B'| ≥ t·|A| per side (A' = df-capped
+    * set; the capped intersection is what the counting formulation scores
+    * too), giving α = ⌈t·|A|⌉. The bound is relaxed by the result's
+    * 4-decimal rounding (accepts j ≥ t−5e−5) and an fp guard, keeping the
+    * filter strictly lossless.
+    *
+    * Scale shape: one shuffle to build the df table, one groupBy to order
+    * each document's grams (state bounded by document size), candidate
+    * generation over prefix postings only (posting lists are ≤ maxDf by
+    * construction — the df cap doubles as the bucket cap), then the
+    * standard SHUFFLE_HASH verify on sorted hash sets. Nothing O(corpus)
+    * is broadcast or collected. */
+  def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                         blockCol: String, n: Int, threshold: Double,
+                         maxDf: Int = 500): DataFrame = {
+    require(threshold > 0 && threshold < 1, "prefix filter needs 0 < t < 1")
+    val sets = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      gramHashSet(col(textCol), n).as("gr"))
+    // carry the FULL distinct-gram count through the explode: the union
+    // size in the jaccard denominator counts capped grams too, exactly
+    // like the counting formulation
+    val grams = sets.select(col("id"), col("blk"), size(col("gr")).as("sz"),
+      explode(col("gr")).as("gram"))
+    val dfTab = grams.groupBy("blk", "gram").agg(count(lit(1)).as("gdf"))
+      .where(col("gdf") <= maxDf)
+    val capped = grams.join(dfTab, Seq("blk", "gram"))
+    // t' = t − 1e−4 (< the 4-decimal acceptance floor t − 5e−5), minus an
+    // fp epsilon inside ceil: both errors can only LENGTHEN the prefix
+    // ONE aggregation serves both branches: the rarity-ordered prefix
+    // source AND the verify-side sorted sets. Both downstream plans share
+    // this exact subtree, so the aggregation's exchange is computed once
+    // and reused (ReusedExchange), not re-aggregated per consumer.
+    val docs = capped.groupBy("id", "blk")
+      .agg(sort_array(collect_list(struct(col("gdf"), col("gram")))).as("by_rarity"),
+        first(col("sz")).as("sz"))
+      .withColumn("alpha",
+        ceil(lit(threshold - 1e-4) * col("sz") - lit(1e-9)).cast("int"))
+      .withColumn("plen", size(col("by_rarity")) - col("alpha") + lit(1))
+    val index = docs.where(col("plen") > 0)
+      .select(col("id"), col("blk"),
+        explode(slice(transform(col("by_rarity"), s => s.getField("gram")),
+          lit(1), col("plen"))).as("gram"))
+    val cands = pairsFromGroups(index, Seq("blk", "gram"), "id", maxDf).distinct()
+    // verify on the capped value-sorted hash sets (same SHUFFLE_HASH
+    // rationale as verifyJaccard: the set table is O(corpus))
+    val vsets = docs
+      .select(col("id"),
+        sort_array(transform(col("by_rarity"), s => s.getField("gram"))).as("toks"),
+        col("sz"))
+      .hint("shuffle_hash")
+    cands
+      .join(vsets.select(col("id").as("id_a"), col("toks").as("toks_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(vsets.select(col("id").as("id_b"), col("toks").as("toks_b"),
+        col("sz").as("sz_b")), "id_b")
+      .withColumn("inter", graft.functions.NativeTextColumns
+        .sortedIntersectSize(col("toks_a"), col("toks_b")).cast("long"))
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")), 4))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
 }

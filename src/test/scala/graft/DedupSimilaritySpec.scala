@@ -51,6 +51,27 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("prefix-filtered jaccard: identical output to the counting formulation") {
+    // real corpus slice: the sf0.001 documents table, blocked by lang —
+    // exercises df ordering, the cap, and empty/degenerate texts
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (t <- Seq(0.05, 0.4, 0.8)) {
+      val counting = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", "lang", 2, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val prefixed = Dedup.prefixJaccardPairs(corpus, "text", "doc_id", "lang", 2, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(prefixed == counting, s"prefix filter lost/invented pairs at t=$t")
+    }
+  }
+
+  test("prefix-filtered jaccard: high-threshold near-dups found, nothing else") {
+    val blocked = docs.withColumn("blk", lit("all"))
+    val pairs = Dedup.prefixJaccardPairs(blocked, "text", "doc_id", "blk", 2, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("cosine top-k: exact ranking on constructed vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
