@@ -1951,6 +1951,43 @@ object Queries {
        |SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
        |ORDER BY doc_id""".stripMargin
 
+  /** D10 — the dedup APPLY step: from d8's near-dup clusters, keep one
+    * canonical document per cluster (the min-id member — exactly the
+    * cluster label) and report how many documents it absorbed, with the
+    * survivor's provenance columns joined back. This is the manifest a
+    * pipeline actually writes after near-dup detection; detection (d2),
+    * clustering (d8) and application (here) are separate operators so the
+    * expensive stages can be checkpointed independently. One extra
+    * count-by-label aggregation and one doc_id-equi-join over d8's
+    * labels — both shuffle on the id, nothing broadcast. */
+  def d10DedupApply(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).where(length(normalizeText(col("text"))) > 0)
+    val pairs = Dedup.minhashNearDup(d, "text", "doc_id", bands = 4, rowsPerBand = 2,
+      threshold = 0.2, shingleN = 2)
+    val labels = Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
+    labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"))
+      .join(d.select(col("doc_id"), col("lang"), col("source")),
+        col("cluster_id") === col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_docs"))
+      .sortSmall("doc_id")
+  }
+
+  val d10Sql: String =
+    s"""WITH RECURSIVE $d2CtesSql,
+       |pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM tk
+       |  UNION
+       |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+       |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |surv AS (SELECT cluster_id, count(*) AS n_docs FROM lab GROUP BY cluster_id)
+       |SELECT s.cluster_id AS doc_id, d.lang, d.source, s.n_docs
+       |FROM surv s JOIN documents d ON d.doc_id = s.cluster_id
+       |ORDER BY doc_id""".stripMargin
+
   /** D3 — portable 16-bit SimHash signatures. */
   def d3Simhash(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
@@ -2386,6 +2423,21 @@ object Queries {
        |SELECT doc_id, eval_id, overlap FROM r WHERE rn = 1 AND overlap >= 0.2
        |ORDER BY doc_id""".stripMargin
 
+  /** X9b — x9 with a Bloom semi-join reduction: the eval set's gram
+    * vocabulary is aggregated into a Bloom filter and probed inside the
+    * corpus scan's generated code, so only candidate grams reach the
+    * shuffle. Identical output (no false negatives; the exact join drops
+    * the false positives), same oracle — the driver gate proves the
+    * reduction lossless. */
+  def x9bDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).where(length(normalizeText(col("text"))) > 0)
+    graft.operators.Decontaminate.overlapAgainstBloom(
+        corpus = d.where(col("doc_id") % 50 =!= 0),
+        evalSet = d.where(col("doc_id") % 50 === 0),
+        textCol = "text", idCol = "doc_id", shingleN = 2, threshold = 0.2)
+      .sortSmall("doc_id")
+  }
+
   /** X10 — sequence packing (concat-then-chunk, 512-token budget, per
     * source, ordered by doc_id): per-pack document counts and token sums. */
   def x10SequencePacking(s: SparkSession, dir: String): DataFrame =
@@ -2496,6 +2548,59 @@ object Queries {
        |      + (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2, 4) AS quality
        |FROM m ORDER BY doc_id""".stripMargin
   }
+
+  /** X11 — repetition signals (the Gopher repetition rules x2/x7 leave
+    * out): per document, the fraction of token instances that are repeats
+    * of an earlier token, and the fraction of bigram instances taken by
+    * the single most frequent bigram. Both are per-row array computations
+    * (O(tokens·distinct) on documents whose tokens are bounded by the
+    * packing budget) evaluated inside the scan stage — no shuffle at any
+    * scale; the n-gram machinery mirrors d4's gram conventions so the two
+    * families stay comparable. */
+  def x11Repetition(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.functions.TextStats.repetitionStats(coalesce(col("text"), lit("")))
+    docs(s, dir).where(length(normalizeText(col("text"))) > 0)
+      .select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"), col("st.n_tok").as("n_tok"),
+        round(col("st.dup_tok").cast("double") / col("st.n_tok"), 4)
+          .as("dup_word_frac"),
+        round(col("st.top_bigram").cast("double") / col("st.n_bigrams"), 4)
+          .as("top_bigram_frac"))
+      .sortSmall("doc_id")
+  }
+
+  val x11Sql: String =
+    s"""WITH norm AS (SELECT doc_id, $normSql AS nt FROM documents),
+       |tk AS (SELECT doc_id, nt, string_split(nt, ' ') AS toks, len(string_split(nt, ' ')) AS k FROM norm WHERE nt <> ''),
+       |bg AS (SELECT doc_id, toks, k,
+       |  CASE WHEN k <= 2 THEN [nt]
+       |       ELSE list_transform(range(0, k - 1), i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')) END AS bgs
+       |  FROM tk)
+       |SELECT doc_id, k AS n_tok,
+       |  round(CAST(k - len(list_distinct(toks)) AS DOUBLE) / k, 4) AS dup_word_frac,
+       |  round(CAST(list_max(list_transform(list_distinct(bgs), x -> len(list_filter(bgs, y -> y = x)))) AS DOUBLE) / len(bgs), 4) AS top_bigram_frac
+       |FROM bg ORDER BY doc_id""".stripMargin
+
+  /** X12 — per-source document cap ("domain balancing"): keep at most N
+    * documents per source, chosen by a deterministic md5 order so the
+    * SAME documents survive on any cluster and in any engine. One shuffle
+    * on the source key; per-group state is a counter. A heavy-hitter
+    * domain serializes its group onto one task — at 100 TB, cap such
+    * domains in two phases (uniform hash-sample to ~cap·ε, then this
+    * operator), which keeps every group's sort bounded. */
+  def x12SourceCap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.capPerKey(
+        t(s, dir, "documents").select("doc_id", "source"),
+        keyCol = "source", idCol = "doc_id", cap = 15)
+      .sortSmall("doc_id")
+
+  val x12Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, source, rn FROM r WHERE rn <= 15 ORDER BY doc_id""".stripMargin
 
   /** X7 — quality FILTERING (the gate, where x2 is the score): Gopher-
     * flavor keep/drop per document with the FIRST failing rule as the
@@ -2733,6 +2838,7 @@ object Queries {
     "d7_embedding_neardup" -> d7EmbeddingNearDup,
     "d7b_neardup_lsh" -> d7bNearDupLsh,
     "d8_neardup_clusters" -> d8NeardupClusters,
+    "d10_dedup_apply" -> d10DedupApply,
     "d9_ivf_topk" -> d9IvfTopk,
     "x5_pii_scrub" -> x5PiiScrub,
     "k1_salted_agg" -> k1SaltedAgg,
@@ -2746,7 +2852,10 @@ object Queries {
     "x7_quality_filter" -> x7QualityFilter,
     "x8_keyword_terms" -> x8KeywordTerms,
     "x9_decontaminate" -> x9Decontaminate,
+    "x9b_decontaminate_bloom" -> x9bDecontaminateBloom,
     "x10_sequence_packing" -> x10SequencePacking,
+    "x11_repetition" -> x11Repetition,
+    "x12_source_cap" -> x12SourceCap,
     "x4_fingerprint" -> x4Fingerprint,
     "m1_multimodal_meta" -> m1MultimodalMeta
   )
@@ -2801,6 +2910,7 @@ object Queries {
     "d7_embedding_neardup" -> d7Sql,
     "d7b_neardup_lsh" -> d7bSql,
     "d8_neardup_clusters" -> d8Sql,
+    "d10_dedup_apply" -> d10Sql,
     "d9_ivf_topk" -> d9Sql,
     "x5_pii_scrub" -> x5Sql,
     "k1_salted_agg" -> k1Sql,
@@ -2813,7 +2923,10 @@ object Queries {
     "x7_quality_filter" -> x7Sql,
     "x8_keyword_terms" -> x8Sql,
     "x9_decontaminate" -> x9Sql,
+    "x9b_decontaminate_bloom" -> x9Sql,
     "x10_sequence_packing" -> x10Sql,
+    "x11_repetition" -> x11Sql,
+    "x12_source_cap" -> x12Sql,
     "x4_fingerprint" -> x4Sql,
     "m1_multimodal_meta" -> m1Sql
   )

@@ -217,6 +217,31 @@ object NativeText {
     }
     InternalRow(chars, nTok, punct, letters, uppers, tokChars, en, fr, es, all)
   }
+
+  /** One-pass repetition statistics (see [[RepetitionStats]]): token and
+    * bigram occurrence counts in two hash maps, no re-tokenization. Bigram
+    * edge semantics match [[shingleStrings]] (k ≤ 2 → one whole-text
+    * gram), so results line up with the d4-family gram conventions. */
+  def repetitionStatsRow(input: UTF8String): InternalRow = {
+    val toks = tokenize(input.toString)
+    val nTok = toks.length
+    val seen = new java.util.HashSet[String]()
+    toks.foreach(seen.add)
+    val bigrams = new java.util.HashMap[String, Int]()
+    var topBigram = 0
+    var nBigrams = 0
+    def add(g: String): Unit = {
+      val c = bigrams.merge(g, 1, Integer.sum)
+      if (c > topBigram) topBigram = c
+      nBigrams += 1
+    }
+    if (nTok <= 2) add(toks.mkString(" "))
+    else {
+      var i = 0
+      while (i < nTok - 1) { add(toks(i) + " " + toks(i + 1)); i += 1 }
+    }
+    InternalRow(nTok, nTok - seen.size(), topBigram, nBigrams)
+  }
 }
 
 /** array<string> of distinct word n-gram shingles of a text column. */

@@ -51,4 +51,34 @@ object TextStats {
 
   def textStats(c: Column): Column =
     GraftBridge.column(TextStats(GraftBridge.expression(c)))
+
+  def repetitionStats(c: Column): Column =
+    GraftBridge.column(RepetitionStats(GraftBridge.expression(c)))
+}
+
+/** One-pass repetition signals (the Gopher repetition rules): token count,
+  * duplicate-token count, the occurrence count of the most frequent word
+  * bigram, and the bigram instance count — from ONE tokenizer pass and two
+  * occurrence maps. The column formulation (split + transform/filter per
+  * distinct bigram) re-inlines the split and the normalize regex into
+  * every array lambda (the p1 brand-chain bug class, BENCH_NOTES) and was
+  * measured at ~25 ms/document; this is the fix, not an optimization. */
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tok", IntegerType, nullable = false),
+    StructField("dup_tok", IntegerType, nullable = false),
+    StructField("top_bigram", IntegerType, nullable = false),
+    StructField("n_bigrams", IntegerType, nullable = false)))
+
+  override def prettyName: String = "graft_repetition_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    NativeText.repetitionStatsRow(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeText.repetitionStatsRow($c);")
+
+  override protected def withNewChildInternal(c: Expression): RepetitionStats = copy(child = c)
 }

@@ -42,4 +42,42 @@ object Decontaminate {
       .where(col("rn") === 1 && col("overlap") >= threshold)
       .select("doc_id", "eval_id", "overlap")
   }
+
+  /** [[overlapAgainst]] with a Bloom semi-join reduction on the corpus
+    * side — identical output (the filter admits a superset of the grams
+    * the join would keep; the join then discards the false positives),
+    * but the corpus's gram stream is pruned MAP-SIDE before the shuffle.
+    *
+    * Why this matters at 100 TB: the plain inverted-index join shuffles
+    * every gram of every corpus document — O(corpus tokens)·16 B — even
+    * though only grams that also occur in the (small) eval set can ever
+    * match. The Bloom filter is built over the eval set's gram hashes
+    * (two jobs over the SMALL side only: a count to size it, one
+    * aggregation to fill it — the same driver-side sketch merge Spark's
+    * own runtime bloom-filter joins do) and evaluated inside the scan
+    * stage's generated code, so shuffle volume drops to the corpus grams
+    * that collide with eval vocabulary (the true matches plus fpp·rest).
+    * The per-document gram count n is taken BEFORE the filter, so the
+    * overlap denominator — and therefore every score — is unchanged. */
+  def overlapAgainstBloom(corpus: DataFrame, evalSet: DataFrame, textCol: String,
+                          idCol: String, shingleN: Int, threshold: Double,
+                          fpp: Double = 0.01): DataFrame = {
+    def grams(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as), Dedup.gramHashSet(col(textCol), shingleN).as("g"))
+    val eg = grams(evalSet, "eval_id")
+      .select(col("eval_id"), explode(col("g")).as("gram"))
+    val egd = eg.select("gram").distinct()
+    val bloom = egd.stat.bloomFilter("gram", math.max(1000L, egd.count()), fpp)
+    val cg = grams(corpus, "doc_id")
+      .select(col("doc_id"), size(col("g")).as("n"), explode(col("g")).as("gram"))
+      .where(graft.functions.BloomFilterColumns.mightContainLong(col("gram"), bloom))
+    val overlaps = cg.join(eg, "gram")
+      .groupBy("doc_id", "eval_id", "n")
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("overlap", round(col("inter").cast("double") / col("n"), 4))
+    val w = Window.partitionBy("doc_id").orderBy(desc("overlap"), col("eval_id"))
+    overlaps.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1 && col("overlap") >= threshold)
+      .select("doc_id", "eval_id", "overlap")
+  }
 }

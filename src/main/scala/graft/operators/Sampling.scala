@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for training-data pipelines.
@@ -33,5 +34,18 @@ object Sampling {
       when(col(strataCol) === k, lit(v)).otherwise(fb)
     }
     df.where(hashBucket(col(idCol)) < rate)
+  }
+
+  /** Per-key cap (domain balancing): keep at most `cap` rows per key,
+    * chosen by a deterministic md5 order over the row id (salted so the
+    * order is independent of [[hashBucket]]'s buckets — capping and
+    * sampling must not correlate). Keeps the assigned rank `rn` so the
+    * selection is auditable. One shuffle on the key; rows of one key sort
+    * on a single task, so pre-reduce pathological heavy hitters with
+    * [[uniform]] before capping (see the x12 catalog note). */
+  def capPerKey(df: DataFrame, keyCol: String, idCol: String, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(md5(concat(lit("cap:"), col(idCol).cast("string"))), col(idCol))
+    df.withColumn("rn", row_number().over(w)).where(col("rn") <= cap)
   }
 }
