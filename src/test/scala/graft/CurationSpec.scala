@@ -52,4 +52,59 @@ class CurationSpec extends SparkSuite {
     // each source starts its own pack 0 — offsets do not leak across keys
     assert(got == Set(("a", 0L), ("b", 0L)))
   }
+
+  test("bloom decontamination: identical result to the exact join, and the " +
+      "corpus gram stream is bloom-filtered before the shuffle") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(fn: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        String, String, Int, Double) => org.apache.spark.sql.DataFrame) =
+      fn(d.where(col("doc_id") % 10 =!= 0), d.where(col("doc_id") % 10 === 0),
+          "text", "doc_id", 2, 0.1)
+    val exact = run(Decontaminate.overlapAgainst(_, _, _, _, _, _))
+    val bloomed = run(Decontaminate.overlapAgainstBloom(_, _, _, _, _, _))
+    assert(bloomed.collect().map(_.toSeq).toSet == exact.collect().map(_.toSeq).toSet)
+    // the reduction is actually in the plan (not optimized away)
+    assert(bloomed.queryExecution.executedPlan.toString
+      .contains("graft_bloom_might_contain"))
+  }
+
+  test("bloom might-contain: no false negatives; codegen and interpreted agree") {
+    import graft.functions.BloomFilterColumns
+    val keys = (1L to 500L).map(_ * 7919L)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(500, 0.01)
+    keys.foreach(bloom.putLong)
+    val df = (1L to 5000L).toDF("v")
+    val kept = df.where(BloomFilterColumns.mightContainLong(col("v") * 7919L, bloom))
+      .collect().map(_.getLong(0)).toSet
+    assert((1L to 500L).toSet.subsetOf(kept)) // every inserted key passes
+    // interpreted path (outside codegen) matches
+    keys.foreach(k => assert(bloom.mightContainLong(k)))
+  }
+
+  test("repetition stats: hand-computed fractions, one-pass native expression") {
+    // tokens: a a b a  → n_tok 4, distinct 2 → dup 2
+    // bigrams: "a a","a b","b a" → top 1, n 3
+    val d = Seq((1L, "a a b a"), (2L, "x y"), (3L, "c c c c"))
+      .toDF("doc_id", "text")
+    val got = d.select(col("doc_id"),
+        graft.functions.TextStats.repetitionStats(col("text")).as("st"))
+      .select(col("doc_id"), col("st.n_tok"), col("st.dup_tok"),
+        col("st.top_bigram"), col("st.n_bigrams"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+      .toSet
+    // doc 2: k ≤ 2 → single whole-text gram; doc 3: bigram "c c" ×3
+    assert(got == Set((1L, 4, 2, 1, 3), (2L, 2, 0, 1, 1), (3L, 4, 3, 3, 3)))
+  }
+
+  test("per-key cap: at most K rows per key, deterministic across runs") {
+    import graft.operators.Sampling
+    val d = (1L to 100L).map(i => (i, s"k${i % 4}")).toDF("id", "key")
+    val a = Sampling.capPerKey(d, "key", "id", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(a.length == 20 && a.forall(_._3 <= 5))
+    assert(a.groupBy(_._2).forall(_._2.length == 5))
+    val b = Sampling.capPerKey(d, "key", "id", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq) // same rows every run
+  }
 }
