@@ -28,6 +28,8 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
+      if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("true"))
+        fn(spark, sfDir).explain("formatted")
       val rows = fn(spark, sfDir).count()
       (1 to repeats).foreach { i =>
         val t0 = System.nanoTime()

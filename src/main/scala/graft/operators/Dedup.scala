@@ -443,21 +443,38 @@ object Dedup {
     // like the counting formulation
     val grams = sets.select(col("id"), col("blk"), size(col("gr")).as("sz"),
       explode(col("gr")).as("gram"))
-    val dfTab = grams.groupBy("blk", "gram").agg(count(lit(1)).as("gdf"))
-      .where(col("gdf") <= maxDf)
-    val capped = grams.join(dfTab, Seq("blk", "gram"))
+    // posting lists carry the doc ids, so document frequency is computed
+    // AND attached to every (doc, gram) in ONE aggregation — a separate
+    // df table costs a join and, worse, a second full gram-hash scan of
+    // the corpus (each consumer of `grams` re-executes the md5 pass; at
+    // sf0.1 the df-join formulation measured ~0.7 s slower). Lists longer
+    // than maxDf are dropped here — the stop-gram cap mirrored in the
+    // oracle — which also bounds the collected per-gram state.
+    val capped = grams.groupBy("blk", "gram")
+      .agg(collect_list(struct(col("id"), col("sz"))).as("ds"))
+      .where(size(col("ds")) <= maxDf)
+      .select(col("blk"), col("gram"), size(col("ds")).as("gdf"),
+        explode(col("ds")).as("d"))
+      .select(col("d.id").as("id"), col("blk"), col("gram"), col("gdf"),
+        col("d.sz").as("sz"))
     // t' = t − 1e−4 (< the 4-decimal acceptance floor t − 5e−5), minus an
-    // fp epsilon inside ceil: both errors can only LENGTHEN the prefix
-    // ONE aggregation serves both branches: the rarity-ordered prefix
-    // source AND the verify-side sorted sets. Both downstream plans share
-    // this exact subtree, so the aggregation's exchange is computed once
-    // and reused (ReusedExchange), not re-aggregated per consumer.
+    // fp epsilon inside ceil: both errors can only LENGTHEN the prefix.
+    // The doc table has THREE consumers (prefix index, and each side of
+    // the verify join) with different column prunings, so exchange reuse
+    // does NOT kick in and the whole grams→postings→docs chain would be
+    // computed three times (measured: the dominant cost of this plan).
+    // A LAZY local checkpoint materializes it once, executor-local, on
+    // the first job and shares the partitions across all consumers —
+    // the same lineage-cut tool the connected-components loop uses;
+    // storage is O(corpus/cluster-width) per executor, freed by the
+    // context cleaner when the query's RDD goes out of scope.
     val docs = capped.groupBy("id", "blk")
       .agg(sort_array(collect_list(struct(col("gdf"), col("gram")))).as("by_rarity"),
         first(col("sz")).as("sz"))
       .withColumn("alpha",
         ceil(lit(threshold - 1e-4) * col("sz") - lit(1e-9)).cast("int"))
       .withColumn("plen", size(col("by_rarity")) - col("alpha") + lit(1))
+      .localCheckpoint(false)
     val index = docs.where(col("plen") > 0)
       .select(col("id"), col("blk"),
         explode(slice(transform(col("by_rarity"), s => s.getField("gram")),
