@@ -2434,7 +2434,8 @@ object Queries {
     graft.operators.Decontaminate.overlapAgainstBloom(
         corpus = d.where(col("doc_id") % 50 =!= 0),
         evalSet = d.where(col("doc_id") % 50 === 0),
-        textCol = "text", idCol = "doc_id", shingleN = 2, threshold = 0.2)
+        textCol = "text", idCol = "doc_id", shingleN = 2, threshold = 0.2,
+        expectedGrams = 1L << 16)
       .sortSmall("doc_id")
   }
 

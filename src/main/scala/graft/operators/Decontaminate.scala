@@ -61,13 +61,22 @@ object Decontaminate {
     * overlap denominator — and therefore every score — is unchanged. */
   def overlapAgainstBloom(corpus: DataFrame, evalSet: DataFrame, textCol: String,
                           idCol: String, shingleN: Int, threshold: Double,
-                          fpp: Double = 0.01): DataFrame = {
+                          fpp: Double = 0.01,
+                          expectedGrams: Long = -1L): DataFrame = {
     def grams(df: DataFrame, as: String) =
       df.select(col(idCol).as(as), Dedup.gramHashSet(col(textCol), shingleN).as("g"))
     val eg = grams(evalSet, "eval_id")
       .select(col("eval_id"), explode(col("g")).as("gram"))
-    val egd = eg.select("gram").distinct()
-    val bloom = egd.stat.bloomFilter("gram", math.max(1000L, egd.count()), fpp)
+    // ONE job over the small side builds the filter (insertion is
+    // idempotent — no distinct exchange needed). Size it from the
+    // caller's knowledge of the eval set when available: a count job is
+    // a second pass over the eval side, but OVERsizing is not free
+    // either — a 4M-key filter is ~5 MB of bitmap to merge on the
+    // driver and re-ship inside every task (measured 2× slower than the
+    // counted version at sf0.1). Undersizing only raises fpp (more
+    // rows survive to the exact join), never drops keys.
+    val n = if (expectedGrams > 0) expectedGrams else math.max(1000L, eg.count())
+    val bloom = eg.stat.bloomFilter("gram", n, fpp)
     val cg = grams(corpus, "doc_id")
       .select(col("doc_id"), size(col("g")).as("n"), explode(col("g")).as("gram"))
       .where(graft.functions.BloomFilterColumns.mightContainLong(col("gram"), bloom))
