@@ -2180,6 +2180,46 @@ object Queries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** D11 — semantic dedup (SemDeDup): exact pairwise cosine WITHIN
+    * md5-derived coarse-quantizer cells. Work is cell-quadratic instead
+    * of corpus-quadratic; the oracle recomputes the identical centroid
+    * assignment, so cell membership, every score, and the traded-away
+    * cross-cell pairs are all pinned cross-engine. */
+  def d11SemanticDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticNearDupPairs(
+        t(s, dir, "embeddings").where(col("vec_id") < 1000), "vec_id", "embedding",
+        centroids = Similarity.md5Centroids(8, 64), threshold = 0.4)
+      .withColumn("centroid", col("centroid").cast("long"))
+      .sortSmall("id_a", "id_b")
+
+  val d11Sql: String = {
+    val dotProd = "list_reduce(list_transform(list_zip(%s, %s), s -> s[1] * s[2]), (a, b) -> a + b)"
+    def cosOf(v: String) =
+      s"${dotProd.format(v, "wl")} / (sqrt(${dotProd.format(v, v)}) * sqrt(${dotProd.format("wl", "wl")}))"
+    val h8 = "list_reduce(list_transform(range(1, 9), i -> CAST(strpos('0123456789abcdef', substr(md5('centroid:' || CAST(c AS VARCHAR) || ':' || CAST(d AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+    s"""WITH pw AS (
+       |  SELECT c, d, CAST($h8 AS DOUBLE) / 4294967296.0 * 2 - 1 AS w
+       |  FROM range(8) cr(c), range(64) dr(d)),
+       |pl AS (SELECT c, list(w ORDER BY d) AS wl FROM pw GROUP BY c),
+       |c0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM embeddings WHERE vec_id < 1000),
+       |ca AS (
+       |  SELECT vec_id, c AS cid, ${cosOf("cv")} AS ccos FROM c0, pl),
+       |asn AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM ca)
+       |  WHERE rn = 1),
+       |p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round(${dotProd.format("av.cv", "bv.cv")} / (sqrt(${dotProd.format("av.cv", "av.cv")}) * sqrt(${dotProd.format("bv.cv", "bv.cv")})), 4) AS cos,
+       |    a.cid AS centroid
+       |  FROM asn a JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |    JOIN c0 av ON av.vec_id = a.vec_id
+       |    JOIN c0 bv ON bv.vec_id = b.vec_id)
+       |SELECT id_a, id_b, cos, centroid FROM p WHERE cos >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** D7 — embedding-cosine near-duplicate pairs (exact over a bounded id
     * range; the LSH/IVF candidate paths are verified against this in
     * tests). Threshold 0.4 is chosen so the sf0.01 synthetic embeddings
@@ -2367,6 +2407,39 @@ object Queries {
       |  CAST(SUM(floor(value*100)) AS BIGINT) AS cents
       |FROM s2 GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
+
+  /** ST5 — stream-static enrichment join through the real micro-batch
+    * engine: the events stream joins a static dimension (customer) that
+    * is re-broadcast per micro-batch — the production enrichment shape
+    * (facts stream in, reference data sits still). The dimension is
+    * explicitly broadcast: it is the bounded side by definition, and a
+    * shuffle join would re-shuffle every micro-batch of the unbounded
+    * side. Aggregated by (segment, event_type) so the oracle is the
+    * plain batch join+group over the same tables. */
+  def st5StreamStaticJoin(s: SparkSession, dir: String): DataFrame = {
+    val schema = t(s, dir, "events").schema
+    val ss = streamSession(s, 4)
+    val stream = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+    val dim = ss.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = stream
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment", "event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100)).cast("long").as("cents"))
+    val name = s"st5_enrich_${stQueryId.incrementAndGet()}"
+    val q = agg.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    ss.table(name).sortSmall("c_mktsegment", "event_type")
+  }
+
+  val st5Sql: String =
+    """SELECT c.c_mktsegment, e.event_type, count(*) AS n,
+      |  CAST(SUM(floor(e.value * 100)) AS BIGINT) AS cents
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** X6 — deterministic stratified hash-sampling (training-mix
     * rebalancing): per-language keep rates decided by a portable md5
@@ -2841,11 +2914,13 @@ object Queries {
     "d8_neardup_clusters" -> d8NeardupClusters,
     "d10_dedup_apply" -> d10DedupApply,
     "d9_ivf_topk" -> d9IvfTopk,
+    "d11_semantic_dedup" -> d11SemanticDedup,
     "x5_pii_scrub" -> x5PiiScrub,
     "k1_salted_agg" -> k1SaltedAgg,
     "st2_streaming_hourly" -> st2StreamingHourly,
     "st3_streaming_dedup" -> st3StreamingDedup,
     "st4_session_windows" -> st4SessionWindows,
+    "st5_stream_static_join" -> st5StreamStaticJoin,
     "x6_hash_sample" -> x6HashSample,
     "x1_lang_id" -> x1LangId,
     "x2_quality" -> x2Quality,
@@ -2913,10 +2988,12 @@ object Queries {
     "d8_neardup_clusters" -> d8Sql,
     "d10_dedup_apply" -> d10Sql,
     "d9_ivf_topk" -> d9Sql,
+    "d11_semantic_dedup" -> d11Sql,
     "x5_pii_scrub" -> x5Sql,
     "k1_salted_agg" -> k1Sql,
     "st3_streaming_dedup" -> st3Sql,
     "st4_session_windows" -> st4Sql,
+    "st5_stream_static_join" -> st5Sql,
     "x6_hash_sample" -> x6Sql,
     "x1_lang_id" -> x1Sql,
     "x2_quality" -> x2Sql,

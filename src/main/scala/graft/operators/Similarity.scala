@@ -142,6 +142,33 @@ object Similarity {
       .select("id_a", "id_b", "cos")
   }
 
+  /** Semantic dedup, SemDeDup-style (Abbas et al., arXiv:2303.09540):
+    * embeddings are bucketed by nearest coarse-quantizer centroid, and
+    * exact pairwise cosine runs WITHIN each cell only — duplicate pairs
+    * whose members land in different cells are traded away for work that
+    * is Σ_cell |cell|² instead of n². The cell structure is the same
+    * broadcast-only centroid assignment as [[IvfIndex]]: the corpus never
+    * shuffles for assignment, and the one pair-generation shuffle keys on
+    * the cell id. At 100 TB, nlist grows with the corpus so the expected
+    * cell stays bounded; a skewed cell is handled like any skewed key
+    * (salt the cell's pair loop or cap it, as the LSH buckets do). */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                           centroids: Array[(Int, Array[Double])],
+                           threshold: Double): DataFrame = {
+    val side = IvfIndex.assign(df, vecCol, centroids)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"), col("centroid"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val a = side.select(col("centroid"), col("id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = side.select(col("centroid"), col("id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("centroid"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos", "centroid")
+  }
+
   /** IVF (inverted-file) ANN index: a coarse quantizer of `nlist`
     * centroids trained with a few Lloyd iterations (deterministic seeding:
     * the first `nlist` vectors by id), then each vector is assigned to its

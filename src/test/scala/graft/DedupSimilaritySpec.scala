@@ -72,6 +72,24 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("semantic dedup: in-cell subset of the exact pairs, cells agree with assign") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 300)
+    val cents = Similarity.md5Centroids(4, 64)
+    val sem = Similarity.semanticNearDupPairs(emb, "vec_id", "embedding", cents, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sem.nonEmpty && sem.subsetOf(exact)) // never invents a pair or a score
+    // every reported pair's members really share a nearest centroid
+    val cell = Similarity.IvfIndex.assign(emb, "embedding", cents)
+      .select("vec_id", "centroid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    sem.foreach { case (a, b, _) => assert(cell(a) == cell(b)) }
+    // and the trade-off is real on this data: some cross-cell pairs exist
+    assert((exact -- sem).forall { case (a, b, _) => cell(a) != cell(b) })
+  }
+
   test("cosine top-k: exact ranking on constructed vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -41,6 +41,20 @@ class StreamingSpec extends SparkSuite {
     assert(p1.getAs[Double]("last_price") == 50.0)
   }
 
+  test("stream-static broadcast join enriches facts with dimension rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val facts = mem.toDF().toDF("user_id", "value")
+    val dim = Seq((1L, "A"), (2L, "B")).toDF("key", "segment")
+    mem.addData((1L, 10.0), (1L, 5.0), (2L, 7.0), (9L, 99.0)) // 9 has no dim row
+    val joined = facts.join(broadcast(dim), col("user_id") === col("key"))
+      .groupBy("segment").agg(count(lit(1)).as("n"), sum("value").as("total"))
+    val out = EventStream.runToMemory(joined, "enrich", OutputMode.Complete())
+      .orderBy("segment").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      Seq(("A", 2L, 15.0), ("B", 1L, 7.0))) // inner join drops the orphan fact
+  }
+
   test("streaming file source ingests scrape drops incrementally") {
     val raw = tempDir("stream_raw")
     java.nio.file.Files.write(java.nio.file.Paths.get(raw, "drop1.json"),
