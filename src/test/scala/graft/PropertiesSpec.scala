@@ -134,4 +134,60 @@ class PropertiesSpec extends SparkSuite {
         .sortBy(_._1).toSeq
     assert(mergedWith(1) == mergedWith(7))
   }
+
+  test("property: prefix-filtered jaccard equals the counting formulation " +
+      "on random corpora at random thresholds") {
+    // a small vocabulary forces real overlap structure (shared grams,
+    // capped stop-grams, ties); larger alphabets only produce disjoint sets
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docGen = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val corpus = Gen.listOfN(60, docGen).sample.get
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").withColumn("blk", lit("all"))
+    for (t <- Seq(0.15, 0.5, 0.85)) {
+      val counting = graft.operators.Dedup
+        .ngramJaccardPairs(corpus, "text", "doc_id", "blk", 2, t, maxDf = 20)
+        .collect().map(_.toSeq).toSet
+      val prefixed = graft.operators.Dedup
+        .prefixJaccardPairs(corpus, "text", "doc_id", "blk", 2, t, maxDf = 20)
+        .collect().map(_.toSeq).toSet
+      assert(prefixed == counting, s"prefix filter diverged at t=$t")
+    }
+  }
+
+  test("property: repetitionStats matches a direct reimplementation on adversarial strings") {
+    def expected(s: String): (Int, Int, Int, Int) = {
+      val toks = s.toLowerCase.map(c =>
+          if (c.isLetterOrDigit && c < 128) c else ' ')
+        .mkString.split(" +").filter(_.nonEmpty).toSeq
+      val bgs = if (toks.length <= 2) Seq(toks.mkString(" "))
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+      val top = bgs.groupBy(identity).values.map(_.size).max
+      (toks.length, toks.length - toks.distinct.length, top, bgs.length)
+    }
+    val inputs = (sample(300) ++ Seq("a a a", "x", "", "  ", "a\tb a\tb")).distinct
+    val got = inputs.toDF("v")
+      .select(col("v"), graft.functions.TextStats.repetitionStats(col("v")).as("st"))
+      .select(col("v"), col("st.n_tok"), col("st.dup_tok"),
+        col("st.top_bigram"), col("st.n_bigrams"))
+      .collect()
+    got.foreach { r =>
+      val in = r.getString(0)
+      val exp = expected(in)
+      val act = (r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4))
+      assert(act == exp, s"repetitionStats(${in.take(40)}) = $act, expected $exp")
+    }
+  }
+
+  test("property: per-key cap selects the same rows under any input partitioning") {
+    val rows = (1L to 200L).map(i => (i, s"k${i % 3}"))
+    def capped(parts: Int): Seq[(Long, String, Int)] =
+      graft.operators.Sampling.capPerKey(
+          spark.createDataFrame(rows).toDF("id", "key").repartition(parts),
+          "key", "id", 7)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+        .sortBy(_._1).toSeq
+    assert(capped(1) == capped(13))
+  }
 }
