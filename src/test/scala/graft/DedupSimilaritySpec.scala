@@ -360,6 +360,18 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(plan.contains("ShuffledHashJoin"), s"expected shuffled hash joins:\n$plan")
   }
 
+  test("prefix jaccard plan: verify sets are never broadcast; explain works pre-action") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pairs = Dedup.prefixJaccardPairs(corpus, "text", "doc_id", "lang", 2, 0.8)
+    // the lazy local checkpoint must not break pre-action plan inspection
+    assert(pairs.queryExecution.optimizedPlan != null)
+    pairs.collect() // let AQE finalize the physical plan
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastExchange"),
+      s"the O(corpus) set table must shuffle, never broadcast:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffled hash joins:\n$plan")
+  }
+
   test("ANN ranking plan: no distinct between scoring and ranking") {
     val rnd = new scala.util.Random(7)
     val corpus = (0L to 99L).map(i => (i, Array.fill(16)(rnd.nextFloat()))).toDF("vec_id", "embedding")
