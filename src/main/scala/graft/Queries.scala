@@ -1886,8 +1886,11 @@ object Queries {
   // Shared CTE pipeline of the minhash near-dup oracle (also the base of
   // the d8 clustering oracle): normalize → shingle → single-md5 minhash →
   // banded buckets (capped) → candidate pairs → exact jaccard.
-  private val d2CtesSql: String =
-    s"""norm AS (SELECT doc_id, $normSql AS nt FROM documents),
+  /** The d2 MinHash+LSH candidate/verify pipeline as CTEs over any doc
+    * relation with (doc_id, text) — `documents` for d2/d8/d10, the
+    * quality-kept subset for the composed x13 pipeline. */
+  private def d2CtesOver(src: String): String =
+    s"""norm AS (SELECT doc_id, $normSql AS nt FROM $src),
        |tk AS (SELECT doc_id, string_split(nt, ' ') AS toks, len(string_split(nt, ' ')) AS k FROM norm WHERE nt <> ''),
        |sh AS (SELECT doc_id, CASE WHEN k <= 2 THEN [array_to_string(toks, ' ')]
        |  ELSE list_transform(range(0, k - 1), i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')) END AS gr FROM tk),
@@ -1919,6 +1922,8 @@ object Queries {
        |j AS (
        |  SELECT i.id_a, i.id_b, round(CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i), 4) AS jaccard
        |  FROM inter i JOIN sz sa ON sa.doc_id = i.id_a JOIN sz sb ON sb.doc_id = i.id_b)""".stripMargin
+
+  private val d2CtesSql: String = d2CtesOver("documents")
 
   val d2Sql: String =
     s"""WITH $d2CtesSql
@@ -2676,6 +2681,111 @@ object Queries {
       |  FROM documents)
       |SELECT doc_id, source, rn FROM r WHERE rn <= 15 ORDER BY doc_id""".stripMargin
 
+  /** X13 — the curation pipeline COMPOSED: quality gate (x7's rules) →
+    * MinHash near-dedup with cluster keep-min (d2+d8+d10's stages) →
+    * benchmark decontamination (x9's overlap rule, as an anti-join) →
+    * sequence packing (x10's concat-then-chunk), end-to-end as ONE
+    * declarative program. This is the shape a real training-data run
+    * ships; the composed oracle proves the stages agree with their
+    * standalone definitions AND with each other through every
+    * intermediate set — and every stage provably fires on the fixture
+    * (the gate keeps 105/500, near-dedup absorbs documents, the
+    * decontamination anti-join drops some). Composition adds no new
+    * shuffle beyond the stages' own. */
+  def x13CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    // 1. quality gate — same TextStats-derived predicate as x7 (keep =
+    // no drop reason fires; n_tok ≥ 10 also guards the ratio divisions)
+    val st = graft.functions.TextStats.textStats(coalesce(col("text"), lit("")))
+    val g = d.select(col("doc_id"), col("source"), col("text"), st.as("st"))
+    val mwl = col("st.tok_chars").cast("double") / col("st.n_tok")
+    val stopR = col("st.stop_all").cast("double") / col("st.n_tok")
+    val punctR = col("st.punct").cast("double") / col("st.chars")
+    val kept = g.where(col("st.n_tok") >= 10 && col("st.n_tok") <= 5000 &&
+        mwl >= 2.0 && mwl <= 12.0 && stopR >= 0.05 && punctR <= 0.2)
+      .select("doc_id", "source", "text")
+    // 2. near-dedup: MinHash pairs over the kept set (the fixture has no
+    // EXACT dups, so a fingerprint stage would be a provable no-op),
+    // clustered, one canonical min-id survivor per cluster
+    val pairs = graft.operators.Dedup.minhashNearDup(kept, "text", "doc_id",
+      bands = 4, rowsPerBand = 2, threshold = 0.2, shingleN = 2)
+    val labels = graft.operators.Dedup.connectedComponents(
+      kept.select(col("doc_id").as("id")), pairs)
+    val surv = kept.join(
+      labels.where(col("id") === col("cluster_id")).select(col("id").as("doc_id")),
+      "doc_id")
+    // 3. decontamination: drop survivors overlapping the eval slice
+    // (doc_id % 50 == 0, x9's rule — eval membership is external, so it
+    // is NOT subject to the quality/dedup stages)
+    val evalSet = docs(s, dir)
+      .where(length(normalizeText(col("text"))) > 0 && col("doc_id") % 50 === 0)
+    val corpus = surv.where(col("doc_id") % 50 =!= 0)
+    val contaminated = graft.operators.Decontaminate.overlapAgainst(
+      corpus, evalSet, "text", "doc_id", shingleN = 2, threshold = 0.2)
+    val clean = corpus.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
+    // 4. pack what remains, per source, ordered by doc_id
+    graft.operators.Packing.assignPacks(clean, "source", "doc_id",
+        bpeTokenCount(col("text")), budget = 512)
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("tok_sum"))
+      .sortSmall("source", "pack_id")
+  }
+
+  val x13Sql: String = {
+    val allStops = sqlList(TextFunctions.StopwordsEn ++ TextFunctions.StopwordsFr ++ TextFunctions.StopwordsEs)
+    s"""WITH RECURSIVE b AS (SELECT doc_id, source, text, coalesce(text,'') AS s, $normSql AS nt FROM documents),
+       |m AS (
+       |  SELECT doc_id, length(s) AS chars,
+       |    CASE WHEN nt = '' THEN 0 ELSE len(string_split(nt, ' ')) END AS n_tok,
+       |    length(regexp_replace(s, '[^!-/:-@\\[-`{-~]', '', 'g')) AS punct,
+       |    length(replace(nt, ' ', '')) AS tok_chars,
+       |    len(list_filter(string_split(nt, ' '), x -> x IN $allStops)) AS stop_all
+       |  FROM b),
+       |kept AS (
+       |  SELECT b.doc_id, b.source, b.text, b.nt FROM b JOIN m USING (doc_id)
+       |  WHERE m.n_tok >= 10 AND m.n_tok <= 5000
+       |    AND CAST(m.tok_chars AS DOUBLE) / m.n_tok BETWEEN 2.0 AND 12.0
+       |    AND CAST(m.stop_all AS DOUBLE) / m.n_tok >= 0.05
+       |    AND CAST(m.punct AS DOUBLE) / m.chars <= 0.2),
+       |${d2CtesOver("kept")},
+       |prs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM prs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM tk
+       |  UNION
+       |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+       |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |surv AS (
+       |  SELECT kept.doc_id, kept.source, kept.text FROM kept
+       |  JOIN lab ON lab.id = kept.doc_id WHERE lab.id = lab.cluster_id),
+       |dtk AS (SELECT doc_id, string_split(nt, ' ') AS toks, len(string_split(nt, ' ')) AS k
+       |  FROM b WHERE nt <> ''),
+       |dsh AS (SELECT doc_id, CASE WHEN k <= 2 THEN [array_to_string(toks, ' ')]
+       |  ELSE list_transform(range(0, k - 1), i -> array_to_string(list_slice(toks, i + 1, i + 2), ' ')) END AS gr FROM dtk),
+       |dg AS (SELECT DISTINCT doc_id, unnest(gr) AS gram FROM dsh),
+       |dsz AS (SELECT doc_id, count(*) AS n FROM dg GROUP BY doc_id),
+       |ev AS (SELECT doc_id AS eval_id, gram FROM dg WHERE doc_id % 50 = 0),
+       |cg AS (SELECT dg.doc_id, gram FROM dg JOIN surv USING (doc_id) WHERE dg.doc_id % 50 <> 0),
+       |o AS (SELECT cg.doc_id, count(*) AS inter, ev.eval_id
+       |  FROM cg JOIN ev USING (gram) GROUP BY cg.doc_id, ev.eval_id),
+       |contaminated AS (
+       |  SELECT DISTINCT o.doc_id FROM o JOIN dsz ON o.doc_id = dsz.doc_id
+       |  WHERE round(CAST(inter AS DOUBLE) / dsz.n, 4) >= 0.2),
+       |clean AS (
+       |  SELECT doc_id, source, text FROM surv
+       |  WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+       |t AS (
+       |  SELECT source, doc_id,
+       |    len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_tok
+       |  FROM clean),
+       |c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |    ROWS UNBOUNDED PRECEDING) AS cum FROM t),
+       |p AS (SELECT source, CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS pack_id, n_tok FROM c)
+       |SELECT source, pack_id, count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
+       |FROM p GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
+  }
+
   /** X7 — quality FILTERING (the gate, where x2 is the score): Gopher-
     * flavor keep/drop per document with the FIRST failing rule as the
     * drop reason — too_short / too_long / word_len / no_stopwords /
@@ -2932,6 +3042,7 @@ object Queries {
     "x10_sequence_packing" -> x10SequencePacking,
     "x11_repetition" -> x11Repetition,
     "x12_source_cap" -> x12SourceCap,
+    "x13_curation_pipeline" -> x13CurationPipeline,
     "x4_fingerprint" -> x4Fingerprint,
     "m1_multimodal_meta" -> m1MultimodalMeta
   )
@@ -3005,6 +3116,7 @@ object Queries {
     "x10_sequence_packing" -> x10Sql,
     "x11_repetition" -> x11Sql,
     "x12_source_cap" -> x12Sql,
+    "x13_curation_pipeline" -> x13Sql,
     "x4_fingerprint" -> x4Sql,
     "m1_multimodal_meta" -> m1Sql
   )
