@@ -2786,6 +2786,44 @@ object Queries {
        |FROM p GROUP BY 1, 2 ORDER BY source, pack_id""".stripMargin
   }
 
+  /** X14 — incremental near-dedup: which documents of the incoming batch
+    * (odd doc_id) near-duplicate the historical corpus (even doc_id).
+    * The candidate join is new-bands × history-bands — the history is
+    * never self-joined, which is what makes daily dedup against a 100 TB
+    * corpus tractable. Output: each matched new document's best history
+    * match at or above the threshold. */
+  def x14IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).where(length(normalizeText(col("text"))) > 0)
+    Dedup.incrementalNearDup(
+        history = d.where(col("doc_id") % 2 === 0),
+        incoming = d.where(col("doc_id") % 2 === 1),
+        "text", "doc_id", bands = 4, rowsPerBand = 2,
+        threshold = 0.2, shingleN = 2)
+      .sortSmall("new_id")
+  }
+
+  val x14Sql: String =
+    s"""WITH ${d2CtesOver("documents")},
+       |nb AS (SELECT doc_id, band, key FROM bandkey WHERE doc_id % 2 = 1),
+       |hb AS (SELECT doc_id, band, key FROM bandkey WHERE doc_id % 2 = 0),
+       |ncap AS (SELECT band, key FROM nb GROUP BY band, key HAVING count(*) <= 1000),
+       |hcap AS (SELECT band, key FROM hb GROUP BY band, key HAVING count(*) <= 1000),
+       |cx AS (SELECT DISTINCT nb.doc_id AS new_id, hb.doc_id AS hist_id
+       |  FROM nb JOIN hb USING (band, key)
+       |  JOIN ncap ON ncap.band = nb.band AND ncap.key = nb.key
+       |  JOIN hcap ON hcap.band = hb.band AND hcap.key = hb.key),
+       |ix AS (SELECT c.new_id, c.hist_id, count(*) AS i
+       |  FROM cx c JOIN tok ta ON ta.doc_id = c.new_id
+       |            JOIN tok tb ON tb.doc_id = c.hist_id AND tb.tok = ta.tok
+       |  GROUP BY 1, 2),
+       |jx AS (SELECT ix.new_id, ix.hist_id,
+       |    round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+       |  FROM ix JOIN sz sa ON sa.doc_id = ix.new_id
+       |          JOIN sz sb ON sb.doc_id = ix.hist_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY new_id ORDER BY jaccard DESC, hist_id) AS rn
+       |  FROM jx WHERE jaccard >= 0.2)
+       |SELECT new_id, hist_id, jaccard FROM r WHERE rn = 1 ORDER BY new_id""".stripMargin
+
   /** X7 — quality FILTERING (the gate, where x2 is the score): Gopher-
     * flavor keep/drop per document with the FIRST failing rule as the
     * drop reason — too_short / too_long / word_len / no_stopwords /
@@ -3043,6 +3081,7 @@ object Queries {
     "x11_repetition" -> x11Repetition,
     "x12_source_cap" -> x12SourceCap,
     "x13_curation_pipeline" -> x13CurationPipeline,
+    "x14_incremental_dedup" -> x14IncrementalDedup,
     "x4_fingerprint" -> x4Fingerprint,
     "m1_multimodal_meta" -> m1MultimodalMeta
   )
@@ -3117,6 +3156,7 @@ object Queries {
     "x11_repetition" -> x11Sql,
     "x12_source_cap" -> x12Sql,
     "x13_curation_pipeline" -> x13Sql,
+    "x14_incremental_dedup" -> x14Sql,
     "x4_fingerprint" -> x4Sql,
     "m1_multimodal_meta" -> m1Sql
   )

@@ -92,13 +92,12 @@ object Dedup {
     *        Documented recall effect: pairs agreeing ONLY on flooded bands
     *        are missed.)
     */
-  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
-                        bands: Int, rowsPerBand: Int, shingleN: Int = 1,
-                        maxBucket: Int = 1000): DataFrame = {
-    // the whole signature is ONE native expression (compiled single pass
-    // over the text, inside whole-stage codegen)
-    val banded = df
-      .select(col(idCol).as("doc"),
+  /** (doc, band, key) LSH band keys of every document — the minhash
+    * signature is ONE native expression (compiled single pass over the
+    * text, inside whole-stage codegen), banded map-side. */
+  private def bandedKeys(df: DataFrame, textCol: String, idCol: String,
+                         bands: Int, rowsPerBand: Int, shingleN: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
         graft.functions.NativeTextColumns
           .minhashSignature(col(textCol), bands * rowsPerBand, shingleN).as("sig"))
       .select(col("doc"), posexplode(
@@ -107,6 +106,11 @@ object Dedup {
             slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
             v => v.cast("string"))))
       ).as(Seq("band", "key")))
+
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        bands: Int, rowsPerBand: Int, shingleN: Int = 1,
+                        maxBucket: Int = 1000): DataFrame = {
+    val banded = bandedKeys(df, textCol, idCol, bands, rowsPerBand, shingleN)
     // bucket-local pair generation: group each LSH bucket, emit its ordered
     // pairs from the sorted member array — one shuffle on the bucket key,
     // no self-join (a band-key self-join sorts/merges the whole banded set
@@ -172,6 +176,40 @@ object Dedup {
     verifyJaccard(df,
       minhashCandidates(df, textCol, idCol, bands, rowsPerBand, shingleN, maxBucket),
       textCol, idCol, threshold, shingleN)
+
+  /** Incremental near-dedup: which documents of an INCOMING batch are
+    * near-duplicates of a HISTORICAL corpus. The candidate join is
+    * asymmetric — new band keys against history band keys — so the
+    * history is NEVER self-joined: a daily batch deduped against a
+    * 100 TB corpus shuffles O(batch + matching history buckets), not
+    * O(corpus²) pair work. Per-(band,key) caps apply to each side
+    * independently (a flooded history bucket is a near-constant band,
+    * same guard as [[minhashCandidates]]). Returns one row per matched
+    * new document: its best history match (highest jaccard, ties to the
+    * smallest history id) at or above `threshold` — the drop list, with
+    * provenance. */
+  def incrementalNearDup(history: DataFrame, incoming: DataFrame,
+                         textCol: String, idCol: String,
+                         bands: Int, rowsPerBand: Int,
+                         threshold: Double, shingleN: Int = 1,
+                         maxBucket: Int = 1000): DataFrame = {
+    def capped(df: DataFrame) = {
+      val b = bandedKeys(df, textCol, idCol, bands, rowsPerBand, shingleN)
+      val ok = b.groupBy("band", "key").agg(count(lit(1)).as("n"))
+        .where(col("n") <= maxBucket).drop("n")
+      b.join(ok, Seq("band", "key"))
+    }
+    val cands = capped(incoming).withColumnRenamed("doc", "id_a")
+      .join(capped(history).withColumnRenamed("doc", "id_b"), Seq("band", "key"))
+      .select("id_a", "id_b").distinct()
+    val scored = verifyJaccard(
+      incoming.select(col(idCol), col(textCol))
+        .unionByName(history.select(col(idCol), col(textCol))),
+      cands, textCol, idCol, threshold, shingleN)
+    val w = Window.partitionBy("id_a").orderBy(desc("jaccard"), col("id_b"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("id_a").as("new_id"), col("id_b").as("hist_id"), col("jaccard"))
+  }
 
   /** Connected components over near-duplicate pairs: every document gets
     * the smallest doc id reachable through the pair graph as its

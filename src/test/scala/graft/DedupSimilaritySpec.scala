@@ -64,6 +64,28 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("incremental near-dedup: new-vs-history only, best match wins") {
+    val hist = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "the quick brown fox jumps over the lazy dog today"), // closer to 1
+      (6L, "an entirely different historical document")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today now"),
+      (3L, "completely novel incoming content"),                 // no match
+      (5L, "an entirely different historical document")          // exact dup of 6
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDup(hist, incoming, "text", "doc_id",
+        bands = 8, rowsPerBand = 2, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val byNew = got.map(r => r._1 -> r).toMap
+    assert(byNew(1L)._2 == 4L)              // best history match, not just any
+    assert(byNew(5L)._2 == 6L && byNew(5L)._3 == 1.0)
+    assert(!byNew.contains(3L))             // novel content passes through
+    // asymmetric: output ids come from the incoming side only
+    assert(got.forall(r => r._1 % 2 == 1 && r._2 % 2 == 0))
+  }
+
   test("prefix-filtered jaccard: high-threshold near-dups found, nothing else") {
     val blocked = docs.withColumn("blk", lit("all"))
     val pairs = Dedup.prefixJaccardPairs(blocked, "text", "doc_id", "blk", 2, 0.4)
