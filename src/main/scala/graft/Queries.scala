@@ -2824,6 +2824,36 @@ object Queries {
        |  FROM jx WHERE jaccard >= 0.2)
        |SELECT new_id, hist_id, jaccard FROM r WHERE rn = 1 ORDER BY new_id""".stripMargin
 
+  /** X15 — column profile of the fact table: the before/after-stage
+    * summary a pipeline gates on. One scan, one wide typed row. */
+  def x15Profile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.columnStats(t(s, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_returnflag", "l_partkey"))
+
+  val x15Sql: String =
+    """SELECT count(*) AS n_rows,
+      |  count(l_quantity) AS l_quantity_n, count(DISTINCT l_quantity) AS l_quantity_distinct,
+      |  min(l_quantity) AS l_quantity_min, max(l_quantity) AS l_quantity_max,
+      |  count(l_extendedprice) AS l_extendedprice_n, count(DISTINCT l_extendedprice) AS l_extendedprice_distinct,
+      |  min(l_extendedprice) AS l_extendedprice_min, max(l_extendedprice) AS l_extendedprice_max,
+      |  count(l_returnflag) AS l_returnflag_n, count(DISTINCT l_returnflag) AS l_returnflag_distinct,
+      |  min(l_returnflag) AS l_returnflag_min, max(l_returnflag) AS l_returnflag_max,
+      |  count(l_partkey) AS l_partkey_n, count(DISTINCT l_partkey) AS l_partkey_distinct,
+      |  min(l_partkey) AS l_partkey_min, max(l_partkey) AS l_partkey_max
+      |FROM lineitem""".stripMargin
+
+  /** X16 — exact fixed-width price histogram (distribution monitoring),
+    * edge bins clamp so every row counts somewhere. */
+  def x16Histogram(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.histogram(t(s, dir, "lineitem"),
+        "l_extendedprice", lo = 0.0, hi = 120000.0, bins = 24)
+      .sortSmall("bin")
+
+  val x16Sql: String =
+    """SELECT CAST(least(greatest(floor(l_extendedprice / 5000.0), 0), 23) AS BIGINT) AS bin,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** X7 — quality FILTERING (the gate, where x2 is the score): Gopher-
     * flavor keep/drop per document with the FIRST failing rule as the
     * drop reason — too_short / too_long / word_len / no_stopwords /
@@ -3082,6 +3112,8 @@ object Queries {
     "x12_source_cap" -> x12SourceCap,
     "x13_curation_pipeline" -> x13CurationPipeline,
     "x14_incremental_dedup" -> x14IncrementalDedup,
+    "x15_profile" -> x15Profile,
+    "x16_histogram" -> x16Histogram,
     "x4_fingerprint" -> x4Fingerprint,
     "m1_multimodal_meta" -> m1MultimodalMeta
   )
@@ -3157,6 +3189,8 @@ object Queries {
     "x12_source_cap" -> x12Sql,
     "x13_curation_pipeline" -> x13Sql,
     "x14_incremental_dedup" -> x14Sql,
+    "x15_profile" -> x15Sql,
+    "x16_histogram" -> x16Sql,
     "x4_fingerprint" -> x4Sql,
     "m1_multimodal_meta" -> m1Sql
   )

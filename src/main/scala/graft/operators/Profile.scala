@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling for pipeline monitoring: the summaries a corpus
+  * run records before and after every stage (did the null rate jump? did
+  * a join fan out? did a distribution shift?).
+  *
+  * Both operators are single-scan aggregations with tiny outputs, so they
+  * cost one pass at any corpus size. Everything is exact — profile
+  * deltas gate pipeline promotion, and an approximate distinct that
+  * drifts between runs pages somebody at 3am. (At 100 TB, swap
+  * `countDistinct` for `approx_count_distinct` per column ONLY where the
+  * gate tolerates ±2%; the exact form is the verifiable default.)
+  */
+object Profile {
+
+  /** One-pass column profile: global row count plus per-column non-null
+    * count, exact distinct count, min, and max — one wide row with every
+    * stat in its column's own type (no string rendering, so an external
+    * engine computes the identical row). Multiple exact distincts expand
+    * the scan (one Expand branch per column) — profile the columns you
+    * gate on, not the whole schema. */
+  def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_n"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        min(col(c)).as(s"${c}_min"),
+        max(col(c)).as(s"${c}_max"))
+    }
+    df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+  }
+
+  /** Exact fixed-width histogram: `bins` equal-width buckets over
+    * [lo, hi), out-of-range values clamped into the edge bins (a
+    * monitoring histogram must count every row somewhere — silent drops
+    * hide exactly the outliers it exists to catch). One scan, one tiny
+    * aggregation; bin math is plain arithmetic so any engine reproduces
+    * it bit-for-bit. */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
+                bins: Int): DataFrame = {
+    require(bins > 0 && hi > lo, "need a positive bin count and hi > lo")
+    val width = (hi - lo) / bins
+    val bin = least(greatest(floor((col(c) - lo) / width), lit(0)),
+      lit(bins - 1)).cast("long")
+    df.groupBy(bin.as("bin")).agg(count(lit(1)).as("n"))
+  }
+}
