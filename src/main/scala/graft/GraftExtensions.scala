@@ -47,6 +47,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register("graft_gram_hashes", classOf[GramHashes],
       exprs => GramHashes(exprs.head, intArg(exprs(1), "shingleN")))
     register("graft_text_stats", classOf[TextStats], exprs => TextStats(exprs.head))
+    register("graft_repetition_stats", classOf[RepetitionStats],
+      exprs => RepetitionStats(exprs.head))
     register("graft_term_counts", classOf[TermCounts], exprs => TermCounts(exprs.head))
     register("graft_vec_dot", classOf[VecDot], exprs => VecDot(exprs.head, exprs(1)))
     register("graft_brand_lookup", classOf[BrandMapLookup], exprs => {

@@ -84,6 +84,13 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(!byNew.contains(3L))             // novel content passes through
     // asymmetric: output ids come from the incoming side only
     assert(got.forall(r => r._1 % 2 == 1 && r._2 % 2 == 0))
+    // and the candidate join is a real equi-join on band keys — an
+    // all-pairs degeneration would shuffle the whole history per batch
+    val plan = Dedup.incrementalNearDup(hist, incoming, "text", "doc_id",
+      bands = 8, rowsPerBand = 2, threshold = 0.4)
+      .queryExecution.sparkPlan.collect { case n => n.nodeName }
+    assert(!plan.exists(n => n.contains("BroadcastNestedLoopJoin") || n.contains("CartesianProduct")),
+      s"incremental candidate join degenerated to all-pairs: $plan")
   }
 
   test("prefix-filtered jaccard: high-threshold near-dups found, nothing else") {
