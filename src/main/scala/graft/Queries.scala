@@ -2824,6 +2824,53 @@ object Queries {
        |  FROM jx WHERE jaccard >= 0.2)
        |SELECT new_id, hist_id, jaccard FROM r WHERE rn = 1 ORDER BY new_id""".stripMargin
 
+  /** X17 — leakage-safe train/val/test split: the split unit is the
+    * NEAR-DUP CLUSTER, not the document. Row-hash splitting puts
+    * near-duplicates of a training document into the test set — the
+    * classic eval-leakage bug; hashing the cluster label instead
+    * guarantees every near-dup family lands in one split, by
+    * construction. Deterministic (salted md5 of the cluster id, no
+    * rand()), so the split is reproducible and auditable on any cluster
+    * and in any engine. One hash-bucket projection over the d8 label
+    * table plus a doc_id join — the clustering dominates; the split
+    * itself is free. */
+  def x17ClusterSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).where(length(normalizeText(col("text"))) > 0)
+    val pairs = Dedup.minhashNearDup(d, "text", "doc_id", bands = 4, rowsPerBand = 2,
+      threshold = 0.2, shingleN = 2)
+    val labels = Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
+    val bucket = graft.operators.Sampling.hashBucket(
+      concat(lit("split:"), col("cluster_id").cast("string")))
+    val split = when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    labels.join(d.select(col("doc_id").as("id"), col("source")), "id")
+      .select(split.as("split"), col("source"))
+      .groupBy("split", "source").agg(count(lit(1)).as("n_docs"))
+      .sortSmall("split", "source")
+  }
+
+  val x17Sql: String = {
+    val hx = (i: Int) =>
+      s"(strpos('0123456789abcdef', substr(md5('split:' || CAST(cluster_id AS VARCHAR)), $i, 1)) - 1)"
+    s"""WITH RECURSIVE $d2CtesSql,
+       |pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM tk
+       |  UNION
+       |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+       |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |sp AS (
+       |  SELECT id,
+       |    CASE WHEN ((${hx(1)} * 4096 + ${hx(2)} * 256 + ${hx(3)} * 16 + ${hx(4)}) % 100) < 80 THEN 'train'
+       |         WHEN ((${hx(1)} * 4096 + ${hx(2)} * 256 + ${hx(3)} * 16 + ${hx(4)}) % 100) < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM lab)
+       |SELECT sp.split, d.source, count(*) AS n_docs
+       |FROM sp JOIN documents d ON d.doc_id = sp.id
+       |GROUP BY 1, 2 ORDER BY split, source""".stripMargin
+  }
+
   /** X15 — column profile of the fact table: the before/after-stage
     * summary a pipeline gates on. One scan, one wide typed row. */
   def x15Profile(s: SparkSession, dir: String): DataFrame =
@@ -3113,6 +3160,7 @@ object Queries {
     "x13_curation_pipeline" -> x13CurationPipeline,
     "x14_incremental_dedup" -> x14IncrementalDedup,
     "x15_profile" -> x15Profile,
+    "x17_cluster_split" -> x17ClusterSplit,
     "x16_histogram" -> x16Histogram,
     "x4_fingerprint" -> x4Fingerprint,
     "m1_multimodal_meta" -> m1MultimodalMeta
@@ -3190,6 +3238,7 @@ object Queries {
     "x13_curation_pipeline" -> x13Sql,
     "x14_incremental_dedup" -> x14Sql,
     "x15_profile" -> x15Sql,
+    "x17_cluster_split" -> x17Sql,
     "x16_histogram" -> x16Sql,
     "x4_fingerprint" -> x4Sql,
     "m1_multimodal_meta" -> m1Sql

@@ -119,6 +119,25 @@ class DedupSimilaritySpec extends SparkSuite {
     assert((exact -- sem).forall { case (a, b, _) => cell(a) != cell(b) })
   }
 
+  test("cluster-aware split: near-dup pair members never straddle splits") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(length(TextFunctions.normalizeText(col("text"))) > 0)
+    val pairs = Dedup.minhashNearDup(d, "text", "doc_id",
+      bands = 4, rowsPerBand = 2, threshold = 0.2, shingleN = 2)
+    val labels = Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
+    val bucket = graft.operators.Sampling.hashBucket(
+      concat(lit("split:"), col("cluster_id").cast("string")))
+    val split = labels.select(col("id"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test").as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val ps = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ps.nonEmpty)
+    ps.foreach { case (a, b) =>
+      assert(split(a) == split(b), s"near-dups $a/$b straddle splits — eval leakage")
+    }
+    assert(split.values.toSet.size > 1) // the split actually splits
+  }
+
   test("cosine top-k: exact ranking on constructed vectors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
