@@ -180,6 +180,31 @@ class PropertiesSpec extends SparkSuite {
     }
   }
 
+  test("property: incremental near-dedup agrees with the symmetric join restricted cross-side") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(length(graft.functions.TextFunctions.normalizeText(col("text"))) > 0)
+    val hist = d.where(col("doc_id") % 2 === 0)
+    val inc = d.where(col("doc_id") % 2 === 1)
+    val incremental = graft.operators.Dedup.incrementalNearDup(hist, inc,
+        "text", "doc_id", bands = 4, rowsPerBand = 2, threshold = 0.2, shingleN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // symmetric pairs over the union, keep cross-parity, best per new id
+    val sym = graft.operators.Dedup.minhashNearDup(d, "text", "doc_id",
+        bands = 4, rowsPerBand = 2, threshold = 0.2, shingleN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val cross = sym.flatMap { case (a, b, j) =>
+      if (a % 2 == 1 && b % 2 == 0) Some((a, b, j))
+      else if (b % 2 == 1 && a % 2 == 0) Some((b, a, j))
+      else None
+    }
+    val best = cross.groupBy(_._1).map { case (_, ms) =>
+      ms.minBy(m => (-m._3, m._2))
+    }.toSet
+    // caps don't bind at this scale, so the two formulations must agree
+    assert(incremental == best)
+    assert(incremental.nonEmpty)
+  }
+
   test("property: per-key cap selects the same rows under any input partitioning") {
     val rows = (1L to 200L).map(i => (i, s"k${i % 3}"))
     def capped(parts: Int): Seq[(Long, String, Int)] =
