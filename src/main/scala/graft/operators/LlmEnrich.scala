@@ -41,6 +41,55 @@ object LlmEnrich {
   def errorString(e: Throwable): String =
     s"Erreur: ${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
 
+  /** Real HTTP transport speaking the Ollama `/api/generate` contract the
+    * reference pipeline used (localhost:11434, 30 s read timeout — every row
+    * of `top_anomalies_ollama_20260102_201927.csv` carries the resulting
+    * timeout error string, which is how we know the exact endpoint/timeout).
+    *
+    * Request:  `POST {"model": m, "prompt": p, "stream": false}`
+    * Response: `{"response": "<analysis>", ...}` — anything else (non-2xx,
+    * missing/non-text `response` field, unparsable body) throws, and
+    * [[enrich]] degrades the row to [[errorString]] exactly like the
+    * reference run did.
+    *
+    * Serializable-by-construction: the `HttpClient` is `@transient lazy`,
+    * so each executor builds its own client on first use and reuses it for
+    * every row in the partition (connection pooling lives in the client).
+    */
+  class OllamaTransport(endpoint: String = "http://localhost:11434/api/generate",
+                        model: String = "llama3",
+                        timeoutMillis: Long = 30000L) extends Transport {
+    @transient private lazy val timeout = java.time.Duration.ofMillis(timeoutMillis)
+    @transient private lazy val client =
+      java.net.http.HttpClient.newBuilder().connectTimeout(timeout).build()
+    @transient private lazy val mapper =
+      new com.fasterxml.jackson.databind.ObjectMapper()
+
+    override def complete(prompt: String): String = {
+      val body = mapper.createObjectNode()
+      body.put("model", model)
+      body.put("prompt", prompt)
+      body.put("stream", false)
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(endpoint))
+        .timeout(timeout)
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(
+          mapper.writeValueAsString(body), java.nio.charset.StandardCharsets.UTF_8))
+        .build()
+      val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 != 2)
+        throw new java.io.IOException(s"HTTP ${resp.statusCode()} from $endpoint")
+      val node =
+        try mapper.readTree(resp.body())
+        catch { case e: com.fasterxml.jackson.core.JacksonException =>
+          throw new java.io.IOException(s"unparsable Ollama response: ${e.getMessage}") }
+      val r = node.get("response")
+      if (r == null || !r.isTextual)
+        throw new java.io.IOException("malformed Ollama response: missing text 'response' field")
+      r.asText()
+    }
+  }
+
   /** Append `outputCol` by calling the transport once per row, rate-limited
     * to `maxPerSecond` calls per partition. `promptFor` renders the prompt
     * from the full row (driver-side closure, serialized to executors). */
