@@ -7,22 +7,24 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` columns with typed metadata extracted by
   * partition-level decoders.
   *
-  * The Spark-side plumbing is real — schema, batched per-partition
-  * processing, deterministic output — while the actual codec call is a
-  * clearly-marked STUB (no image/audio libraries in this environment): it
-  * derives fake-but-deterministic dimensions from the payload bytes.
-  * Swapping `stubDecode` for a real decoder (JNI/ONNX/javacv) changes no
-  * plan shape: decode stays a narrow mapPartitions over the scan, so at
-  * 100 TB it parallelizes per input split with zero shuffle.
+  * Image payloads (PNG/JPEG/GIF/BMP — anything `javax.imageio` has a
+  * reader for) are decoded for REAL via [[imageDecode]]: format from the
+  * container's magic bytes, width/height from the codec header without
+  * materializing pixel rasters. Non-image payloads (audio/video codecs
+  * absent from the JDK) fall back to [[stubDecode]], a clearly-marked
+  * deterministic stand-in. Either way decode stays a narrow mapPartitions
+  * over the scan, so at 100 TB it parallelizes per input split with zero
+  * shuffle, and codec init is paid once per partition.
   */
 object Multimodal {
 
   case class MediaMeta(doc_id: Long, n_bytes: Int, width: Int, height: Int,
                        frames: Int, format: String)
 
-  /** STUB decoder — deterministic fake metadata from payload bytes.
-    * Replace with a real codec; the signature (bytes → meta) is the
-    * integration point. */
+  /** STUB decoder — deterministic fake metadata from payload bytes, used
+    * only when no real codec recognizes the payload (this environment has
+    * no audio/video libraries). Replace with a real codec; the signature
+    * (bytes → meta) is the integration point. */
   def stubDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
     val md = java.security.MessageDigest.getInstance("MD5").digest(bytes)
     def u(i: Int): Int = md(i) & 0xff
@@ -32,6 +34,43 @@ object Multimodal {
       frames = 1 + u(2) % 30,
       format = if (u(3) % 2 == 0) "png" else "jpeg")
   }
+
+  /** REAL image decoder over `javax.imageio` (public JDK API, no external
+    * jars). Reads only the codec header: `ImageReader.getWidth/getHeight`
+    * parse dimensions without decoding the raster, so a 50 MB JPEG costs a
+    * few KB of I/O — the property that matters when the decode runs inside
+    * a 100 TB scan. Returns None when no installed reader claims the bytes
+    * (caller falls back to [[stubDecode]]). Frame count comes from
+    * `getNumImages` (animated GIF > 1; allowSearch=false keeps it header-only,
+    * −1 → report 1). */
+  def imageDecode(id: Long, bytes: Array[Byte]): Option[MediaMeta] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, /*seekForwardOnly=*/ false, /*ignoreMetadata=*/ true)
+          val frames = reader.getNumImages(/*allowSearch=*/ false) match {
+            case n if n > 0 => n
+            case _          => 1
+          }
+          Some(MediaMeta(id, bytes.length,
+            width = reader.getWidth(0), height = reader.getHeight(0),
+            frames = frames,
+            format = reader.getFormatName.toLowerCase(java.util.Locale.ROOT)))
+        } finally reader.dispose()
+      }
+    } catch {
+      case _: java.io.IOException => None // truncated/corrupt header → not an image
+    } finally iis.close()
+  }
+
+  /** Decode one payload: real codec first, deterministic stub otherwise. */
+  def decodeOne(id: Long, bytes: Array[Byte]): MediaMeta =
+    imageDecode(id, bytes).getOrElse(stubDecode(id, bytes))
 
   /** Attach an opaque binary payload column (here: the UTF-8 bytes of a
     * text column standing in for real media bytes). */
@@ -47,7 +86,7 @@ object Multimodal {
     import df.sparkSession.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
-      .mapPartitions { it => it.map { case (id, bytes) => stubDecode(id, bytes) } }
+      .mapPartitions { it => it.map { case (id, bytes) => decodeOne(id, bytes) } }
   }
 
   /** Column-expression twin of the stub decode (codegen'd; used by the

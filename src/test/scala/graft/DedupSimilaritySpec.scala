@@ -443,4 +443,43 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(viaRows.height.toLong == num("height"))
     assert(viaRows.frames.toLong == num("frames"))
   }
+
+  private def imageBytes(fmt: String, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff8040) // non-trivial pixel so the payload isn't all-zero
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, baos), s"no $fmt writer")
+    baos.toByteArray
+  }
+
+  test("multimodal: real PNG/JPEG payloads decode true dimensions via javax.imageio") {
+    val payloads = Seq(
+      (1L, imageBytes("png", 320, 200), "png", 320, 200),
+      (2L, imageBytes("jpeg", 17, 43), "jpeg", 17, 43))
+    val df = payloads.map { case (id, b, _, _, _) => (id, b) }.toDF("doc_id", "payload")
+    val out = Multimodal.decodeMeta(df).collect().sortBy(_.doc_id)
+    for (((_, bytes, fmt, w, h), meta) <- payloads.zip(out)) {
+      assert(meta.format == fmt, s"doc ${meta.doc_id}: format ${meta.format}")
+      assert(meta.width == w && meta.height == h,
+        s"doc ${meta.doc_id}: ${meta.width}x${meta.height}")
+      assert(meta.n_bytes == bytes.length && meta.frames == 1)
+    }
+    // direct header decode, no Spark: same answer
+    val direct = Multimodal.imageDecode(1L, payloads.head._2).get
+    assert(direct.width == 320 && direct.height == 200 && direct.format == "png")
+  }
+
+  test("multimodal: non-image and truncated payloads fall back to the stub, never throw") {
+    val png = imageBytes("png", 64, 64)
+    val truncated = png.take(12) // magic bytes intact, header cut off mid-chunk
+    val rows = Seq(
+      (1L, "just some text bytes".getBytes("UTF-8")),
+      (2L, truncated),
+      (3L, Array.empty[Byte]))
+    val out = Multimodal.decodeMeta(rows.toDF("doc_id", "payload")).collect()
+    assert(out.length == 3) // no task failure
+    for ((id, bytes) <- rows; meta = out.find(_.doc_id == id).get)
+      assert(meta == Multimodal.stubDecode(id, bytes), s"doc $id not stub-decoded")
+  }
 }
