@@ -14,6 +14,15 @@ import scala.util.control.NonFatal
   * reads its tables once, so per-query cold parquet scans are floor, not
   * plan. A failed query is reported as -1 with its name in "failed" —
   * never silently counted as near-zero time.
+  *
+  * Output contract (the driver captures only the LAST 2000 chars of merged
+  * stdout+stderr): the FINAL stdout line is a compact totals-only JSON that
+  * always fits the window; the full per-query map is printed earlier and
+  * also written to BENCH_FULL.json. Rounds 1–4 lost their totals because
+  * the single per-query line outgrew the window and was beheaded.
+  *
+  * Args: optional query names → bench only those (iteration aid).
+  * Env: SPARK_GRAFT_EXPLAIN=true prints each query's formatted plan.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -87,7 +96,13 @@ object Bench {
         -1.0
       }
     }
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names = if (args.nonEmpty) names0.filter(args.contains) else names0
+    if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("true"))
+      names.foreach { n =>
+        System.err.println(s"==== $n ====")
+        SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      }
     // one untimed warmup pass (janino compilation + C2 JIT of native
     // expression evals + base-table cache materialization), then two timed
     // passes, min per query — numbers measure the plan, not compiler warmup
@@ -101,7 +116,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    println(fullLine)
+    // durable full record — the stdout tail the driver keeps is only
+    // 2000 chars, far smaller than the per-query map
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case NonFatal(e) => System.err.println(s"[bench] BENCH_FULL.json: $e") }
     val ckptRoot = spark.conf.get("spark.sql.streaming.checkpointLocation")
     spark.stop()
     // an EXPLICIT checkpoint root is not temp-deleted by Spark the way
@@ -113,5 +135,8 @@ object Bench {
       }
       rm(new java.io.File(ckptRoot))
     }
+    // LAST stdout line, after all Spark shutdown noise: compact totals that
+    // always fit the driver's tail window regardless of catalog size
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
   }
 }

@@ -34,14 +34,29 @@ object Anomaly {
     * join-backs replaced computed stats over null key partitions too), so
     * the join must not silently drop null-keyed rows the way
     * `join(stats, keys)`'s null-unsafe equality would — a null brand/model
-    * is ordinary scrape data, not an error. EqualNullSafe is still an
-    * equi-key for Spark's hash joins (and AQE still picks broadcast vs
-    * shuffle from the stats table's runtime size). */
+    * is ordinary scrape data, not an error.
+    *
+    * Implementation splits by null pattern rather than using one
+    * EqualNullSafe join: `<=>` keys compile to `coalesce(k,0)/isnull(k)`
+    * composite join keys on BOTH sides, which skewed the planner into
+    * broadcasting the O(corpus) offers side at sf0.1 (BuildLeft over
+    * 600k rows) — exactly the side that must never be broadcast at scale.
+    * The all-keys-non-null rows (the overwhelming majority) take a plain
+    * equi-join whose small aggregated build side broadcasts naturally;
+    * rows with any null key null-safe-join the few null-pattern groups.
+    * The union is row-for-row the EqualNullSafe result: a non-null-keyed
+    * row can't match a null-pattern group under `<=>` and vice versa. */
   private def joinBackNullSafe(rows: DataFrame, stats: DataFrame,
                                keys: Seq[String]): DataFrame = {
     val renamed = keys.foldLeft(stats)((d, k) => d.withColumnRenamed(k, "__g_" + k))
-    val cond = keys.map(k => col(k) <=> col("__g_" + k)).reduce(_ && _)
-    rows.join(renamed, cond).drop(keys.map("__g_" + _): _*)
+    val gCols = keys.map(k => col("__g_" + k))
+    val eqCond = keys.map(k => col(k) === col("__g_" + k)).reduce(_ && _)
+    val nsCond = keys.map(k => col(k) <=> col("__g_" + k)).reduce(_ && _)
+    val anyNullRow = keys.map(col(_).isNull).reduce(_ || _)
+    val anyNullGroup = gCols.map(_.isNull).reduce(_ || _)
+    val main = rows.join(renamed.where(!anyNullGroup), eqCond)
+    val nullKeyed = rows.where(anyNullRow).join(renamed.where(anyNullGroup), nsCond)
+    main.unionByName(nullKeyed).drop(keys.map("__g_" + _): _*)
   }
 
   /** Adds deterministic per-group stats columns (n, mean, std) over the

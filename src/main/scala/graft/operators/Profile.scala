@@ -19,9 +19,20 @@ object Profile {
   /** One-pass column profile: global row count plus per-column non-null
     * count, exact distinct count, min, and max — one wide row with every
     * stat in its column's own type (no string rendering, so an external
-    * engine computes the identical row). Multiple exact distincts expand
-    * the scan (one Expand branch per column) — profile the columns you
-    * gate on, not the whole schema. */
+    * engine computes the identical row).
+    *
+    * Plan-shape note (measured, sf0.1 lineitem ×4 columns): the multiple
+    * exact countDistincts plan an Expand — N+1 in-memory row instances per
+    * input row — but the partial aggregate dedups (branch, value) pairs
+    * MAP-SIDE, so the one exchange carries only distinct values, never raw
+    * rows; at 100 TB the shuffle is bounded by per-column cardinality. The
+    * alternative (one two-level agg subplan per column, cross-joined) was
+    * implemented and benched at 1.23 s vs 0.73 s for this form — four
+    * exchanges and four scans lose to one Expand whose shuffle is equally
+    * deduped. When a profiled column is near-unique (583k/600k here), the
+    * exact-distinct shuffle floor is the cost; swap that column to
+    * `approx_count_distinct` ONLY where the gate tolerates ±2% — the exact
+    * form is the verifiable default. */
   def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile at least one column")
     val aggs = cols.flatMap { c =>
