@@ -227,25 +227,48 @@ object Sinks {
     }
   }
 
-  /** S7 — MongoDB document sink (save_to_mongodb,
-    * M/dags/marketeye_etl_dag.py:929-980): one document per merged
-    * product, replaced by product_id (the reference's replace_one upsert
-    * keyed on its unique product_id index). Uses the connector's
-    * string-format API so the library compiles without the connector jar
-    * (this environment is offline); at runtime the MongoDB Spark
-    * connector must be on the classpath, and `idFieldList=product_id`
-    * gives the same upsert-by-product_id semantics as the reference's
-    * unique index. Offline: [[writeRelationalFiles]] staging. */
+  /** Secondary index on a MongoDB collection, as data (created by the
+    * caller, see [[MongoWriteSpec.indexes]]). */
+  final case class MongoIndex(field: String, unique: Boolean)
+
+  /** The complete, inspectable write contract for the S7 document sink:
+    * connector options, save mode, and the index set — everything
+    * [[writeMongo]] does short of the `.save()` call itself, extracted so
+    * the contract is testable with no connector jar on the classpath. */
+  final case class MongoWriteSpec(options: Map[String, String], mode: SaveMode,
+                                  indexes: Seq[MongoIndex])
+
+  /** S7 write contract (save_to_mongodb, M/dags/marketeye_etl_dag.py:929-980).
+    * The reference truncates (`delete_many({})`) then `insert_many`s the
+    * full merged documents and creates three indexes (unique product_id,
+    * brand, price) — so the spec is Overwrite + insert, NOT a replace
+    * upsert, and the document shape is the merged frame verbatim (nested
+    * offers array + specifications, the marketeye_final.json rows). */
+  def mongoWriteSpec(uri: String, database: String, collection: String): MongoWriteSpec =
+    MongoWriteSpec(
+      options = Map(
+        "connection.uri" -> uri,
+        "database" -> database,
+        "collection" -> collection,
+        "operationType" -> "insert"),
+      mode = SaveMode.Overwrite, // = the reference's delete_many({}) + insert_many
+      indexes = Seq(MongoIndex("product_id", unique = true),
+        MongoIndex("brand", unique = false), MongoIndex("price", unique = false)))
+
+  /** S7 — MongoDB document sink: applies [[mongoWriteSpec]] through the
+    * MongoDB Spark connector's string-format API, so this compiles and
+    * the contract tests run with no connector jar (offline); at runtime
+    * the connector must be on the classpath or `.save()` throws
+    * ClassNotFoundException("mongodb"). Index creation is NOT done by the
+    * connector: with the mongo-java-driver present, run
+    * `spec.indexes.foreach(ix => collection.createIndex(..., unique))` on
+    * the driver after the write — the definitions ship in the spec.
+    * Offline: [[writeRelationalFiles]] staging. */
   def writeMongo(merged: DataFrame, uri: String, database: String,
-                 collection: String): Unit =
-    merged.write.format("mongodb")
-      .option("connection.uri", uri)
-      .option("database", database)
-      .option("collection", collection)
-      .option("operationType", "replace")
-      .option("idFieldList", "product_id")
-      .mode(SaveMode.Append)
-      .save()
+                 collection: String): Unit = {
+    val spec = mongoWriteSpec(uri, database, collection)
+    merged.write.format("mongodb").options(spec.options).mode(spec.mode).save()
+  }
 
   /** S6/S7 fallback — relational pair as parquet staging dirs (the document
     * store / warehouse loads from here when no connector is available). */

@@ -72,4 +72,37 @@ class StageRunnerSpec extends SparkSuite {
     assert(Files.list(Paths.get(out, "marketeye_final")).count() > 0)
     assert(Files.list(Paths.get(out, "relational", "offers")).count() > 0)
   }
+
+  test("S7 contract: mongo write spec mirrors the reference's truncate+insert+indexes") {
+    import graft.sinks.Sinks
+    val spec = Sinks.mongoWriteSpec("mongodb://admin@mongodb:27017", "marketeye", "products")
+    // golden options map — the connector receives exactly this
+    assert(spec.options == Map(
+      "connection.uri" -> "mongodb://admin@mongodb:27017",
+      "database" -> "marketeye",
+      "collection" -> "products",
+      "operationType" -> "insert"))
+    // delete_many({}) + insert_many == Overwrite + insert, NOT an upsert
+    assert(spec.mode == org.apache.spark.sql.SaveMode.Overwrite)
+    // the three reference indexes, unique product_id first (dag:965-967)
+    assert(spec.indexes == Seq(
+      Sinks.MongoIndex("product_id", unique = true),
+      Sinks.MongoIndex("brand", unique = false),
+      Sinks.MongoIndex("price", unique = false)))
+  }
+
+  test("S7 contract: writeMongo reaches the connector boundary with the spec applied") {
+    import spark.implicits._
+    val merged = Seq(("p1", "Samsung")).toDF("product_id", "brand")
+    // no connector jar offline: the failure must be the missing data source
+    // itself (i.e. options/mode/document plumbing all executed), not an
+    // earlier error in our code
+    val e = intercept[Exception] {
+      graft.sinks.Sinks.writeMongo(merged, "mongodb://localhost:27017", "db", "c")
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.toLowerCase.contains("mongodb")),
+      s"expected a missing-data-source error naming mongodb, got: $e")
+  }
 }
