@@ -124,6 +124,12 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case NonFatal(e) => System.err.println(s"[bench] BENCH_FULL.json: $e") }
+    // steady-state streaming mode: start st2/st3 once, time N successive
+    // micro-batches (the cost a long-running stream pays per batch, vs the
+    // restart floor the per-query numbers above carry)
+    sys.env.get("SPARK_GRAFT_STREAM_STEADY").flatMap(_.toIntOption).foreach { n =>
+      println(s"""{"metric":"stream_steady","n_batches":$n,"shapes":${StreamBench.run(spark, sfDir, n)}}""")
+    }
     val ckptRoot = spark.conf.get("spark.sql.streaming.checkpointLocation")
     spark.stop()
     // an EXPLICIT checkpoint root is not temp-deleted by Spark the way

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import java.nio.file.{Files, Path, StandardCopyOption}
+
+/** Steady-state streaming benchmark: the per-micro-batch cost a
+  * long-running stream actually pays, separated from the engine-restart
+  * floor the catalog bench measures (st2/st3 there start a fresh query
+  * per run, so their numbers are dominated by query startup + first-batch
+  * state-store creation + WAL bootstrap — see BENCH_NOTES).
+  *
+  * Method: the events table is split into N chunks, each pre-staged as a
+  * parquet file (staging cost excluded from timing). The st2-shaped
+  * hourly aggregation and the st3-shaped stateful dedup each start ONCE;
+  * chunks are then moved into the watched directory one at a time and
+  * `processAllAvailable()` is timed per chunk. Batch 1 carries the
+  * restart floor; the median of the remaining batches is the steady-state
+  * per-batch cost.
+  *
+  * Enabled in [[Bench]] via SPARK_GRAFT_STREAM_STEADY=<nBatches>.
+  */
+object StreamBench {
+
+  private def moveParts(stage: Path, watched: Path, tag: String): Unit = {
+    val parts = Files.list(stage).iterator()
+    var i = 0
+    while (parts.hasNext) {
+      val p = parts.next()
+      if (p.getFileName.toString.startsWith("part-")) {
+        Files.move(p, watched.resolve(s"$tag-$i-${p.getFileName}"),
+          StandardCopyOption.ATOMIC_MOVE)
+        i += 1
+      }
+    }
+  }
+
+  private def rmTree(p: Path): Unit = {
+    if (Files.isDirectory(p)) Files.list(p).iterator().forEachRemaining(rmTree)
+    Files.deleteIfExists(p)
+    ()
+  }
+
+  /** Runs both stream shapes; returns the JSON fragment for the bench line. */
+  def run(spark: SparkSession, sfDir: String, nBatches: Int): String = {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val schema = events.schema
+    val base = Files.createTempDirectory("graft-streambench")
+    try {
+      // pre-stage every chunk (deterministic assignment, cost untimed)
+      (0 until nBatches).foreach { i =>
+        events.where(pmod(col("event_id"), lit(nBatches)) === i)
+          .coalesce(1).write.parquet(base.resolve(s"stage_$i").toString)
+      }
+
+      def timeShape(shape: String): (Double, Seq[Double]) = {
+        val watched = base.resolve(s"in_$shape")
+        Files.createDirectory(watched)
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", 4)
+        val stream = ss.readStream.schema(schema).parquet(watched.toString)
+        val (df, mode) = shape match {
+          case "st2" =>
+            val tsNs = col("ts").cast("long")
+            val sec = (tsNs - tsNs % 1000000000L) / 1000000000L
+            val hourEpoch = (sec - sec % 3600).cast("long")
+            (stream.groupBy(hourEpoch.as("hour_epoch"), col("event_type"))
+              .agg(count(lit(1)).as("n"),
+                sum(floor(col("value") * 100)).cast("long").as("cents")),
+              "complete")
+          case _ =>
+            (graft.streaming.EventStream.dedupKeys(
+              stream.select((col("event_id") % 1000).as("k")), "k"), "append")
+        }
+        val q = df.writeStream.outputMode(mode).format("memory")
+          .queryName(s"steady_$shape")
+          .option("checkpointLocation", base.resolve(s"ckpt_$shape").toString)
+          .start()
+        val times = (0 until nBatches).map { i =>
+          moveParts(base.resolve(s"stage_$i"), watched, s"c$i")
+          val t0 = System.nanoTime()
+          q.processAllAvailable()
+          (System.nanoTime() - t0) / 1e9
+        }
+        q.stop()
+        // re-stage for the next shape: chunks were consumed by the move
+        (0 until nBatches).foreach { i =>
+          val stage = base.resolve(s"stage_$i")
+          rmTree(stage)
+          events.where(pmod(col("event_id"), lit(nBatches)) === i)
+            .coalesce(1).write.parquet(stage.toString)
+        }
+        (times.head, times.tail)
+      }
+
+      def fragment(shape: String): String = {
+        val (first, rest) = timeShape(shape)
+        val sorted = rest.sorted
+        val median = if (sorted.isEmpty) -1.0 else sorted(sorted.size / 2)
+        val batches = rest.map(t => f"$t%.3f").mkString("[", ",", "]")
+        f""""$shape":{"first_batch":$first%.3f,"steady_median":$median%.3f,"batches":$batches}"""
+      }
+
+      s"""{${fragment("st2")},${fragment("st3")}}"""
+    } finally rmTree(base)
+  }
+}
