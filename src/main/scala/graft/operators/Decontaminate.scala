@@ -69,13 +69,20 @@ object Decontaminate {
       .select(col("eval_id"), explode(col("g")).as("gram"))
     // ONE job over the small side builds the filter (insertion is
     // idempotent — no distinct exchange needed). Size it from the
-    // caller's knowledge of the eval set when available: a count job is
+    // caller's knowledge of the eval set when available: a sizing job is
     // a second pass over the eval side, but OVERsizing is not free
     // either — a 4M-key filter is ~5 MB of bitmap to merge on the
     // driver and re-ship inside every task (measured 2× slower than the
-    // counted version at sf0.1). Undersizing only raises fpp (more
-    // rows survive to the exact join), never drops keys.
-    val n = if (expectedGrams > 0) expectedGrams else math.max(1000L, eg.count())
+    // counted version at sf0.1). The fallback sizes from the DISTINCT
+    // gram count (approx, ±2%): a plain count() tallies exploded
+    // (eval_id, gram) instances — grams repeated across eval docs — and
+    // oversizes the filter by exactly the cross-doc repetition factor.
+    // Approximation error only shifts fpp slightly; keys are never
+    // dropped either way.
+    val n =
+      if (expectedGrams > 0) expectedGrams
+      else math.max(1000L,
+        eg.agg(approx_count_distinct(col("gram"))).head().getLong(0))
     val bloom = eg.stat.bloomFilter("gram", n, fpp)
     val cg = grams(corpus, "doc_id")
       .select(col("doc_id"), size(col("g")).as("n"), explode(col("g")).as("gram"))

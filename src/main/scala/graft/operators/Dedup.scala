@@ -202,10 +202,23 @@ object Dedup {
     val cands = capped(incoming).withColumnRenamed("doc", "id_a")
       .join(capped(history).withColumnRenamed("doc", "id_b"), Seq("band", "key"))
       .select("id_a", "id_b").distinct()
-    val scored = verifyJaccard(
-      incoming.select(col(idCol), col(textCol))
-        .unionByName(history.select(col(idCol), col(textCol))),
-      cands, textCol, idCol, threshold, shingleN)
+    // verify each side against ITS OWN gram-set table (not a union keyed
+    // on idCol): the two id spaces may overlap — a re-ingested document
+    // id legitimately exists in both batch and history — and a unioned
+    // table would fan the join out and score a new doc against the wrong
+    // side's text. Side-qualified joins make id collisions harmless.
+    def sets(df: DataFrame, idAs: String, toksAs: String) =
+      df.select(col(idCol).as(idAs), gramHashSet(col(textCol), shingleN).as(toksAs))
+        .hint("shuffle_hash")
+    val scored = cands
+      .join(sets(incoming, "id_a", "toks_a"), "id_a")
+      .join(sets(history, "id_b", "toks_b"), "id_b")
+      .withColumn("inter", graft.functions.NativeTextColumns
+        .sortedIntersectSize(col("toks_a"), col("toks_b")))
+      .withColumn("uni", size(col("toks_a")) + size(col("toks_b")) - col("inter"))
+      .withColumn("jaccard", round(col("inter").cast("double") / col("uni"), 4))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
     val w = Window.partitionBy("id_a").orderBy(desc("jaccard"), col("id_b"))
     scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col("id_a").as("new_id"), col("id_b").as("hist_id"), col("jaccard"))
@@ -501,18 +514,23 @@ object Dedup {
     // the verify join) with different column prunings, so exchange reuse
     // does NOT kick in and the whole grams→postings→docs chain would be
     // computed three times (measured: the dominant cost of this plan).
-    // A LAZY local checkpoint materializes it once, executor-local, on
-    // the first job and shares the partitions across all consumers —
-    // the same lineage-cut tool the connected-components loop uses;
-    // storage is O(corpus/cluster-width) per executor, freed by the
+    // A LAZY checkpoint materializes it once on the first job and shares
+    // the partitions across all consumers — the same lineage-cut tool the
+    // connected-components loop uses, with the same mode selection: when
+    // the caller configured a checkpoint dir the cut is RELIABLE
+    // (survives executor loss — the right mode for a long 100 TB run);
+    // otherwise localCheckpoint keeps blocks executor-local, which is
+    // faster but loses the job if an executor dies after materialization.
+    // Storage is O(corpus/cluster-width) per executor, freed by the
     // context cleaner when the query's RDD goes out of scope.
-    val docs = capped.groupBy("id", "blk")
+    val reliable = df.sparkSession.sparkContext.getCheckpointDir.isDefined
+    val docs0 = capped.groupBy("id", "blk")
       .agg(sort_array(collect_list(struct(col("gdf"), col("gram")))).as("by_rarity"),
         first(col("sz")).as("sz"))
       .withColumn("alpha",
         ceil(lit(threshold - 1e-4) * col("sz") - lit(1e-9)).cast("int"))
       .withColumn("plen", size(col("by_rarity")) - col("alpha") + lit(1))
-      .localCheckpoint(false)
+    val docs = if (reliable) docs0.checkpoint(false) else docs0.localCheckpoint(false)
     val index = docs.where(col("plen") > 0)
       .select(col("id"), col("blk"),
         explode(slice(transform(col("by_rarity"), s => s.getField("gram")),

@@ -47,9 +47,13 @@ object Profile {
   /** Exact fixed-width histogram: `bins` equal-width buckets over
     * [lo, hi), out-of-range values clamped into the edge bins (a
     * monitoring histogram must count every row somewhere — silent drops
-    * hide exactly the outliers it exists to catch). One scan, one tiny
-    * aggregation; bin math is plain arithmetic so any engine reproduces
-    * it bit-for-bit. */
+    * hide exactly the outliers it exists to catch). NULL values are part
+    * of that contract: they surface as one extra row with `bin = NULL`
+    * (floor(null) propagates through the clamp), so a nullable column's
+    * null count is visible in the same output rather than folded into an
+    * edge bin or dropped — callers that want them excluded filter
+    * `bin IS NOT NULL`. One scan, one tiny aggregation; bin math is
+    * plain arithmetic so any engine reproduces it bit-for-bit. */
   def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
                 bins: Int): DataFrame = {
     require(bins > 0 && hi > lo, "need a positive bin count and hi > lo")
