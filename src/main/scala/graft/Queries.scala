@@ -3084,6 +3084,89 @@ object Queries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** M2 — REAL image decode end-to-end: each document id is rendered to
+    * an actual PNG or JPEG whose dimensions are arithmetic functions of
+    * the id, then decoded back through the javax.imageio header reader
+    * ([[graft.operators.Multimodal.decodeMeta]]). The oracle recomputes
+    * the expected dimensions from doc_id WITHOUT any image code, so a
+    * hash match proves the real codec read back exactly what was encoded
+    * — encode and decode cannot share a bug because the oracle side has
+    * no codec. Encode+decode run in one narrow mapPartitions chain, the
+    * same zero-shuffle shape a 100 TB media scan needs. */
+  def m2ImageDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val metas = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        val baos = new java.io.ByteArrayOutputStream()
+        it.map { id =>
+          val w = 16 + (id % 64).toInt
+          val h = 16 + (id % 48).toInt
+          val fmt = if (id % 2 == 0) "png" else "jpeg"
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          img.setRGB(0, 0, (id % 0xffffff).toInt)
+          baos.reset()
+          javax.imageio.ImageIO.write(img, fmt, baos)
+          (id, baos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+    graft.operators.Multimodal.decodeMeta(metas).toDF()
+      .select(col("doc_id"), col("width"), col("height"), col("frames"),
+        col("format"))
+      .sortSmall("doc_id")
+  }
+
+  val m2Sql: String =
+    """SELECT doc_id,
+      |  CAST(16 + doc_id % 64 AS INT) AS width,
+      |  CAST(16 + doc_id % 48 AS INT) AS height,
+      |  CAST(1 AS INT) AS frames,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** X18 — repeated verbatim passages across documents (exact-substring
+    * dedup signal, Lee et al. 2022): word 4-grams in ≥3 distinct docs. */
+  def x18RepeatedPassages(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Passages.repeatedPassages(
+        t(s, dir, "documents"), "text", "doc_id", n = 4, minDocs = 3)
+      .sortSmall("passage")
+
+  private def passageGramSql(n: Int): String =
+    s"""norm AS (SELECT doc_id, $normSql AS nt FROM documents),
+       |tk AS (SELECT doc_id, string_split(nt, ' ') AS toks,
+       |         len(string_split(nt, ' ')) AS k FROM norm WHERE nt <> ''),
+       |e AS (SELECT doc_id, toks, k FROM tk
+       |      UNION ALL SELECT doc_id, [nt], 1 FROM norm WHERE nt = ''),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN k <= $n THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(range(0, k - ${n - 1}),
+       |                i -> array_to_string(list_slice(toks, i + 1, i + $n), ' ')) END AS gr
+       |  FROM e),
+       |g AS (SELECT DISTINCT doc_id, unnest(gr) AS passage FROM sh)""".stripMargin
+
+  val x18Sql: String =
+    s"""WITH ${passageGramSql(4)}
+       |SELECT passage, count(*) AS n_docs, min(doc_id) AS first_doc
+       |FROM g GROUP BY passage HAVING count(*) >= 3 ORDER BY passage""".stripMargin
+
+  /** X19 — per-document repeated-passage flags: the trim-vs-drop triage
+    * table (how many of a doc's passages are boilerplate, and how widely
+    * the worst one spreads). */
+  def x19PassageFlags(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Passages.flagPassageDocs(
+        t(s, dir, "documents"), "text", "doc_id", n = 4, minDocs = 3)
+      .sortSmall("doc_id")
+
+  val x19Sql: String =
+    s"""WITH ${passageGramSql(4)},
+       |hot AS (SELECT passage, count(*) AS n_docs FROM g
+       |        GROUP BY passage HAVING count(*) >= 3)
+       |SELECT g.doc_id, count(*) AS n_repeated_passages,
+       |  max(hot.n_docs) AS max_passage_docs
+       |FROM g JOIN hot USING (passage)
+       |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin
+
   // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
@@ -3163,7 +3246,10 @@ object Queries {
     "x17_cluster_split" -> x17ClusterSplit,
     "x16_histogram" -> x16Histogram,
     "x4_fingerprint" -> x4Fingerprint,
-    "m1_multimodal_meta" -> m1MultimodalMeta
+    "m1_multimodal_meta" -> m1MultimodalMeta,
+    "m2_image_decode" -> m2ImageDecode,
+    "x18_repeated_passages" -> x18RepeatedPassages,
+    "x19_passage_flags" -> x19PassageFlags
   )
 
   val oracles: Map[String, String] = Map(
@@ -3241,6 +3327,9 @@ object Queries {
     "x17_cluster_split" -> x17Sql,
     "x16_histogram" -> x16Sql,
     "x4_fingerprint" -> x4Sql,
-    "m1_multimodal_meta" -> m1Sql
+    "m1_multimodal_meta" -> m1Sql,
+    "m2_image_decode" -> m2Sql,
+    "x18_repeated_passages" -> x18Sql,
+    "x19_passage_flags" -> x19Sql
   )
 }
