@@ -2469,6 +2469,42 @@ object Queries {
        |FROM b WHERE bucket < rate GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** X20 — budgeted data-mixture sampling: target language shares + a
+    * total row budget; per-language keep-rates derive from actual counts
+    * (min(1, budget·share/n), floored to basis points) and apply as a
+    * deterministic salted-md5 filter. The oracle recomputes counts,
+    * rates, and the exact same hash decisions — the sampled row SET
+    * matches bit-for-bit, summarized per language with an id checksum. */
+  def x20MixtureSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.mixture(t(s, dir, "documents"),
+        idCol = "doc_id", strataCol = "lang",
+        targets = Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2,
+          "es" -> 0.1, "zh" -> 0.1),
+        totalBudget = 200L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).cast("long").as("id_sum"))
+      .sortSmall("lang")
+
+  val x20Sql: String = {
+    val hx = (i: Int) =>
+      s"(strpos('0123456789abcdef', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    s"""WITH shares AS (
+       |  SELECT * FROM (VALUES ('en', 0.4), ('de', 0.2), ('fr', 0.2),
+       |                        ('es', 0.1), ('zh', 0.1)) AS t(lang, share)),
+       |rates AS (
+       |  SELECT d.lang,
+       |    least(10000, CAST(floor(10000.0 * 200.0 * s.share / count(*)) AS BIGINT)) AS rate_bp
+       |  FROM documents d JOIN shares s ON s.lang = d.lang
+       |  GROUP BY d.lang, s.share),
+       |b AS (
+       |  SELECT doc_id, d.lang,
+       |    ((${hx(1)} * 4096 + ${hx(2)} * 256 + ${hx(3)} * 16 + ${hx(4)}) % 10000) AS bucket,
+       |    r.rate_bp
+       |  FROM documents d JOIN rates r ON r.lang = d.lang)
+       |SELECT lang, count(*) AS n_sampled, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+       |FROM b WHERE bucket < rate_bp GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** X9 — benchmark decontamination: corpus docs whose bigram-overlap
     * fraction with any eval-set doc (every 50th doc plays the benchmark)
     * reaches 0.2. Spark intersects 62-bit gram hashes, the oracle
@@ -3248,6 +3284,7 @@ object Queries {
     "x4_fingerprint" -> x4Fingerprint,
     "m1_multimodal_meta" -> m1MultimodalMeta,
     "m2_image_decode" -> m2ImageDecode,
+    "x20_mixture_sample" -> x20MixtureSample,
     "x18_repeated_passages" -> x18RepeatedPassages,
     "x19_passage_flags" -> x19PassageFlags
   )
@@ -3329,6 +3366,7 @@ object Queries {
     "x4_fingerprint" -> x4Sql,
     "m1_multimodal_meta" -> m1Sql,
     "m2_image_decode" -> m2Sql,
+    "x20_mixture_sample" -> x20Sql,
     "x18_repeated_passages" -> x18Sql,
     "x19_passage_flags" -> x19Sql
   )

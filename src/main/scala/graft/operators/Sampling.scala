@@ -36,6 +36,52 @@ object Sampling {
     df.where(hashBucket(col(idCol)) < rate)
   }
 
+  /** Finer-grained deterministic bucket in [0, 10000) (basis points) for
+    * budget math where whole percents are too coarse; salted differently
+    * from [[hashBucket]] so mixture and uniform sampling decisions never
+    * correlate. */
+  def hashBucketBp(id: Column): Column =
+    conv(substring(md5(concat(lit("mix:"), id.cast("string"))), 1, 4), 16, 10)
+      .cast("long") % 10000
+
+  /** Budgeted mixture sampling — the "data mixture" step of a training
+    * run: target OUTPUT proportions per stratum (language, source,
+    * domain) and a total row budget; each stratum's keep-rate is computed
+    * from its ACTUAL row count and applied as a deterministic hash
+    * filter, so the sampled corpus approximates `totalBudget · share`
+    * rows per stratum and is bit-reproducible across runs and engines.
+    *
+    * Rules: a stratum short of its target (rate ≥ 1) keeps everything —
+    * no oversampling; re-weighting the shortfall onto other strata is the
+    * caller's loop. Strata absent from `targets` are dropped (a mixture
+    * is an explicit allowlist). Rates floor to basis points so any engine
+    * reproduces the exact row set.
+    *
+    * Scale shape: one aggregation over the stratum column (tiny output),
+    * joined back onto the scan — AQE broadcasts the rate table at any
+    * corpus size since its cardinality is the stratum count; the filter
+    * itself is a pure per-row predicate. No collect, no rand(). */
+  def mixture(df: DataFrame, idCol: String, strataCol: String,
+              targets: Map[String, Double], totalBudget: Long): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(v => v >= 0 && v <= 1),
+      "mixture shares must be in [0,1]")
+    val share = targets.foldRight(lit(null).cast("double"): Column) {
+      case ((k, v), fb) => when(col(strataCol) === k, lit(v)).otherwise(fb)
+    }
+    val rates = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__share", share)
+      .where(col("__share").isNotNull)
+      .withColumn("__rate_bp",
+        least(lit(10000L),
+          floor(lit(10000.0) * lit(totalBudget.toDouble) * col("__share") / col("__n"))
+            .cast("long")))
+      .select(col(strataCol), col("__rate_bp"))
+    df.join(rates, Seq(strataCol))
+      .where(hashBucketBp(col(idCol)) < col("__rate_bp"))
+      .drop("__rate_bp")
+  }
+
   /** Per-key cap (domain balancing): keep at most `cap` rows per key,
     * chosen by a deterministic md5 order over the row id (salted so the
     * order is independent of [[hashBucket]]'s buckets — capping and

@@ -107,4 +107,26 @@ class CurationSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
     assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq) // same rows every run
   }
+
+  test("mixture sampling: rates from actual counts, shortfall keeps all, allowlist drops") {
+    import graft.operators.Sampling
+    // 1000 'big' rows, 30 'small' rows, 50 'other' rows (no target)
+    val d = ((1L to 1000L).map((_, "big")) ++ (2001L to 2030L).map((_, "small")) ++
+      (3001L to 3050L).map((_, "other"))).toDF("id", "stratum")
+    val out = Sampling.mixture(d, "id", "stratum",
+      targets = Map("big" -> 0.5, "small" -> 0.5), totalBudget = 100L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("stratum")))
+    val bySt = out.groupBy(_._2).view.mapValues(_.length).toMap
+    // big: rate = 100·0.5/1000 = 500bp → ~50 rows (binomial, wide margin)
+    assert(bySt("big") > 20 && bySt("big") < 90, s"big got ${bySt.get("big")}")
+    // small: target 50 rows > 30 available → rate clamps to 1, keep all 30
+    assert(bySt("small") == 30, s"small got ${bySt.get("small")}")
+    // 'other' has no target share: dropped entirely
+    assert(!bySt.contains("other"))
+    // deterministic: the exact same row set on a second run
+    val again = Sampling.mixture(d, "id", "stratum",
+      targets = Map("big" -> 0.5, "small" -> 0.5), totalBudget = 100L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("stratum")))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }

@@ -93,6 +93,27 @@ class DedupSimilaritySpec extends SparkSuite {
       s"incremental candidate join degenerated to all-pairs: $plan")
   }
 
+  test("incremental near-dedup: overlapping id spaces score against the right side's text") {
+    // the SAME id carries DIFFERENT text on each side (a re-ingested id):
+    // the verify must join id_a to the INCOMING text and id_b to the
+    // HISTORY text — a union keyed on id would fan out and could score
+    // the new doc against its own side or mix texts across sides
+    val hist = Seq(
+      (1L, "history version of the shared identifier document"),
+      (9L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog too"),
+      (2L, "unrelated incoming content with nothing shared")).toDF("doc_id", "text")
+    val got = Dedup.incrementalNearDup(hist, incoming, "text", "doc_id",
+        bands = 8, rowsPerBand = 2, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // incoming doc 1 matches HISTORY doc 9 (the fox text), not history
+    // doc 1 (different text) and not itself
+    assert(got.length == 1, s"expected exactly one match, got ${got.toSeq}")
+    assert(got(0)._1 == 1L && got(0)._2 == 9L)
+    assert(got(0)._3 > 0.7 && got(0)._3 < 1.0) // scored across sides, not self-matched
+  }
+
   test("prefix-filtered jaccard: high-threshold near-dups found, nothing else") {
     val blocked = docs.withColumn("blk", lit("all"))
     val pairs = Dedup.prefixJaccardPairs(blocked, "text", "doc_id", "blk", 2, 0.4)
