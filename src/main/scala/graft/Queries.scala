@@ -2505,6 +2505,19 @@ object Queries {
        |FROM b WHERE bucket < rate_bp GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** X21 — deterministic epoch shuffle: the first 20 documents of the
+    * seeded training order (plan collapses to TakeOrderedAndProject — a
+    * head sample of an epoch never materializes the full sort). */
+  def x21EpochShuffle(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.epochShuffle(
+        t(s, dir, "documents").select("doc_id"), "doc_id", "ep1")
+      .limit(20)
+      .withColumnRenamed("__epoch_key", "epoch_key")
+
+  val x21Sql: String =
+    """SELECT doc_id, md5('ep1:' || CAST(doc_id AS VARCHAR)) AS epoch_key
+      |FROM documents ORDER BY epoch_key, doc_id LIMIT 20""".stripMargin
+
   /** X9 — benchmark decontamination: corpus docs whose bigram-overlap
     * fraction with any eval-set doc (every 50th doc plays the benchmark)
     * reaches 0.2. Spark intersects 62-bit gram hashes, the oracle
@@ -3285,6 +3298,7 @@ object Queries {
     "m1_multimodal_meta" -> m1MultimodalMeta,
     "m2_image_decode" -> m2ImageDecode,
     "x20_mixture_sample" -> x20MixtureSample,
+    "x21_epoch_shuffle" -> x21EpochShuffle,
     "x18_repeated_passages" -> x18RepeatedPassages,
     "x19_passage_flags" -> x19PassageFlags
   )
@@ -3367,6 +3381,7 @@ object Queries {
     "m1_multimodal_meta" -> m1Sql,
     "m2_image_decode" -> m2Sql,
     "x20_mixture_sample" -> x20Sql,
+    "x21_epoch_shuffle" -> x21Sql,
     "x18_repeated_passages" -> x18Sql,
     "x19_passage_flags" -> x19Sql
   )

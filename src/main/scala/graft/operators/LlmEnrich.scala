@@ -90,6 +90,18 @@ object LlmEnrich {
     }
   }
 
+  /** Transport selection from the environment — how a deployment turns on
+    * the real service without a code change: `GRAFT_OLLAMA_URL` set → the
+    * real [[OllamaTransport]] (model from `GRAFT_OLLAMA_MODEL`, default
+    * llama3; reference timeout); unset → the deterministic offline stub.
+    * Injectable env map for tests. */
+  def transportFromEnv(env: Map[String, String] = sys.env): Transport =
+    env.get("GRAFT_OLLAMA_URL") match {
+      case Some(url) =>
+        new OllamaTransport(url, env.getOrElse("GRAFT_OLLAMA_MODEL", "llama3"))
+      case None => new StubTransport
+    }
+
   /** Append `outputCol` by calling the transport once per row, rate-limited
     * to `maxPerSecond` calls per partition. `promptFor` renders the prompt
     * from the full row (driver-side closure, serialized to executors). */

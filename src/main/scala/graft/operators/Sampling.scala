@@ -82,6 +82,19 @@ object Sampling {
       .drop("__rate_bp")
   }
 
+  /** Deterministic epoch shuffle: a seeded global training order with no
+    * rand(). The sort key is md5(seed || ":" || id), so the permutation is
+    * identical on every run, cluster, and engine; a new seed is a fresh
+    * epoch order. `orderBy` plans a range exchange with sampled
+    * boundaries, so output shards come out globally ordered — each
+    * written file is one contiguous slice of the epoch — and a head
+    * sample (`.limit(k)`) collapses to TakeOrderedAndProject with no full
+    * sort materialization. */
+  def epochShuffle(df: DataFrame, idCol: String, seed: String): DataFrame =
+    df.withColumn("__epoch_key",
+        md5(concat(lit(seed), lit(":"), col(idCol).cast("string"))))
+      .orderBy(col("__epoch_key"), col(idCol))
+
   /** Per-key cap (domain balancing): keep at most `cap` rows per key,
     * chosen by a deterministic md5 order over the row id (salted so the
     * order is independent of [[hashBucket]]'s buckets — capping and

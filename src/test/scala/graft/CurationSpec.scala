@@ -129,4 +129,28 @@ class CurationSpec extends SparkSuite {
       .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("stratum")))
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("epoch shuffle: seeded permutation is stable, seeds differ, head is TakeOrdered") {
+    import graft.operators.Sampling
+    val d = (1L to 200L).toDF("id")
+    def order(seed: String): Seq[Long] =
+      Sampling.epochShuffle(d, "id", seed).collect().map(_.getLong(0)).toSeq
+    val e1 = order("ep1")
+    assert(e1 == order("ep1"))                  // same seed → same permutation
+    assert(e1.sorted == (1L to 200L))           // a permutation, nothing lost
+    assert(e1 != order("ep2"))                  // new seed → new epoch order
+    assert(e1 != (1L to 200L))                  // actually shuffled
+    // a head sample must not materialize the full sort
+    val headPlan = Sampling.epochShuffle(d, "id", "ep1").limit(5)
+      .queryExecution.executedPlan.toString
+    assert(headPlan.contains("TakeOrderedAndProject"), headPlan)
+  }
+
+  test("LLM transport from env: url selects the real client, absence selects the stub") {
+    import graft.operators.LlmEnrich
+    assert(LlmEnrich.transportFromEnv(Map.empty).isInstanceOf[LlmEnrich.StubTransport])
+    val real = LlmEnrich.transportFromEnv(
+      Map("GRAFT_OLLAMA_URL" -> "http://h:11434/api/generate"))
+    assert(real.isInstanceOf[LlmEnrich.OllamaTransport])
+  }
 }
