@@ -2446,6 +2446,60 @@ object Queries {
       |FROM events e JOIN customer c ON e.user_id = c.c_custkey
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** ST6 — stream-STREAM interval join through the real engine: clicks ⋈
+    * purchases by user within a 30-minute event-time window, both sides
+    * watermarked (the watermark + the interval condition on the two
+    * event-time columns is what lets the engine EVICT join state — an
+    * unbounded-state stream-stream join is the classic production
+    * incident). Event times floor to whole seconds on both engines (the
+    * raw ts has sub-second precision). The joined pair set lands in the
+    * sink append-mode; the compact summary is computed over it in batch,
+    * same pattern as st3. */
+  def st6StreamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    val schema = t(s, dir, "events").schema
+    val ss = streamSession(s, 4)
+    def side(tpe: String, prefix: String) = {
+      val tsNs = col("ts").cast("long")
+      val sec = (tsNs - tsNs % 1000000000L) / 1000000000L
+      ss.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .where(col("event_type") === tpe)
+        .select(col("user_id").as(s"${prefix}_user"),
+          timestamp_seconds(sec).as(s"${prefix}_ts"),
+          col("event_id").as(s"${prefix}_id"), col("value").as(s"${prefix}_value"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    }
+    val joined = side("click", "c").join(side("purchase", "p"),
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("interval 30 minutes"))
+    val name = s"st6_ssjoin_${stQueryId.incrementAndGet()}"
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    ss.table(name).agg(
+      count(lit(1)).as("n_pairs"),
+      countDistinct(col("c_user")).as("n_users"),
+      sum(col("c_id")).cast("long").as("click_id_sum"),
+      sum(col("p_id")).cast("long").as("purchase_id_sum"),
+      sum(floor(col("p_value") * 100)).cast("long").as("cents"))
+  }
+
+  val st6Sql: String =
+    """WITH c AS (SELECT user_id, date_trunc('second', ts) AS ts, event_id
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, date_trunc('second', ts) AS ts, event_id, value
+      |      FROM events WHERE event_type = 'purchase'),
+      |j AS (SELECT c.user_id, c.event_id AS cid, p.event_id AS pid, p.value
+      |      FROM c JOIN p ON c.user_id = p.user_id
+      |        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+      |SELECT count(*) AS n_pairs, count(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(cid) AS BIGINT) AS click_id_sum,
+      |  CAST(SUM(pid) AS BIGINT) AS purchase_id_sum,
+      |  CAST(SUM(floor(value * 100)) AS BIGINT) AS cents
+      |FROM j""".stripMargin
+
   /** X6 — deterministic stratified hash-sampling (training-mix
     * rebalancing): per-language keep rates decided by a portable md5
     * bucket of the doc id — the same rows are sampled on every run and
@@ -3278,6 +3332,7 @@ object Queries {
     "st3_streaming_dedup" -> st3StreamingDedup,
     "st4_session_windows" -> st4SessionWindows,
     "st5_stream_static_join" -> st5StreamStaticJoin,
+    "st6_stream_stream_join" -> st6StreamStreamJoin,
     "x6_hash_sample" -> x6HashSample,
     "x1_lang_id" -> x1LangId,
     "x2_quality" -> x2Quality,
@@ -3361,6 +3416,7 @@ object Queries {
     "st3_streaming_dedup" -> st3Sql,
     "st4_session_windows" -> st4Sql,
     "st5_stream_static_join" -> st5Sql,
+    "st6_stream_stream_join" -> st6Sql,
     "x6_hash_sample" -> x6Sql,
     "x1_lang_id" -> x1Sql,
     "x2_quality" -> x2Sql,

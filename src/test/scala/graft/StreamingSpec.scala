@@ -55,6 +55,38 @@ class StreamingSpec extends SparkSuite {
       Seq(("A", 2L, 15.0), ("B", 1L, 7.0))) // inner join drops the orphan fact
   }
 
+  test("stream-stream interval join: window honored, state eviction planned") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val purchases = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val c = clicks.toDF().toDF("c_user", "c_ts", "c_id").withWatermark("c_ts", "1 hour")
+    val p = purchases.toDF().toDF("p_user", "p_ts", "p_id").withWatermark("p_ts", "1 hour")
+    clicks.addData(
+      (1L, ts("2026-01-01 10:00:00"), 100L),
+      (2L, ts("2026-01-01 10:00:00"), 101L))
+    purchases.addData(
+      (1L, ts("2026-01-01 10:20:00"), 200L), // inside 30 min → pair
+      (1L, ts("2026-01-01 10:45:00"), 201L), // outside 30 min → no pair
+      (2L, ts("2026-01-01 09:50:00"), 202L), // before the click → no pair
+      (3L, ts("2026-01-01 10:10:00"), 203L)) // no matching user
+    val joined = c.join(p,
+      col("c_user") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("interval 30 minutes"))
+    val out = EventStream.runToMemory(joined, "ssjoin", OutputMode.Append()).collect()
+    assert(out.map(r => (r.getAs[Long]("c_id"), r.getAs[Long]("p_id"))).toSeq ==
+      Seq((100L, 200L)))
+    // the watermark + interval condition must reach the physical join as
+    // state-eviction predicates — a stream-stream join without them
+    // accumulates state forever (check the join carries a key watermark)
+    val plan = joined.queryExecution.analyzed.toString
+    assert(plan.contains("EventTimeWatermark"), s"no watermark in plan:\n$plan")
+    // both event-time columns carry the watermark delay marker into the
+    // join condition (the -T...ms annotation is what state eviction keys on)
+    assert(plan.contains("-T3600000ms"), s"join keys lost the watermark delay:\n$plan")
+  }
+
   test("streaming file source ingests scrape drops incrementally") {
     val raw = tempDir("stream_raw")
     java.nio.file.Files.write(java.nio.file.Paths.get(raw, "drop1.json"),
