@@ -2572,6 +2572,63 @@ object Queries {
     """SELECT doc_id, md5('ep1:' || CAST(doc_id AS VARCHAR)) AS epoch_key
       |FROM documents ORDER BY epoch_key, doc_id LIMIT 20""".stripMargin
 
+  /** X22 — the pretraining-data program COMPOSED, one declarative plan:
+    * exact-dedup keep-min → budgeted language mixture → deterministic
+    * epoch order → 512-token sequence packing, summarized per
+    * (lang, pack). Every stage is an already-oracled operator (d1, x20,
+    * x21, x10 semantics); the composition proves they chain without
+    * materialization barriers — Catalyst sees one tree: the dedup window,
+    * the mixture rate join, the epoch sort key, and the packing window
+    * pipeline into four shuffles total, nothing collected. */
+  def x22PretrainProgram(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val keep = d
+      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("fp")).orderBy(col("doc_id"))))
+      .where(col("rn") === 1).drop("fp", "rn")
+    val mixed = graft.operators.Sampling.mixture(keep, "doc_id", "lang",
+      targets = Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2,
+        "es" -> 0.1, "zh" -> 0.1),
+      totalBudget = 200L)
+    val ordered = graft.operators.Sampling.epochShuffle(mixed, "doc_id", "ep1")
+    graft.operators.Packing.assignPacks(ordered, "lang", "__epoch_key",
+        bpeTokenCount(col("text")), budget = 512)
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("tok_sum"))
+      .sortSmall("lang", "pack_id")
+  }
+
+  val x22Sql: String = {
+    val hx = (i: Int) =>
+      s"(strpos('0123456789abcdef', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+    s"""WITH norm AS (SELECT doc_id, lang, text, $normSql AS nt FROM documents),
+       |k AS (SELECT *, row_number() OVER (PARTITION BY md5(nt) ORDER BY doc_id) AS rn FROM norm),
+       |keep AS (SELECT doc_id, lang, text FROM k WHERE rn = 1),
+       |shares AS (
+       |  SELECT * FROM (VALUES ('en', 0.4), ('de', 0.2), ('fr', 0.2),
+       |                        ('es', 0.1), ('zh', 0.1)) AS t(lang, share)),
+       |rates AS (
+       |  SELECT keep.lang,
+       |    least(10000, CAST(floor(10000.0 * 200.0 * s.share / count(*)) AS BIGINT)) AS rate_bp
+       |  FROM keep JOIN shares s ON s.lang = keep.lang
+       |  GROUP BY keep.lang, s.share),
+       |mx AS (
+       |  SELECT keep.doc_id, keep.lang, keep.text FROM keep
+       |  JOIN rates ON rates.lang = keep.lang
+       |  WHERE ((${hx(1)} * 4096 + ${hx(2)} * 256 + ${hx(3)} * 16 + ${hx(4)}) % 10000) < rate_bp),
+       |e AS (SELECT doc_id, lang, text,
+       |        md5('ep1:' || CAST(doc_id AS VARCHAR)) AS ek FROM mx),
+       |tt AS (SELECT lang, ek,
+       |        len(regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_tok
+       |      FROM e),
+       |c AS (SELECT *, SUM(n_tok) OVER (PARTITION BY lang ORDER BY ek
+       |        ROWS UNBOUNDED PRECEDING) AS cum FROM tt),
+       |p AS (SELECT lang, CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS pack_id, n_tok FROM c)
+       |SELECT lang, pack_id, count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
+       |FROM p GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin
+  }
+
   /** X9 — benchmark decontamination: corpus docs whose bigram-overlap
     * fraction with any eval-set doc (every 50th doc plays the benchmark)
     * reaches 0.2. Spark intersects 62-bit gram hashes, the oracle
@@ -3354,6 +3411,7 @@ object Queries {
     "m2_image_decode" -> m2ImageDecode,
     "x20_mixture_sample" -> x20MixtureSample,
     "x21_epoch_shuffle" -> x21EpochShuffle,
+    "x22_pretrain_program" -> x22PretrainProgram,
     "x18_repeated_passages" -> x18RepeatedPassages,
     "x19_passage_flags" -> x19PassageFlags
   )
@@ -3438,6 +3496,7 @@ object Queries {
     "m2_image_decode" -> m2Sql,
     "x20_mixture_sample" -> x20Sql,
     "x21_epoch_shuffle" -> x21Sql,
+    "x22_pretrain_program" -> x22Sql,
     "x18_repeated_passages" -> x18Sql,
     "x19_passage_flags" -> x19Sql
   )
