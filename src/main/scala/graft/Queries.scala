@@ -2629,6 +2629,34 @@ object Queries {
        |FROM p GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin
   }
 
+  /** X23 — overlapping token-window chunking (context windows of 64
+    * tokens advancing by 48): one row per chunk with its token count and
+    * the fingerprint of the exact token window — the oracle rebuilds the
+    * same windows from the same pre-tokenizer regex, so the fingerprints
+    * prove the chunk CONTENT matches, not just the counts. */
+  def x23TokenChunks(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.chunkByTokens(t(s, dir, "documents"),
+        "doc_id", "text", chunkTokens = 64, stride = 48)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_tok"),
+        md5(col("chunk_text")).as("chunk_fp"))
+      .sortSmall("doc_id", "chunk_idx")
+
+  val x23Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    regexp_extract_all(coalesce(text,''), '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]') AS toks
+      |  FROM documents),
+      |n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t),
+      |c AS (SELECT doc_id, n_tok, toks,
+      |        unnest(range(0, CASE WHEN n_tok <= 64 THEN 1
+      |          ELSE CAST(ceil((n_tok - 64) / 48.0) AS BIGINT) + 1 END)) AS chunk_idx
+      |      FROM n)
+      |SELECT doc_id, chunk_idx,
+      |  CAST(least(64, n_tok - chunk_idx * 48) AS INT) AS chunk_tok,
+      |  md5(array_to_string(list_slice(toks, CAST(chunk_idx * 48 + 1 AS BIGINT),
+      |    CAST(chunk_idx * 48 + 64 AS BIGINT)), ' ')) AS chunk_fp
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** X9 — benchmark decontamination: corpus docs whose bigram-overlap
     * fraction with any eval-set doc (every 50th doc plays the benchmark)
     * reaches 0.2. Spark intersects 62-bit gram hashes, the oracle
@@ -3412,6 +3440,7 @@ object Queries {
     "x20_mixture_sample" -> x20MixtureSample,
     "x21_epoch_shuffle" -> x21EpochShuffle,
     "x22_pretrain_program" -> x22PretrainProgram,
+    "x23_token_chunks" -> x23TokenChunks,
     "x18_repeated_passages" -> x18RepeatedPassages,
     "x19_passage_flags" -> x19PassageFlags
   )
@@ -3497,6 +3526,7 @@ object Queries {
     "x20_mixture_sample" -> x20Sql,
     "x21_epoch_shuffle" -> x21Sql,
     "x22_pretrain_program" -> x22Sql,
+    "x23_token_chunks" -> x23Sql,
     "x18_repeated_passages" -> x18Sql,
     "x19_passage_flags" -> x19Sql
   )

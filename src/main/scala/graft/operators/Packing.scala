@@ -31,4 +31,40 @@ object Packing {
       .withColumn("pack_id",
         floor((sum(col("n_tok")).over(w) - col("n_tok")) / budget))
   }
+
+  /** Packing's inverse — split each document into overlapping
+    * token-window chunks (the standard long-document pre-tokenization
+    * step: context windows of `chunkTokens` tokens advancing by `stride`,
+    * so consecutive chunks share `chunkTokens − stride` tokens of
+    * context). Tokens come from the same BPE-ish pre-tokenizer regex as
+    * [[graft.functions.TextFunctions.bpeTokenCount]]; a document of
+    * ≤ chunkTokens tokens (including an empty one) yields exactly one
+    * chunk, and the final chunk of a longer document may be short —
+    * every token lands in at least one chunk.
+    *
+    * Output: one row per (doc, chunk_idx) with `n_tok` (document total),
+    * `chunk_tok` (this chunk's token count) and `chunk_text` (the
+    * space-joined token window). Shape at scale: pure per-row column
+    * math + one explode — runs inside the scan stage, no shuffle; the
+    * ~chunkTokens/stride× row amplification is the operator's output,
+    * not an intermediate. */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      "need 0 < stride <= chunkTokens")
+    val toks = regexp_extract_all(coalesce(col(textCol), lit("")),
+      lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0))
+    val nChunks = when(col("n_tok") <= chunkTokens, lit(1L))
+      .otherwise(ceil((col("n_tok") - chunkTokens).cast("double") / stride)
+        .cast("long") + 1L)
+    df.select(col(idCol), toks.as("__toks"))
+      .withColumn("n_tok", size(col("__toks")))
+      .withColumn("chunk_idx", explode(sequence(lit(0L), nChunks - 1)))
+      .select(col(idCol), col("n_tok"), col("chunk_idx"),
+        least(lit(chunkTokens), col("n_tok") - col("chunk_idx") * stride)
+          .cast("int").as("chunk_tok"),
+        array_join(slice(col("__toks"),
+          (col("chunk_idx") * stride + 1).cast("int"), lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
 }

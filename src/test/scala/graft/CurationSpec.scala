@@ -146,6 +146,30 @@ class CurationSpec extends SparkSuite {
     assert(headPlan.contains("TakeOrderedAndProject"), headPlan)
   }
 
+  test("token chunking: windows overlap by chunk-stride, every token covered, short docs whole") {
+    import graft.operators.Packing
+    // 25 alphabetic tokens (digits split off under the BPE-ish regex)
+    val words = ('a' to 'y').map(c => s"tok$c").mkString(" ")
+    val d = Seq((1L, words), (2L, "just five little tokens here"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val out = Packing.chunkByTokens(d, "doc_id", "text", chunkTokens = 10, stride = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(3), r.getString(4)))
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // 25 tokens, window 10, stride 6 → ceil((25-10)/6)+1 = 4 chunks
+    assert(doc1.length == 4)
+    assert(doc1.map(_._3).toSeq == Seq(10, 10, 10, 7)) // final chunk short
+    // consecutive chunks share chunkTokens - stride = 4 tokens of context
+    val c0 = doc1(0)._4.split(" "); val c1 = doc1(1)._4.split(" ")
+    assert(c0.takeRight(4).toSeq == c1.take(4).toSeq)
+    // every token appears in at least one chunk, in order
+    assert(doc1.flatMap(_._4.split(" ")).distinct.length == 25)
+    // short doc → exactly one whole chunk; null text → one empty chunk
+    val doc2 = out.filter(_._1 == 2L)
+    assert(doc2.length == 1 && doc2(0)._3 == 5)
+    val doc3 = out.filter(_._1 == 3L)
+    assert(doc3.length == 1 && doc3(0)._3 == 0 && doc3(0)._4 == "")
+  }
+
   test("LLM transport from env: url selects the real client, absence selects the stub") {
     import graft.operators.LlmEnrich
     assert(LlmEnrich.transportFromEnv(Map.empty).isInstanceOf[LlmEnrich.StubTransport])
