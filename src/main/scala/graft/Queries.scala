@@ -2657,6 +2657,35 @@ object Queries {
       |    CAST(chunk_idx * 48 + 64 AS BIGINT)), ' ')) AS chunk_fp
       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** X24 — BM25 ranked retrieval: top-15 documents for a three-term
+    * query. The oracle recomputes the full scoring chain (postings, df,
+    * avgdl, Lucene-shaped idf, k1/b saturation) from the same normalized
+    * terms; scores round to 4 decimals on both engines. */
+  def x24Bm25Search(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.bm25TopK(docs(s, dir), "text", "doc_id",
+        queryTerms = Seq("spark", "hash", "batch"), k = 15)
+      .sortSmall("doc_id")
+
+  val x24Sql: String =
+    s"""WITH norm AS (SELECT doc_id, $normSql AS nt FROM documents),
+       |toks AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM norm WHERE nt <> ''),
+       |lens AS (SELECT n.doc_id,
+       |    CASE WHEN n.nt = '' THEN 0 ELSE len(string_split(n.nt, ' ')) END AS dl
+       |  FROM norm n),
+       |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM lens),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       |       WHERE term IN ('spark', 'hash', 'batch') GROUP BY doc_id, term),
+       |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |sc AS (
+       |  SELECT tf.doc_id,
+       |    ln((s.n_docs - dfs.df + 0.5) / (dfs.df + 0.5) + 1.0)
+       |      * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * lens.dl / s.avgdl)) AS ts
+       |  FROM tf JOIN dfs USING (term) JOIN lens USING (doc_id) CROSS JOIN stats s),
+       |agg AS (SELECT doc_id, count(*) AS n_terms_hit, round(SUM(ts), 4) AS score
+       |        FROM sc GROUP BY doc_id),
+       |top AS (SELECT * FROM agg ORDER BY score DESC, doc_id LIMIT 15)
+       |SELECT doc_id, n_terms_hit, score FROM top ORDER BY doc_id""".stripMargin
+
   /** X9 — benchmark decontamination: corpus docs whose bigram-overlap
     * fraction with any eval-set doc (every 50th doc plays the benchmark)
     * reaches 0.2. Spark intersects 62-bit gram hashes, the oracle
@@ -3441,6 +3470,7 @@ object Queries {
     "x21_epoch_shuffle" -> x21EpochShuffle,
     "x22_pretrain_program" -> x22PretrainProgram,
     "x23_token_chunks" -> x23TokenChunks,
+    "x24_bm25_search" -> x24Bm25Search,
     "x18_repeated_passages" -> x18RepeatedPassages,
     "x19_passage_flags" -> x19PassageFlags
   )
@@ -3527,6 +3557,7 @@ object Queries {
     "x21_epoch_shuffle" -> x21Sql,
     "x22_pretrain_program" -> x22Sql,
     "x23_token_chunks" -> x23Sql,
+    "x24_bm25_search" -> x24Sql,
     "x18_repeated_passages" -> x18Sql,
     "x19_passage_flags" -> x19Sql
   )

@@ -170,6 +170,31 @@ class CurationSpec extends SparkSuite {
     assert(doc3.length == 1 && doc3(0)._3 == 0 && doc3(0)._4 == "")
   }
 
+  test("bm25: multi-term hits outrank single-term, saturation caps spam, length normalized") {
+    import graft.operators.Retrieval
+    val corpus = Seq(
+      (1L, "spark hash join strategies"),                       // 2 query terms, short
+      (2L, "spark spark spark spark spark spark spark spark"),  // tf spam, 1 term
+      (3L, "hash tables explained at length with many many extra words padding the document"),
+      (4L, "nothing relevant here at all"),
+      (5L, "spark hash batch processing")                       // all 3 terms
+    ).toDF("doc_id", "text")
+    val top = Retrieval.bm25TopK(corpus, "text", "doc_id",
+        Seq("spark", "hash", "batch"), k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val rankById = top.sortBy(-_._3).map(_._1).toSeq
+    // the doc hitting all three terms wins; tf-spam does NOT beat
+    // term diversity (k1 saturates repeated terms)
+    assert(rankById.head == 5L, s"got ranking $rankById")
+    assert(top.find(_._1 == 5L).get._2 == 3L)
+    // doc 4 (no query term) never appears
+    assert(!top.exists(_._1 == 4L))
+    // doc 1 (2 distinct short) outranks doc 2 (1 term spammed)
+    val s1 = top.find(_._1 == 1L).get._3
+    val s2 = top.find(_._1 == 2L).get._3
+    assert(s1 > s2, s"diversity lost to spam: $s1 vs $s2")
+  }
+
   test("LLM transport from env: url selects the real client, absence selects the stub") {
     import graft.operators.LlmEnrich
     assert(LlmEnrich.transportFromEnv(Map.empty).isInstanceOf[LlmEnrich.StubTransport])
