@@ -97,6 +97,13 @@ object Bench {
       }
     }
     val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val unknown = args.filterNot(names0.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[bench] unknown query name(s): ${unknown.mkString(", ")} — " +
+          s"known: ${names0.mkString(", ")}")
+      sys.exit(2) // a typo must not bench zero queries and report a healthy 0
+    }
     val names = if (args.nonEmpty) names0.filter(args.contains) else names0
     if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("true"))
       names.foreach { n =>

@@ -23,11 +23,19 @@ import java.nio.file.{Files, Path, StandardCopyOption}
   */
 object StreamBench {
 
+  /** Children of `p`, with the underlying directory stream closed eagerly
+    * (Files.list leaks a file descriptor per call otherwise, and rmTree
+    * recurses over per-batch chunk/checkpoint trees). */
+  private def children(p: Path): Seq[Path] = {
+    val s = Files.list(p)
+    try { val it = s.iterator(); val b = Seq.newBuilder[Path]
+          while (it.hasNext) b += it.next(); b.result()
+    } finally s.close()
+  }
+
   private def moveParts(stage: Path, watched: Path, tag: String): Unit = {
-    val parts = Files.list(stage).iterator()
     var i = 0
-    while (parts.hasNext) {
-      val p = parts.next()
+    children(stage).foreach { p =>
       if (p.getFileName.toString.startsWith("part-")) {
         Files.move(p, watched.resolve(s"$tag-$i-${p.getFileName}"),
           StandardCopyOption.ATOMIC_MOVE)
@@ -37,7 +45,7 @@ object StreamBench {
   }
 
   private def rmTree(p: Path): Unit = {
-    if (Files.isDirectory(p)) Files.list(p).iterator().forEachRemaining(rmTree)
+    if (Files.isDirectory(p)) children(p).foreach(rmTree)
     Files.deleteIfExists(p)
     ()
   }

@@ -46,6 +46,7 @@ object Multimodal {
   def imageDecode(id: Long, bytes: Array[Byte]): Option[MediaMeta] = {
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
+    if (iis == null) return None // no registered stream SPI claims the bytes
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) None
@@ -64,7 +65,10 @@ object Multimodal {
         } finally reader.dispose()
       }
     } catch {
-      case _: java.io.IOException => None // truncated/corrupt header → not an image
+      // Plugin readers throw RuntimeExceptions (IAE, AIOOBE, NegativeArraySize)
+      // on fuzzed/malformed headers, not just IOException — a hostile payload
+      // must degrade to the stub, never fail the task.
+      case scala.util.control.NonFatal(_) => None
     } finally iis.close()
   }
 

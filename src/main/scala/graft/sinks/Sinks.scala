@@ -251,7 +251,14 @@ object Sinks {
         "database" -> database,
         "collection" -> collection,
         "operationType" -> "insert"),
-      mode = SaveMode.Overwrite, // = the reference's delete_many({}) + insert_many
+      // CAVEAT vs the reference: the connector implements Overwrite by
+      // DROPPING the collection (discarding indexes + collection options),
+      // while the reference's delete_many({}) truncates and PRESERVES the
+      // unique product_id index. Behavior only converges because
+      // [[writeMongo]]'s contract makes index re-creation part of every
+      // write (callers MUST apply spec.indexes after save, as writeMongo's
+      // docstring instructs) — the index does NOT survive the write itself.
+      mode = SaveMode.Overwrite,
       indexes = Seq(MongoIndex("product_id", unique = true),
         MongoIndex("brand", unique = false), MongoIndex("price", unique = false)))
 

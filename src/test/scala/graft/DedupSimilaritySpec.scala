@@ -494,13 +494,27 @@ class DedupSimilaritySpec extends SparkSuite {
   test("multimodal: non-image and truncated payloads fall back to the stub, never throw") {
     val png = imageBytes("png", 64, 64)
     val truncated = png.take(12) // magic bytes intact, header cut off mid-chunk
+    // Hostile fuzz cases: valid magic bytes so a plugin reader CLAIMS the
+    // payload, then garbage where the header fields should be. JDK plugin
+    // readers throw RuntimeExceptions (IAE/AIOOBE/NegativeArraySize) here,
+    // not IOException — the decode must still degrade to the stub.
+    val fuzzGif = "GIF89a".getBytes("ISO-8859-1") ++
+      Array[Byte](-1, -1, -1, -1, -1, 0x7f, -2, -3, -4, -5)
+    val fuzzBmp = "BM".getBytes("ISO-8859-1") ++
+      Array.fill[Byte](32)(-1) // negative size/offset fields
+    val fuzzJpeg = Array[Byte](-1, -40, -1, -32) ++ Array.fill[Byte](8)(-99)
     val rows = Seq(
       (1L, "just some text bytes".getBytes("UTF-8")),
       (2L, truncated),
-      (3L, Array.empty[Byte]))
+      (3L, Array.empty[Byte]),
+      (4L, fuzzGif),
+      (5L, fuzzBmp),
+      (6L, fuzzJpeg))
     val out = Multimodal.decodeMeta(rows.toDF("doc_id", "payload")).collect()
-    assert(out.length == 3) // no task failure
-    for ((id, bytes) <- rows; meta = out.find(_.doc_id == id).get)
+    assert(out.length == rows.length) // no task failure on ANY payload
+    // non-image/truncated payloads must be stub-decoded; the fuzz cases
+    // (4-6) only guarantee no-throw — a reader MAY parse garbage dimensions
+    for ((id, bytes) <- rows.take(3); meta = out.find(_.doc_id == id).get)
       assert(meta == Multimodal.stubDecode(id, bytes), s"doc $id not stub-decoded")
   }
 }
