@@ -188,16 +188,25 @@ object Similarity {
         .map { case (r, i) => i -> r.getSeq[Float](0).map(_.toDouble).toArray }
       for (_ <- 0 until iters) {
         val assigned = assign(corpus, vecCol, centroids)
+        // Per-dimension sums in DECIMAL, not double: double addition is
+        // non-associative, so a double sum's low bits depend on partition
+        // count/order and trained centroids would differ run-to-run on
+        // the same data. Decimal addition is exact at fixed scale →
+        // centroids are a pure function of the data regardless of
+        // partitioning (property-tested in DedupSimilaritySpec).
+        // decimal(38,18) headroom: |component| ≤ ~1e3, n ≤ 1e16 rows.
         val sums = assigned
           .select(col("centroid"), asDouble(col(vecCol)).as("v"))
           .groupBy("centroid")
           .agg(count(lit(1)).as("n"),
             array((0 until centroids.head._2.length).map(d =>
-              sum(element_at(col("v"), d + 1))): _*).as("vecsum"))
+              sum(element_at(col("v"), d + 1).cast("decimal(38,18)"))): _*)
+              .as("vecsum"))
           .collect()
         centroids = sums.map { r =>
           val n = r.getLong(1).toDouble
-          r.getInt(0) -> r.getSeq[Double](2).map(_ / n).toArray
+          r.getInt(0) -> r.getSeq[java.math.BigDecimal](2)
+            .map(_.doubleValue / n).toArray
         }.sortBy(_._1)
       }
       centroids

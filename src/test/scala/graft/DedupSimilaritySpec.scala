@@ -405,6 +405,56 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(got == (1L to n).map(_ -> 1L).toMap)
   }
 
+  test("connected components: planted 10k-member giant component (spammed template)") {
+    // The real near-dup skew case: one template spammed 10k×. After
+    // maxBucket-capped banding the family's edge set is a chain of
+    // overlapping bucket-cliques (each capped bucket emits a clique;
+    // buckets share boundary members) — ~245k edges, graph diameter ~200
+    // in bucket hops. Label propagation's 20-round budget cannot finish;
+    // the star-contraction fallback must, in O(log d) rounds, with the
+    // driver holding only the label table lineage (no per-round growth).
+    val n = 10000L
+    val bucket = 50
+    val ids = (0L until n).toDF("id")
+    val edges = (0L until n by (bucket - 1)).flatMap { start =>
+      val members = (start until math.min(start + bucket, n)).toArray
+      for (i <- members.indices; j <- (i + 1) until members.length)
+        yield (members(i), members(j))
+    }
+    val pairs = edges.toDF("id_a", "id_b").repartition(32)
+    val got = Dedup.connectedComponents(ids, pairs)
+    val byCluster = got.groupBy("cluster_id").count().collect()
+    assert(byCluster.length == 1 && byCluster(0).getLong(1) == n,
+      s"expected one 10k-member cluster, got ${byCluster.toSeq}")
+    assert(byCluster(0).get(0) == 0L, "cluster label must be the min id")
+    // the contraction path alone: rounds stay logarithmic in the ~200
+    // bucket-hop diameter, nowhere near the diameter itself
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val (labels, rounds) = Dedup.starContraction(
+      sym.union(sym.select(col("dst").as("src"), col("src").as("dst"))))
+    assert(rounds <= 12, s"contraction took $rounds rounds on diameter ~200")
+    assert(labels.where(col("label") =!= 0L).isEmpty, "all members label to 0")
+  }
+
+  test("IVF training: centroids identical under re-partitioning (decimal sums)") {
+    // Lloyd's per-dimension sums run in decimal, so trained centroids are
+    // a pure function of the data — double sums would leak partition
+    // order into the low bits and ship different indexes run-to-run.
+    val rnd = new scala.util.Random(11)
+    val corpus = (0L to 499L).map(i => (i, Array.fill(8)(rnd.nextFloat() - 0.5f)))
+      .toDF("vec_id", "embedding")
+    val a = Similarity.IvfIndex.train(corpus.repartition(1), "vec_id", "embedding",
+      nlist = 4, iters = 3)
+    val b = Similarity.IvfIndex.train(corpus.repartition(13), "vec_id", "embedding",
+      nlist = 4, iters = 3)
+    assert(a.length == b.length)
+    for (((ca, va), (cb, vb)) <- a.zip(b)) {
+      assert(ca == cb)
+      assert(va.sameElements(vb),
+        s"centroid $ca differs across partitionings:\n${va.toSeq}\n${vb.toSeq}")
+    }
+  }
+
   test("LSH near-dup plan: candidates join on the bucket key, never a cartesian") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val pairs = Similarity.cosineNearDupLshPairs(emb, "vec_id", "embedding",
