@@ -2599,13 +2599,12 @@ object Queries {
       .sortSmall("lang", "pack_id")
   }
 
-  val x22Sql: String = {
+  /** Shared mixture→epoch→packing tail of the pretrain-program oracles
+    * (x22/x22b); expects a CTE `keep(doc_id, lang, text)` already bound. */
+  private val pretrainTailSql: String = {
     val hx = (i: Int) =>
       s"(strpos('0123456789abcdef', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
-    s"""WITH norm AS (SELECT doc_id, lang, text, $normSql AS nt FROM documents),
-       |k AS (SELECT *, row_number() OVER (PARTITION BY md5(nt) ORDER BY doc_id) AS rn FROM norm),
-       |keep AS (SELECT doc_id, lang, text FROM k WHERE rn = 1),
-       |shares AS (
+    s"""shares AS (
        |  SELECT * FROM (VALUES ('en', 0.4), ('de', 0.2), ('fr', 0.2),
        |                        ('es', 0.1), ('zh', 0.1)) AS t(lang, share)),
        |rates AS (
@@ -2628,6 +2627,55 @@ object Queries {
        |SELECT lang, pack_id, count(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
        |FROM p GROUP BY 1, 2 ORDER BY lang, pack_id""".stripMargin
   }
+
+  val x22Sql: String =
+    s"""WITH norm AS (SELECT doc_id, lang, text, $normSql AS nt FROM documents),
+       |k AS (SELECT *, row_number() OVER (PARTITION BY md5(nt) ORDER BY doc_id) AS rn FROM norm),
+       |keep AS (SELECT doc_id, lang, text FROM k WHERE rn = 1),
+       |$pretrainTailSql""".stripMargin
+
+  /** X22b — the pretraining program with NEAR-dup dedup as stage 1: what
+    * a real pretrain corpus actually runs (exact dedup alone leaves
+    * templated near-dups in). MinHash banding → capped-bucket candidates
+    * → exact-jaccard verify → connected components → keep the min-id
+    * survivor per cluster (d2+d8+d10 semantics), then the same
+    * mixture → epoch order → 512-token packing tail as x22. The CC label
+    * table joins back on doc_id — detection/clustering/apply chain three
+    * more shuffles through the same declarative tail; nothing is
+    * collected, and the only broadcast is the 5-row rate table. */
+  def x22bPretrainNearDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).where(length(normalizeText(col("text"))) > 0)
+    val pairs = Dedup.minhashNearDup(d, "text", "doc_id", bands = 4,
+      rowsPerBand = 2, threshold = 0.2, shingleN = 2)
+    val labels = Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
+    val keep = d.join(
+      labels.where(col("id") === col("cluster_id")).select(col("id").as("doc_id")),
+      Seq("doc_id"))
+    val mixed = graft.operators.Sampling.mixture(keep, "doc_id", "lang",
+      targets = Map("en" -> 0.4, "de" -> 0.2, "fr" -> 0.2,
+        "es" -> 0.1, "zh" -> 0.1),
+      totalBudget = 200L)
+    val ordered = graft.operators.Sampling.epochShuffle(mixed, "doc_id", "ep1")
+    graft.operators.Packing.assignPacks(ordered, "lang", "__epoch_key",
+        bpeTokenCount(col("text")), budget = 512)
+      .groupBy("lang", "pack_id")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("tok_sum"))
+      .sortSmall("lang", "pack_id")
+  }
+
+  val x22bSql: String =
+    s"""WITH RECURSIVE $d2CtesSql,
+       |pairs AS (SELECT id_a, id_b FROM j WHERE jaccard >= 0.2),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT doc_id, doc_id FROM tk
+       |  UNION
+       |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+       |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |keep AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+       |  JOIN lab ON lab.id = d.doc_id AND lab.cluster_id = d.doc_id),
+       |$pretrainTailSql""".stripMargin
 
   /** X23 — overlapping token-window chunking (context windows of 64
     * tokens advancing by 48): one row per chunk with its token count and
@@ -3469,6 +3517,7 @@ object Queries {
     "x20_mixture_sample" -> x20MixtureSample,
     "x21_epoch_shuffle" -> x21EpochShuffle,
     "x22_pretrain_program" -> x22PretrainProgram,
+    "x22b_pretrain_neardup" -> x22bPretrainNearDedup,
     "x23_token_chunks" -> x23TokenChunks,
     "x24_bm25_search" -> x24Bm25Search,
     "x18_repeated_passages" -> x18RepeatedPassages,
@@ -3556,6 +3605,7 @@ object Queries {
     "x20_mixture_sample" -> x20Sql,
     "x21_epoch_shuffle" -> x21Sql,
     "x22_pretrain_program" -> x22Sql,
+    "x22b_pretrain_neardup" -> x22bSql,
     "x23_token_chunks" -> x23Sql,
     "x24_bm25_search" -> x24Sql,
     "x18_repeated_passages" -> x18Sql,
