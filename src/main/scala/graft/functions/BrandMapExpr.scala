@@ -45,16 +45,23 @@ case class BrandMapLookup(child: Expression, keys: Seq[String], values: Seq[Stri
       i += 1
     }
     if (!titleCaseFallback) return null
-    // initcap of the lowercased input: title-case the first char of each
-    // space-delimited word (matches Spark's InitCap = lower + toTitleCase)
+    // Python str.title() of the input (all reference fallbacks are
+    // `brand_str.title()`): a letter is title-cased when the PREVIOUS
+    // char is not a cased letter — so '.', digits and '8' restart a word
+    // ('my.jumia.ma' → 'My.Jumia.Ma', 'l8star' → 'L8Star'), unlike
+    // initcap's space-only word starts. Input is already lowercased, so
+    // non-word-start chars pass through. Caught by the 2,029-record
+    // jumia golden replay; the oracle fixtures feed only single-word
+    // fallback brands where both renderings agree.
     val str = lc.toString
     val sb = new java.lang.StringBuilder(str.length)
-    var prevSpace = true
+    var prevCased = false
     var j = 0
     while (j < str.length) {
       val ch = str.charAt(j)
-      sb.append(if (prevSpace) Character.toTitleCase(ch) else ch)
-      prevSpace = ch == ' '
+      sb.append(if (prevCased) ch else Character.toTitleCase(ch))
+      prevCased = Character.isUpperCase(ch) || Character.isLowerCase(ch) ||
+        Character.isTitleCase(ch)
       j += 1
     }
     UTF8String.fromString(sb.toString)

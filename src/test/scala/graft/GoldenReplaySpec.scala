@@ -157,6 +157,76 @@ class GoldenReplaySpec extends SparkSuite {
     }
   }
 
+  test("STRICT jumia golden replay: 2029 committed records reproduce through the DAG transform") {
+    // No raw Jumia scrape ships with the reference, but transform_jumia_item
+    // (dag:410-477) is invertible from its own output: every offer field is
+    // a passthrough or an idempotent cleaner (clean_price / first-decimal
+    // rating applied to a rendered double reproduce the double;
+    // normalize_brand is a fixpoint on normalized brands; title IS
+    // product_name modulo the strip the committed value already had).
+    // Reconstructing the raw item from the committed artifact and replaying
+    // OUR DagInline transform must therefore reproduce EVERY committed
+    // field on all 2,029 records — 25x the electroplanet volume, driving
+    // the brand map, 3-pattern model cascade, slug ids, clean_price and
+    // rating extraction through real marketplace titles.
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(refData)))
+    val committedSchema = StructType(Seq(
+      StructField("product_id", StringType),
+      StructField("brand", StringType),
+      StructField("model", StringType),
+      StructField("product_name", StringType),
+      StructField("specifications", MapType(StringType, StringType)),
+      StructField("offers", ArrayType(StructType(Seq(
+        StructField("source", StringType),
+        StructField("price", DoubleType),
+        StructField("currency", StringType),
+        StructField("condition", StringType),
+        StructField("rating", StringType),
+        StructField("reviews_count", StringType),
+        StructField("url", StringType),
+        StructField("scraped_at", StringType)))))))
+    val committed = spark.read.option("multiLine", "true").schema(committedSchema)
+      .json(s"$refData/processed/jumia_transformed.json")
+      .select(col("product_id"), col("brand"), col("model"), col("product_name"),
+        col("specifications"), element_at(col("offers"), 1).as("o"))
+      .collect()
+    assert(committed.length == 2029)
+
+    val committedDf = spark.read.option("multiLine", "true").schema(committedSchema)
+      .json(s"$refData/processed/jumia_transformed.json")
+    val raw = committedDf.select(
+      col("product_name").as("title"),
+      col("brand"),
+      element_at(col("offers"), 1).getField("price").cast("string").as("price"),
+      lit(null).cast("string").as("old_price"),
+      element_at(col("offers"), 1).getField("rating").as("rating"),
+      element_at(col("offers"), 1).getField("reviews_count").as("reviews_count_text"),
+      element_at(col("offers"), 1).getField("url").as("product_url"),
+      element_at(col("offers"), 1).getField("scraped_at").as("scraped_at"),
+      lit(null).cast("string").as("description"),
+      col("specifications").as("specs"))
+    val ours = Transforms.jumia(raw, "replayTs", graft.transform.CompatMode.DagInline)
+      .select(col("product_id"), col("brand"), col("model"), col("product_name"),
+        col("specifications"), element_at(col("offers"), 1).as("o"))
+      .collect().map(r => r.getAs[org.apache.spark.sql.Row]("o").getAs[String]("url") -> r).toMap
+
+    committed.foreach { want =>
+      val wo = want.getAs[org.apache.spark.sql.Row]("o")
+      val url = wo.getAs[String]("url")
+      val got = ours.getOrElse(url, fail(s"no replayed product for $url"))
+      val go = got.getAs[org.apache.spark.sql.Row]("o")
+      for (f <- Seq("product_id", "brand", "model", "product_name"))
+        assert(got.getAs[Any](f) == want.getAs[Any](f),
+          s"$url $f: got ${got.getAs[Any](f)}, committed ${want.getAs[Any](f)}")
+      assert(got.getAs[Map[String, String]]("specifications") ==
+        want.getAs[Map[String, String]]("specifications"), s"$url specs")
+      for (f <- Seq("source", "price", "currency", "condition", "rating",
+        "reviews_count", "scraped_at"))
+        assert(go.getAs[Any](f) == wo.getAs[Any](f),
+          s"$url offer.$f: got ${go.getAs[Any](f)}, committed ${wo.getAs[Any](f)}")
+    }
+  }
+
   test("committed anomaly run: deviation% and trop_haut/bas are formula fixpoints") {
     // the committed 20:19 anomaly CSV carries (price, mean, std, deviation,
     // type) per flagged offer — recomputing with OUR Z3/Z4 formulas from

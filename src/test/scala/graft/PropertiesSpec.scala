@@ -23,20 +23,34 @@ class PropertiesSpec extends SparkSuite {
   private def sample(n: Int): Seq[String] =
     Gen.listOfN(n, weird).sample.getOrElse(Seq.fill(n)("x"))
 
-  test("property: BrandMapLookup is bit-identical to the WHEN-chain + initcap formulation") {
+  test("property: BrandMapLookup is bit-identical to the WHEN-chain + py-title formulation") {
     // the native expression replaced a 22-deep CASE (codegen blowup);
     // this pins equality on adversarial strings including unicode,
-    // multi-word fallbacks, and sentinel-adjacent values
+    // multi-word/punctuated fallbacks, and sentinel-adjacent values.
+    // The fallback is Python str.title() (every reference fallback is
+    // `brand_str.title()`): title-case after any non-cased char, here as
+    // an independent per-char UDF formulation
+    val pyTitle = udf((s: String) => {
+      val sb = new StringBuilder
+      var prevCased = false
+      for (ch <- s) {
+        sb.append(if (prevCased) ch else Character.toTitleCase(ch))
+        prevCased = Character.isUpperCase(ch) || Character.isLowerCase(ch) ||
+          Character.isTitleCase(ch)
+      }
+      sb.toString
+    })
     val chainy: org.apache.spark.sql.Column = {
       val c = col("v")
       val lc = lower(trim(c))
-      val mapped = BrandMap.foldRight(initcap(lower(trim(c))): org.apache.spark.sql.Column) {
+      val mapped = BrandMap.foldRight(pyTitle(lower(trim(c))): org.apache.spark.sql.Column) {
         case ((key, canon), fb) => when(lc.contains(key), lit(canon)).otherwise(fb)
       }
       when(!isPresent(c), lit("Unknown")).otherwise(mapped)
     }
     val extra = Seq("HONOR x", "moto G", "weird brand two words", "éclair brand",
-      " spaced  words ", "galaxy\ttab", "LG", "lg", null)
+      " spaced  words ", "galaxy\ttab", "LG", "lg", "my.jumia.ma", "l8star",
+      "a-b c_d", "3com phones", null)
     val inputs = (sample(400) ++ extra).map(Option(_))
     val out = inputs.toDF("v")
       .select(normalizeBrand(col("v")).as("native"), chainy.as("chain"))
