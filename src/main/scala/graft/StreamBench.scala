@@ -50,24 +50,43 @@ object StreamBench {
     ()
   }
 
-  /** Runs both stream shapes; returns the JSON fragment for the bench line. */
+  /** Runs the stream shapes; returns the JSON fragment for the bench line. */
   def run(spark: SparkSession, sfDir: String, nBatches: Int): String = {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     val schema = events.schema
     val base = Files.createTempDirectory("graft-streambench")
     try {
-      // pre-stage every chunk (deterministic assignment, cost untimed)
-      (0 until nBatches).foreach { i =>
-        events.where(pmod(col("event_id"), lit(nBatches)) === i)
-          .coalesce(1).write.parquet(base.resolve(s"stage_$i").toString)
+      // Chunk assignment per shape: st2 (complete-mode agg) and st3
+      // (keyed dedup) are watermark-free, so deterministic modulo chunks
+      // are fine. st6's stream-stream join is watermark-DRIVEN: chunks
+      // must arrive in event-time order so each batch advances the
+      // watermark one step and evicts one step of join state — exactly a
+      // live stream's regime. Modulo chunks would spread the full time
+      // range into batch 1, jump the watermark to max, and drop every
+      // later chunk as late → a fake near-zero steady state.
+      val tsb = events.agg(min(col("ts").cast("long")), max(col("ts").cast("long")))
+        .collect()(0)
+      val (tsLo, tsHi) = (tsb.getLong(0), tsb.getLong(1))
+      def chunkPred(shape: String, i: Int) = shape match {
+        case "st6" =>
+          val span = tsHi - tsLo + 1
+          val lo = tsLo + span * i / nBatches
+          val hi = tsLo + span * (i + 1) / nBatches
+          col("ts").cast("long") >= lo && col("ts").cast("long") < hi
+        case _ => pmod(col("event_id"), lit(nBatches)) === i
       }
 
       def timeShape(shape: String): (Double, Seq[Double]) = {
+        // stage this shape's chunks (deterministic assignment, untimed)
+        (0 until nBatches).foreach { i =>
+          events.where(chunkPred(shape, i))
+            .coalesce(1).write.parquet(base.resolve(s"stage_${shape}_$i").toString)
+        }
         val watched = base.resolve(s"in_$shape")
         Files.createDirectory(watched)
         val ss = spark.newSession()
         ss.conf.set("spark.sql.shuffle.partitions", 4)
-        val stream = ss.readStream.schema(schema).parquet(watched.toString)
+        def stream = ss.readStream.schema(schema).parquet(watched.toString)
         val (df, mode) = shape match {
           case "st2" =>
             val tsNs = col("ts").cast("long")
@@ -77,6 +96,24 @@ object StreamBench {
               .agg(count(lit(1)).as("n"),
                 sum(floor(col("value") * 100)).cast("long").as("cents")),
               "complete")
+          case "st6" =>
+            // the st6 catalog shape: clicks ⋈ purchases within 30 min,
+            // both sides watermarked 1 h (two readers over one watched dir)
+            def side(tpe: String, prefix: String) = {
+              val tsNs = col("ts").cast("long")
+              val sec = (tsNs - tsNs % 1000000000L) / 1000000000L
+              stream.where(col("event_type") === tpe)
+                .select(col("user_id").as(s"${prefix}_user"),
+                  timestamp_seconds(sec).as(s"${prefix}_ts"),
+                  col("event_id").as(s"${prefix}_id"),
+                  col("value").as(s"${prefix}_value"))
+                .withWatermark(s"${prefix}_ts", "1 hour")
+            }
+            (side("click", "c").join(side("purchase", "p"),
+              col("c_user") === col("p_user") &&
+                col("p_ts") >= col("c_ts") &&
+                col("p_ts") <= col("c_ts") + expr("interval 30 minutes")),
+              "append")
           case _ =>
             (graft.streaming.EventStream.dedupKeys(
               stream.select((col("event_id") % 1000).as("k")), "k"), "append")
@@ -86,19 +123,12 @@ object StreamBench {
           .option("checkpointLocation", base.resolve(s"ckpt_$shape").toString)
           .start()
         val times = (0 until nBatches).map { i =>
-          moveParts(base.resolve(s"stage_$i"), watched, s"c$i")
+          moveParts(base.resolve(s"stage_${shape}_$i"), watched, s"c$i")
           val t0 = System.nanoTime()
           q.processAllAvailable()
           (System.nanoTime() - t0) / 1e9
         }
         q.stop()
-        // re-stage for the next shape: chunks were consumed by the move
-        (0 until nBatches).foreach { i =>
-          val stage = base.resolve(s"stage_$i")
-          rmTree(stage)
-          events.where(pmod(col("event_id"), lit(nBatches)) === i)
-            .coalesce(1).write.parquet(stage.toString)
-        }
         (times.head, times.tail)
       }
 
@@ -110,7 +140,7 @@ object StreamBench {
         f""""$shape":{"first_batch":$first%.3f,"steady_median":$median%.3f,"batches":$batches}"""
       }
 
-      s"""{${fragment("st2")},${fragment("st3")}}"""
+      s"""{${fragment("st2")},${fragment("st3")},${fragment("st6")}}"""
     } finally rmTree(base)
   }
 }
