@@ -1799,6 +1799,18 @@ object Queries {
         col("anomaly_type"))
       .sortSmall("l_partkey", "l_orderkey", "l_linenumber")
 
+  /** Round a double column the way Spark's round() does: HALF_UP on the
+    * SHORTEST-DECIMAL representation (BigDecimal.valueOf(double)), not on
+    * the binary value. DuckDB's native round() looks at the full binary
+    * expansion, so a mean whose shortest repr is exactly `.xx5` but whose
+    * double sits a hair below (e.g. 67985.135 ≈ 67985.1349999…) rounds up
+    * in Spark and down in DuckDB. VARCHAR of a DOUBLE in DuckDB is the
+    * shortest round-trip repr, so round(CAST(CAST(x AS VARCHAR) AS
+    * DECIMAL),d) reproduces Spark bit-for-bit. Caught by a generated
+    * 600k-row sample; the driver tables never landed on the boundary. */
+  private def sparkRoundSql(e: String, d: Int): String =
+    s"CAST(round(CAST(CAST($e AS VARCHAR) AS DECIMAL(38,12)), $d) AS DOUBLE)"
+
   val z3Sql: String =
     s"""WITH st AS ($zStatsSql),
        |m AS ($zMetricsSql),
@@ -1806,7 +1818,8 @@ object Queries {
        |  SELECT *, CASE WHEN std > 0 THEN abs(p - mean) / std END AS z
        |  FROM m)
        |SELECT l_partkey, l_orderkey, l_linenumber, p AS l_extendedprice,
-       |  round(mean, 2) AS mean_r, round(std, 2) AS std_r, round(z, 4) AS z_r,
+       |  ${sparkRoundSql("mean", 2)} AS mean_r, ${sparkRoundSql("std", 2)} AS std_r,
+       |  ${sparkRoundSql("z", 4)} AS z_r,
        |  CASE WHEN p > mean THEN 'trop_haut' ELSE 'trop_bas' END AS anomaly_type
        |FROM z WHERE n >= 3 AND z > 2.0
        |ORDER BY l_partkey, l_orderkey, l_linenumber""".stripMargin
@@ -2378,11 +2391,15 @@ object Queries {
 
   /** ST4 — gap-based sessionization (session_window, the streaming-native
     * windowing Spark adds beyond fixed windows; runs identically in batch,
-    * which is what the oracle verifies): per-user sessions split at ≥30
+    * which is what the oracle verifies): per-user sessions split at >30
     * idle minutes, with event counts and exact cent sums. The oracle
     * reproduces the merge rule with the classic islands technique
     * (lag + cumulative break sum) — tie rows are order-safe because a
-    * zero gap never breaks a session. */
+    * zero gap never breaks a session. Boundary semantics measured, not
+    * assumed: session_window MERGES two events exactly gap apart (windows
+    * [t,t+gap) and [t+gap,..) are adjacent and Spark coalesces touching
+    * sessions), so the oracle breaks strictly at `> 1800` — `>= 1800`
+    * disagreed on 2/4790 sessions in a 100k-event generated sample. */
   def st4SessionWindows(s: SparkSession, dir: String): DataFrame = {
     val tsNs = col("ts").cast("long")
     val sec = (tsNs - tsNs % 1000000000L) / 1000000000L
@@ -2401,7 +2418,7 @@ object Queries {
       |  SELECT user_id, CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec, value
       |  FROM events WHERE user_id % 20 = 0),
       |l AS (
-      |  SELECT *, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w >= 1800
+      |  SELECT *, CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w > 1800
       |    THEN 1 ELSE 0 END AS brk
       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)),
       |s2 AS (
