@@ -72,8 +72,29 @@ def main(sf_dir, sql_path, out_path, spark_dir=None, base_path=None,
         base = json.load(open(base_path))
     names = sorted(sql, key=lambda n: (base.get(n, 0.0), n))
 
-    partial = open(out_path + ".partial.jsonl", "a")
     results, compare, timed_out = {}, {}, []
+    # Resume: re-load any queries already banked in the partial file so a
+    # crashed run re-executes only what's missing.
+    ppath = out_path + ".partial.jsonl"
+    if os.path.exists(ppath):
+        for ln in open(ppath):
+            try:
+                rec = json.loads(ln)
+            except ValueError:
+                continue
+            results[rec["q"]] = rec["sec"]
+            if rec.get("cmp") is not None:
+                compare[rec["q"]] = rec["cmp"]
+            if rec.get("timed_out"):
+                timed_out.append(rec["q"])
+        done = set(results)
+        if done:
+            print(f"[resume] {len(done)} queries already banked, "
+                  f"{len([n for n in names if n not in done])} to run",
+                  flush=True)
+        names = [n for n in names if n not in done]
+
+    partial = open(ppath, "a")
 
     def run_one(stmt):
         """Execute, streaming the result away in chunks; returns rowcount
