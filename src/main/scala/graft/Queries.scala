@@ -2751,6 +2751,72 @@ object Queries {
        |top AS (SELECT * FROM agg ORDER BY score DESC, doc_id LIMIT 15)
        |SELECT doc_id, n_terms_hit, score FROM top ORDER BY doc_id""".stripMargin
 
+  /** X25 — token-budget data selection: greedily fill a 10k-BPE-token
+    * budget from the highest-quality documents down (x2's quality score,
+    * x3's BPE-ish token count, both recomputed in one scan pass). The
+    * defining rule is a global running sum over (quality desc, doc_id),
+    * which the oracle states literally as one window; the Spark plan is
+    * the scale-shaped histogram+cutoff+boundary decomposition
+    * ([[graft.operators.Sampling.selectByTokenBudget]]) whose one
+    * unpartitioned window sees a single score-class, not the corpus. */
+  def x25TokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val st = graft.functions.TextStats.textStats(coalesce(col("text"), lit("")))
+    // quality formula mirrors x2Quality exactly (same TextStats fields,
+    // same weights, same 4-decimal rounding) so the score values are
+    // bit-identical to the x2-verified ones
+    val chars = col("st.chars")
+    val nTok = col("st.n_tok")
+    val punctR = when(chars === 0, lit(0.0))
+      .otherwise(col("st.punct").cast("double") / chars)
+    val stopR = when(nTok === 0, lit(0.0))
+      .otherwise(col("st.stop_all").cast("double") / nTok)
+    val mwl = when(nTok === 0, lit(0.0))
+      .otherwise(col("st.tok_chars").cast("double") / nTok)
+    val lenOk = when(chars >= 200, lit(1.0))
+      .otherwise(chars.cast("double") / 200.0)
+    val quality = round(lenOk * 0.4
+      + when(punctR <= 0.2, lit(1.0)).otherwise(lit(0.0)) * 0.2
+      + when(stopR >= 0.05, lit(1.0)).otherwise(lit(0.0)) * 0.2
+      + when(mwl.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0)) * 0.2, 4)
+    val scored = docs(s, dir)
+      .select(col("doc_id"), st.as("st"), bpeTokenCount(col("text")).as("n_tokens"))
+      .select(col("doc_id"), quality.as("quality"), col("n_tokens"))
+    graft.operators.Sampling
+      .selectByTokenBudget(scored, "quality", "n_tokens", "doc_id", budget = 10000)
+      .toDF("doc_id", "quality", "n_tokens")
+      .sortSmall("doc_id")
+  }
+
+  val x25Sql: String = {
+    val allStops = sqlList(TextFunctions.StopwordsEn ++ TextFunctions.StopwordsFr ++ TextFunctions.StopwordsEs)
+    s"""WITH b AS (
+       |  SELECT doc_id, coalesce(text,'') AS s, $normSql AS nt FROM documents),
+       |m AS (
+       |  SELECT doc_id, s, length(s) AS chars,
+       |    CASE WHEN nt = '' THEN 0 ELSE len(string_split(nt, ' ')) END AS n_tok,
+       |    CASE WHEN length(s) = 0 THEN 0.0
+       |         ELSE CAST(length(regexp_replace(s, '[^!-/:-@\\[-`{-~]', '', 'g')) AS DOUBLE) / length(s) END AS punct_r,
+       |    CASE WHEN nt = '' THEN 0.0
+       |         ELSE CAST(len(list_filter(string_split(nt, ' '), x -> x IN $allStops)) AS DOUBLE) / len(string_split(nt, ' ')) END AS stop_r,
+       |    CASE WHEN nt = '' THEN 0.0
+       |         ELSE CAST(length(replace(nt, ' ', '')) AS DOUBLE) / len(string_split(nt, ' ')) END AS mwl
+       |  FROM b),
+       |q AS (
+       |  SELECT doc_id,
+       |    round((CASE WHEN chars >= 200 THEN 1.0 ELSE CAST(chars AS DOUBLE) / 200.0 END) * 0.4
+       |        + (CASE WHEN punct_r <= 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+       |        + (CASE WHEN stop_r >= 0.05 THEN 1.0 ELSE 0.0 END) * 0.2
+       |        + (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) * 0.2, 4) AS quality,
+       |    len(regexp_extract_all(s, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_tokens
+       |  FROM m),
+       |c AS (
+       |  SELECT doc_id, quality, n_tokens,
+       |    sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM q)
+       |SELECT doc_id, quality, n_tokens FROM c WHERE cum <= 10000 ORDER BY doc_id""".stripMargin
+  }
+
   /** X9 — benchmark decontamination: corpus docs whose bigram-overlap
     * fraction with any eval-set doc (every 50th doc plays the benchmark)
     * reaches 0.2. Spark intersects 62-bit gram hashes, the oracle
@@ -3388,7 +3454,13 @@ object Queries {
             java.awt.image.BufferedImage.TYPE_INT_RGB)
           img.setRGB(0, 0, (id % 0xffffff).toInt)
           baos.reset()
-          javax.imageio.ImageIO.write(img, fmt, baos)
+          // memory-cached output stream: ImageIO.write(_, _, OutputStream)
+          // otherwise spools through a temp FILE per image (see
+          // Multimodal.imageDecode for the matching read-side note)
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+          val writer = javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next()
+          try { writer.setOutput(ios); writer.write(img) }
+          finally { writer.dispose(); ios.close() }
           (id, baos.toByteArray)
         }
       }.toDF("doc_id", "payload")
@@ -3537,6 +3609,7 @@ object Queries {
     "x22b_pretrain_neardup" -> x22bPretrainNearDedup,
     "x23_token_chunks" -> x23TokenChunks,
     "x24_bm25_search" -> x24Bm25Search,
+    "x25_token_budget" -> x25TokenBudget,
     "x18_repeated_passages" -> x18RepeatedPassages,
     "x19_passage_flags" -> x19PassageFlags
   )
@@ -3625,6 +3698,7 @@ object Queries {
     "x22b_pretrain_neardup" -> x22bSql,
     "x23_token_chunks" -> x23Sql,
     "x24_bm25_search" -> x24Sql,
+    "x25_token_budget" -> x25Sql,
     "x18_repeated_passages" -> x18Sql,
     "x19_passage_flags" -> x19Sql
   )

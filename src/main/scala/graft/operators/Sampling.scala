@@ -107,4 +107,71 @@ object Sampling {
       .orderBy(md5(concat(lit("cap:"), col(idCol).cast("string"))), col(idCol))
     df.withColumn("rn", row_number().over(w)).where(col("rn") <= cap)
   }
+
+  /** Token-budget data selection: keep the highest-`scoreCol` documents,
+    * in (score desc, id asc) order, while the running `tokensCol` total
+    * stays within `budget` — the greedy quality-ranked selection every
+    * budgeted pretraining mix runs ("fill the budget from the best data
+    * down").
+    *
+    * The defining rule is a GLOBAL running sum over the quality order,
+    * but planning it as one `sum().over(Window.orderBy(score))` would
+    * funnel the whole corpus through a single window task — the classic
+    * global-window scale-killer. This plans it as histogram + cutoff +
+    * boundary refinement instead:
+    *
+    *   1. one aggregation of token sums per DISTINCT score value — the
+    *      driver sees one row per score, and scores here are 4-decimal
+    *      rounded ratios in [0,1] (x2's quality), so that is ≤ ~10⁴ rows
+    *      at ANY corpus size (same bounded-driver-state argument as the
+    *      IVF centroid loop, asserted below);
+    *   2. the driver walks the histogram score-descending to find the
+    *      boundary score: classes that fit wholly within the remaining
+    *      budget are admitted outright;
+    *   3. only rows of the single boundary score-class flow into the
+    *      exact within-class running sum (ordered by id), so the one
+    *      single-partition window in the plan sees one score-class, not
+    *      the corpus.
+    *
+    * Equivalent to the global rule because the class admission in (2) and
+    * the within-class prefix rule in (3) compose to exactly the global
+    * (score desc, id) prefix sums — verified against the one-window
+    * formulation by the x25 oracle. Returns (id, score, tokens) of the
+    * selected set. */
+  def selectByTokenBudget(df: DataFrame, scoreCol: String, tokensCol: String,
+                          idCol: String, budget: Long,
+                          maxDistinctScores: Int = 100000): DataFrame = {
+    val d = df.select(col(idCol).as("id"), col(scoreCol).as("score"),
+      col(tokensCol).cast("long").as("tokens"))
+    val hist = d.groupBy("score").agg(sum("tokens").as("t"))
+      .orderBy(desc("score")).collect()
+    require(hist.length <= maxDistinctScores,
+      s"selectByTokenBudget saw ${hist.length} distinct scores — the " +
+        "histogram is driver-resident, so quantize the score first " +
+        "(4-decimal rounding keeps it ≤ 10001)")
+    var remaining = budget
+    var cutoff = Double.NegativeInfinity // admit-all when every class fits
+    var higher = 0L                      // tokens admitted above the cutoff
+    var i = 0
+    var found = false
+    while (i < hist.length && !found) {
+      val t = hist(i).getLong(1)
+      if (t <= remaining) { remaining -= t; i += 1 }
+      else {
+        cutoff = hist(i).getDouble(0)
+        higher = budget - remaining
+        found = true
+      }
+    }
+    if (!found) return d
+    val kept = d.where(col("score") > cutoff)
+    // only the boundary class reaches the unpartitioned window
+    val w = Window.orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundary = d.where(col("score") === cutoff)
+      .withColumn("cum", sum("tokens").over(w))
+      .where(col("cum") + lit(higher) <= budget)
+      .drop("cum")
+    kept.union(boundary)
+  }
 }

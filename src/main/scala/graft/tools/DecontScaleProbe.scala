@@ -49,14 +49,19 @@ object DecontScaleProbe {
     }
 
     println(f"corpus=$total%d docs  ($sfDir)")
-    println(f"${"mod"}%6s ${"|eval|"}%8s ${"x9_sec"}%10s ${"flagged"}%8s")
+    println(f"${"mod"}%6s ${"|eval|"}%8s ${"x9_sec"}%10s ${"x9b_sec"}%10s ${"flagged"}%8s")
     mods.foreach { m =>
       val evalN = docs.where(col("doc_id") % m === 0).count()
       val (sec, rows) = time(graft.operators.Decontaminate.overlapAgainst(
         corpus = docs.where(col("doc_id") % m =!= 0),
         evalSet = docs.where(col("doc_id") % m === 0),
         textCol = "text", idCol = "doc_id", shingleN = 2, threshold = 0.2))
-      println(f"$m%6d $evalN%8d $sec%10.3f $rows%8d")
+      val (bsec, brows) = time(graft.operators.Decontaminate.overlapAgainstBloom(
+        corpus = docs.where(col("doc_id") % m =!= 0),
+        evalSet = docs.where(col("doc_id") % m === 0),
+        textCol = "text", idCol = "doc_id", shingleN = 2, threshold = 0.2))
+      require(rows == brows, s"bloom reduction lost rows at mod=$m: $rows vs $brows")
+      println(f"$m%6d $evalN%8d $sec%10.3f $bsec%10.3f $rows%8d")
     }
     spark.stop()
   }

@@ -202,4 +202,42 @@ class CurationSpec extends SparkSuite {
       Map("GRAFT_OLLAMA_URL" -> "http://h:11434/api/generate"))
     assert(real.isInstanceOf[LlmEnrich.OllamaTransport])
   }
+
+  test("token-budget selection: boundary class refined by id, whole classes admitted") {
+    import graft.operators.Sampling
+    val d = Seq((1L, 0.9, 5L), (2L, 0.9, 5L), (3L, 0.8, 4L), (4L, 0.8, 4L),
+      (5L, 0.7, 10L)).toDF("id", "score", "tokens")
+    def ids(budget: Long): Set[Long] =
+      Sampling.selectByTokenBudget(d, "score", "tokens", "id", budget)
+        .collect().map(_.getLong(0)).toSet
+    // 0.9-class (10) fits; 0.8-class (8) splits: doc3 lands at 14, doc4 at 18
+    assert(ids(15) == Set(1L, 2L, 3L))
+    // budget inside the top class: refine it directly
+    assert(ids(7) == Set(1L))
+    // boundary exactly at budget is kept (inclusive prefix rule)
+    assert(ids(14) == Set(1L, 2L, 3L))
+    // everything fits
+    assert(ids(30) == Set(1L, 2L, 3L, 4L, 5L))
+    // budget below the first doc: empty
+    assert(ids(4) == Set.empty[Long])
+  }
+
+  test("token-budget selection: decomposed plan equals the one-window global rule") {
+    import graft.operators.Sampling
+    import org.apache.spark.sql.expressions.Window
+    // pseudo-random but deterministic scores/tokens; many score ties so
+    // whole-class admission, boundary refinement, and unique scores all occur
+    val d = spark.range(0, 300, 1, 8)
+      .select(col("id"), round((pmod(hash(col("id")), lit(17)) / 16.0), 4).as("score"),
+        (pmod(hash(col("id"), lit(1)), lit(9)) + 1).cast("long").as("tokens"))
+    val budget = 400L
+    val w = Window.orderBy(desc("score"), asc("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = d.withColumn("cum", sum("tokens").over(w))
+      .where(col("cum") <= budget).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val got = Sampling.selectByTokenBudget(d, "score", "tokens", "id", budget)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == naive, s"decomposed ${got.size} vs naive ${naive.size}")
+  }
 }
