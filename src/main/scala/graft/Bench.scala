@@ -124,7 +124,7 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}"""
     println(fullLine)
     // durable full record — the stdout tail the driver keeps is only
     // 2000 chars, far smaller than the per-query map
@@ -150,6 +150,9 @@ object Bench {
     }
     // LAST stdout line, after all Spark shutdown noise: compact totals that
     // always fit the driver's tail window regardless of catalog size
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    // a bench with failed queries is a failed bench — exit nonzero so
+    // automation can't record it as a healthy round (round-6 lesson)
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

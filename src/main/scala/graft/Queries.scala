@@ -513,18 +513,29 @@ object Queries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
       |FROM events WHERE user_id % 50 = 0 ORDER BY user_id, event_id""".stripMargin
 
+  /** Epoch-seconds from the events `ts` column, robust to both physical
+    * encodings the test generator has produced: parquet timestamp[ns] read
+    * as LONG nanos (spark.sql.legacy.parquet.nanosAsLong) and
+    * timestamp[us] read as TIMESTAMP_NTZ. Both floor to whole seconds; the
+    * NTZ path converts via the pinned UTC session zone, matching DuckDB's
+    * epoch() over naive timestamps. */
+  def tsEpochSec(schema: org.apache.spark.sql.types.StructType): Column =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        val ns = col("ts")
+        (ns - ns % 1000000000L) / 1000000000L
+      case _ => col("ts").cast("timestamp").cast("long")
+    }
+
   /** §2.9 — batch equivalent of the streaming hourly windowed aggregation
     * (the same groupBy(window(...)) plan Structured Streaming runs
-    * incrementally; see graft.streaming.EventStream). The events table
-    * carries nanosecond timestamps (read as long nanos via
-    * spark.sql.legacy.parquet.nanosAsLong); the hour bucket is computed in
-    * exact integer arithmetic. */
+    * incrementally; see graft.streaming.EventStream). The hour bucket is
+    * computed in exact integer arithmetic over epoch seconds. */
   def st1HourlyEvents(s: SparkSession, dir: String): DataFrame = {
-    val tsNs = col("ts").cast("long")
-    val sec = (tsNs - tsNs % 1000000000L) / 1000000000L
+    val ev = t(s, dir, "events")
+    val sec = tsEpochSec(ev.schema)
     val hourEpoch = (sec - sec % 3600).cast("long")
-    t(s, dir, "events")
-      .groupBy(hourEpoch.as("hour_epoch"), col("event_type"))
+    ev.groupBy(hourEpoch.as("hour_epoch"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(floor(col("value") * 100)).cast("long").as("cents"))
       .sortSmall("hour_epoch", "event_type")
   }
@@ -2351,8 +2362,7 @@ object Queries {
     // glob filter selecting only the events table
     val stream = ss.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
-    val tsNs = col("ts").cast("long")
-    val sec = (tsNs - tsNs % 1000000000L) / 1000000000L
+    val sec = tsEpochSec(schema)
     val hourEpoch = (sec - sec % 3600).cast("long")
     val agg = stream
       .groupBy(hourEpoch.as("hour_epoch"), col("event_type"))
@@ -2401,10 +2411,9 @@ object Queries {
     * sessions), so the oracle breaks strictly at `> 1800` — `>= 1800`
     * disagreed on 2/4790 sessions in a 100k-event generated sample. */
   def st4SessionWindows(s: SparkSession, dir: String): DataFrame = {
-    val tsNs = col("ts").cast("long")
-    val sec = (tsNs - tsNs % 1000000000L) / 1000000000L
-    t(s, dir, "events")
-      .where(col("user_id") % 20 === 0)
+    val ev = t(s, dir, "events")
+    val sec = tsEpochSec(ev.schema)
+    ev.where(col("user_id") % 20 === 0)
       .withColumn("tsec", timestamp_seconds(sec))
       .groupBy(session_window(col("tsec"), "30 minutes").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n"), sum(floor(col("value") * 100)).cast("long").as("cents"))
@@ -2476,8 +2485,7 @@ object Queries {
     val schema = t(s, dir, "events").schema
     val ss = streamSession(s, 4)
     def side(tpe: String, prefix: String) = {
-      val tsNs = col("ts").cast("long")
-      val sec = (tsNs - tsNs % 1000000000L) / 1000000000L
+      val sec = tsEpochSec(schema)
       ss.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .where(col("event_type") === tpe)

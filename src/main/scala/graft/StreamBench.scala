@@ -64,7 +64,8 @@ object StreamBench {
       // live stream's regime. Modulo chunks would spread the full time
       // range into batch 1, jump the watermark to max, and drop every
       // later chunk as late → a fake near-zero steady state.
-      val tsb = events.agg(min(col("ts").cast("long")), max(col("ts").cast("long")))
+      val tsSec = Queries.tsEpochSec(schema)
+      val tsb = events.agg(min(tsSec).cast("long"), max(tsSec).cast("long"))
         .collect()(0)
       val (tsLo, tsHi) = (tsb.getLong(0), tsb.getLong(1))
       def chunkPred(shape: String, i: Int) = shape match {
@@ -72,7 +73,7 @@ object StreamBench {
           val span = tsHi - tsLo + 1
           val lo = tsLo + span * i / nBatches
           val hi = tsLo + span * (i + 1) / nBatches
-          col("ts").cast("long") >= lo && col("ts").cast("long") < hi
+          tsSec >= lo && tsSec < hi
         case _ => pmod(col("event_id"), lit(nBatches)) === i
       }
 
@@ -89,8 +90,7 @@ object StreamBench {
         def stream = ss.readStream.schema(schema).parquet(watched.toString)
         val (df, mode) = shape match {
           case "st2" =>
-            val tsNs = col("ts").cast("long")
-            val sec = (tsNs - tsNs % 1000000000L) / 1000000000L
+            val sec = Queries.tsEpochSec(schema)
             val hourEpoch = (sec - sec % 3600).cast("long")
             (stream.groupBy(hourEpoch.as("hour_epoch"), col("event_type"))
               .agg(count(lit(1)).as("n"),
@@ -100,8 +100,7 @@ object StreamBench {
             // the st6 catalog shape: clicks ⋈ purchases within 30 min,
             // both sides watermarked 1 h (two readers over one watched dir)
             def side(tpe: String, prefix: String) = {
-              val tsNs = col("ts").cast("long")
-              val sec = (tsNs - tsNs % 1000000000L) / 1000000000L
+              val sec = Queries.tsEpochSec(schema)
               stream.where(col("event_type") === tpe)
                 .select(col("user_id").as(s"${prefix}_user"),
                   timestamp_seconds(sec).as(s"${prefix}_ts"),

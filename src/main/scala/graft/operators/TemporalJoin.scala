@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark has no native operator for: point-in-time (as-of)
+  * and bounded-interval joins. Both are everyday operations over event
+  * streams (attach the last prior purchase to a click; pair clicks with
+  * purchases that follow within a window) that naive formulations turn
+  * into scale-killers — a θ-join on `l.key = r.key AND l.ts BETWEEN ...`
+  * plans as a broadcast-nested-loop or a per-key cartesian.
+  *
+  * The reference has no temporal operators (its scrape batches are
+  * point-in-time snapshots, `M/dags/marketeye_etl_dag.py:322-335` stamps
+  * one scraped_at per run); these are the engine-level primitives its
+  * price-history roadmap would need, built the way a 100 TB engine must:
+  *
+  *  - [[asOf]]: union both sides and run ONE window pass partitioned by
+  *    key — a single shuffle, state per row is O(1) (the running "last
+  *    right-side payload"), no join blow-up at all. This is the classic
+  *    distributed as-of formulation (sort-merge over a tagged union).
+  *  - [[interval]]: bucketize time so each right row lands in at most
+  *    ⌈window/bucket⌉+1 buckets, join on (key, bucket) — a pure equi-join
+  *    Catalyst shuffles on both sides — then filter exactly. Pair volume
+  *    is bounded by true matches + same-bucket near-misses, never |L|·|R|
+  *    per key.
+  */
+object TemporalJoin {
+
+  /** Point-in-time join: for each left row, the single most recent right
+    * row with `right.ts <= left.ts` for the same key (ties on ts resolved
+    * toward the larger `seqCol` — deterministic under any partitioning).
+    *
+    * Output = left columns + right payload columns (null when no right row
+    * precedes). One shuffle total: both sides are tagged, unioned, and
+    * scanned by a (key)-partitioned (ts, side, seq)-ordered window whose
+    * running `last(payload, ignoreNulls)` carries the newest right payload
+    * forward — right rows sort BEFORE left rows at the same ts, so an
+    * exactly-simultaneous right row is visible (ASOF `>=` semantics).
+    *
+    * 100 TB shape: one exchange per side on the join key, O(1) window
+    * state, no pair amplification; skewed keys cost the sort of their own
+    * rows, not a cross product. */
+  def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
+           seqCol: String, payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns
+    // tagged union: right rows carry the payload, left rows carry nulls.
+    // side=0 (right) sorts before side=1 (left) at equal ts.
+    val rTagged = right.select(
+      col(keyCol) +: col(tsCol) +: lit(0).as("__side") +: col(seqCol).as("__seq") +:
+        (payloadCols.map(c => col(c).as(s"__p_$c")) ++
+          leftCols.filterNot(c => c == keyCol || c == tsCol).map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    val lTagged = left.select(
+      col(keyCol) +: col(tsCol) +: lit(1).as("__side") +: col(seqCol).as("__seq") +:
+        (payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")) ++
+          leftCols.filterNot(c => c == keyCol || c == tsCol).map(col)): _*)
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(tsCol), col("__side"), col("__seq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(rTagged.unionByName(lTagged)) { (df, c) =>
+      df.withColumn(s"__c_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }
+    carried.where(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col(s"__c_$c").as(s"m_$c")): _*)
+  }
+
+  /** Bounded-interval join: all (left, right) pairs with equal key and
+    * `right.ts` in `[left.ts + lowerSec, left.ts + upperSec]` (seconds).
+    *
+    * Time is cut into `bucketSec`-wide buckets; each LEFT row's window
+    * covers at most ⌈(upper-lower)/bucket⌉+1 of them, so the left side
+    * explodes into that constant number of (key, bucket) rows and the
+    * join is a plain equi-join on (key, bucket) + an exact range filter.
+    * Choose `bucketSec >= upperSec - lowerSec` to pin the constant at 2.
+    *
+    * 100 TB shape: shuffle keys carry the bucket, so a hot key's rows
+    * spread over time buckets instead of one reducer; pair volume is
+    * matches + same-bucket near-misses, never per-key |L|·|R|. */
+  def interval(left: DataFrame, right: DataFrame, keyCol: String,
+               leftTsSec: String, rightTsSec: String,
+               lowerSec: Long, upperSec: Long, bucketSec: Long): DataFrame = {
+    require(upperSec >= lowerSec, "empty interval")
+    require(bucketSec > 0, "bucketSec must be positive")
+    val nBuckets = ((upperSec - lowerSec) / bucketSec + 2).toInt
+    val lExpl = left
+      .withColumn("__b0", floor((col(leftTsSec) + lowerSec) / bucketSec))
+      .withColumn("__bucket",
+        explode(sequence(col("__b0"), floor((col(leftTsSec) + upperSec) / bucketSec))))
+      .drop("__b0")
+    require(nBuckets <= 64, s"window/bucket ratio too large: $nBuckets")
+    val rB = right.withColumn("__bucket", floor(col(rightTsSec) / bucketSec))
+    lExpl.join(rB,
+        lExpl("__bucket") === rB("__bucket") && lExpl(keyCol) === rB(keyCol) &&
+          rB(rightTsSec) >= lExpl(leftTsSec) + lowerSec &&
+          rB(rightTsSec) <= lExpl(leftTsSec) + upperSec)
+      .drop(rB(keyCol)).drop(lExpl("__bucket")).drop(rB("__bucket"))
+  }
+}
