@@ -2525,6 +2525,80 @@ object Queries {
       |  CAST(SUM(floor(value * 100)) AS BIGINT) AS cents
       |FROM j""".stripMargin
 
+  /** E1 — as-of (point-in-time) join: each click picks up the most recent
+    * purchase at-or-before it for the same user, via
+    * [[graft.operators.TemporalJoin.asOf]] — a tagged union + ONE window
+    * pass partitioned by user, never a join blow-up. Simultaneous
+    * purchases are pre-collapsed to the max event_id so the match is
+    * uniquely defined in any engine (DuckDB's native ASOF JOIN, the
+    * oracle, cannot break exact-ts ties itself). */
+  def e1AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val sec = tsEpochSec(ev.schema).cast("long")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), sec.as("sec"))
+    val wTie = Window.partitionBy("user_id", "sec").orderBy(desc("p_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), sec.as("sec"), col("event_id"),
+        col("event_id").as("p_id"), sec.as("p_sec"),
+        floor(col("value") * 100).cast("long").as("p_cents"))
+      .withColumn("__rn", row_number().over(wTie)).where(col("__rn") === 1)
+      .drop("__rn")
+    graft.operators.TemporalJoin.asOf(clicks, purchases,
+        keyCol = "user_id", tsCol = "sec", seqCol = "event_id",
+        payloadCols = Seq("p_id", "p_sec", "p_cents"))
+      .sortSmall("event_id")
+  }
+
+  val e1Sql: String =
+    """WITH e AS (SELECT event_id, user_id,
+      |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec, event_type, value
+      |  FROM events),
+      |c AS (SELECT event_id, user_id, sec FROM e WHERE event_type = 'click'),
+      |p0 AS (SELECT user_id, sec, event_id AS p_id,
+      |    CAST(floor(value * 100) AS BIGINT) AS p_cents,
+      |    row_number() OVER (PARTITION BY user_id, sec ORDER BY event_id DESC) AS rn
+      |  FROM e WHERE event_type = 'purchase'),
+      |p AS (SELECT user_id, sec, p_id, sec AS p_sec, p_cents FROM p0 WHERE rn = 1)
+      |SELECT c.event_id, c.user_id, c.sec,
+      |  p.p_id AS m_p_id, p.p_sec AS m_p_sec, p.p_cents AS m_p_cents
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.sec >= p.sec
+      |ORDER BY c.event_id""".stripMargin
+
+  /** E2 — bounded-interval join in batch (the batch twin of st6's
+    * stream-stream join): clicks × purchases for the same user with the
+    * purchase in [click, click+30min], via
+    * [[graft.operators.TemporalJoin.interval]] — time-bucketed equi-join
+    * (bucket = window width, so each left row lands in exactly 2
+    * buckets), never a θ-join nested loop. */
+  def e2IntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val sec = tsEpochSec(ev.schema).cast("long")
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), sec.as("c_sec"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), sec.as("p_sec"),
+        floor(col("value") * 100).cast("long").as("p_cents"))
+    graft.operators.TemporalJoin.interval(clicks, purchases,
+        keyCol = "user_id", leftTsSec = "c_sec", rightTsSec = "p_sec",
+        lowerSec = 0L, upperSec = 1800L, bucketSec = 1800L)
+      .select("user_id", "c_id", "c_sec", "p_id", "p_sec", "p_cents")
+      .sortSmall("c_id", "p_id")
+  }
+
+  val e2Sql: String =
+    """WITH e AS (SELECT event_id, user_id,
+      |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS sec, event_type, value
+      |  FROM events),
+      |c AS (SELECT user_id, event_id AS c_id, sec AS c_sec FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS p_id, sec AS p_sec,
+      |    CAST(floor(value * 100) AS BIGINT) AS p_cents
+      |  FROM e WHERE event_type = 'purchase')
+      |SELECT c.user_id, c.c_id, c.c_sec, p.p_id, p.p_sec, p.p_cents
+      |FROM c JOIN p ON c.user_id = p.user_id
+      |  AND p.p_sec >= c.c_sec AND p.p_sec <= c.c_sec + 1800
+      |ORDER BY c_id, p_id""".stripMargin
+
   /** X6 — deterministic stratified hash-sampling (training-mix
     * rebalancing): per-language keep rates decided by a portable md5
     * bucket of the doc id — the same rows are sampled on every run and
@@ -3349,6 +3423,57 @@ object Queries {
        |SELECT doc_id, rank, term, tf, df, round(score, 4) AS score
        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  /** X26 — corpus-LM surprisal scoring (the CCNet-style "perplexity
+    * filter" shape: score each document under a language model and gate
+    * on the score). The LM here is the corpus's own unigram model; the
+    * per-token surprisal is quantized to INTEGER bits —
+    * bitlen(total_tokens) − bitlen(count(token)), i.e. floor-log2
+    * computed exactly on integers — because ln()/log() are not correctly
+    * rounded and differ across engines in the last ulp (see x8). Common
+    * tokens score near 0 bits, hapaxes near log2(N); a document's mean
+    * bits is high when its vocabulary is rare — the same outlier signal a
+    * real perplexity filter thresholds on.
+    *
+    * Plan shape at 100 TB: token instances never shuffle (map-side
+    * TermCounts); corpus counts are ONE partial-aggregated shuffle keyed
+    * by term; scores come back via a term-keyed shuffle join (vocabulary
+    * scales past broadcast range); the per-doc reduce is a second keyed
+    * aggregation. No driver-side state at all — the "model" stays
+    * distributed. */
+  def x26LmSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val tf = d.select(col("doc_id"),
+        explode(graft.functions.NativeTextColumns.termCounts(col("text"))).as("tc"))
+      .select(col("doc_id"), col("tc.term").as("term"), col("tc.tf").as("tf"))
+    val cnt = tf.groupBy("term").agg(sum("tf").cast("long").as("ctf"))
+    val total = cnt.agg(sum("ctf").cast("long").as("n_total"))
+    tf.join(cnt, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("bits",
+        (length(bin(col("n_total"))) - length(bin(col("ctf")))).cast("long"))
+      .groupBy("doc_id")
+      .agg(sum(col("bits") * col("tf")).cast("long").as("sum_bits"),
+        sum("tf").cast("long").as("n_tok"))
+      .withColumn("avg_bits",
+        round(col("sum_bits").cast("double") / col("n_tok"), 4))
+      .sortSmall("doc_id")
+  }
+
+  val x26Sql: String =
+    s"""WITH norm AS (SELECT doc_id, $normSql AS nt FROM documents),
+       |toks AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM norm WHERE nt <> ''),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |cnt AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS ctf FROM tf GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(ctf) AS BIGINT) AS n_total FROM cnt),
+       |sc AS (
+       |  SELECT tf.doc_id, tf.tf,
+       |    CAST(length(bin(tot.n_total)) - length(bin(cnt.ctf)) AS BIGINT) AS bits
+       |  FROM tf JOIN cnt USING (term) CROSS JOIN tot)
+       |SELECT doc_id, CAST(SUM(bits * tf) AS BIGINT) AS sum_bits,
+       |  CAST(SUM(tf) AS BIGINT) AS n_tok,
+       |  round(CAST(SUM(bits * tf) AS DOUBLE) / SUM(tf), 4) AS avg_bits
+       |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** X3 — whitespace + BPE-ish token counting. */
   def x3TokenCount(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
@@ -3619,7 +3744,10 @@ object Queries {
     "x24_bm25_search" -> x24Bm25Search,
     "x25_token_budget" -> x25TokenBudget,
     "x18_repeated_passages" -> x18RepeatedPassages,
-    "x19_passage_flags" -> x19PassageFlags
+    "x19_passage_flags" -> x19PassageFlags,
+    "x26_lm_surprisal" -> x26LmSurprisal,
+    "e1_asof_join" -> e1AsofJoin,
+    "e2_interval_join" -> e2IntervalJoin
   )
 
   val oracles: Map[String, String] = Map(
@@ -3708,6 +3836,9 @@ object Queries {
     "x24_bm25_search" -> x24Sql,
     "x25_token_budget" -> x25Sql,
     "x18_repeated_passages" -> x18Sql,
-    "x19_passage_flags" -> x19Sql
+    "x19_passage_flags" -> x19Sql,
+    "x26_lm_surprisal" -> x26Sql,
+    "e1_asof_join" -> e1Sql,
+    "e2_interval_join" -> e2Sql
   )
 }

@@ -1,0 +1,100 @@
+package graft
+
+import graft.operators.TemporalJoin
+import org.apache.spark.sql.functions._
+
+class TemporalJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  // (key, ts, seq) left clicks; (key, ts, seq, payload) right purchases
+  private def clicks(rows: (Long, Long, Long)*) =
+    rows.toDF("user_id", "sec", "event_id")
+      .select(col("event_id"), col("user_id"), col("sec"))
+  private def purchases(rows: (Long, Long, Long, Long)*) =
+    rows.toDF("user_id", "sec", "event_id", "p_cents")
+      .select(col("user_id"), col("sec"), col("event_id"),
+        col("event_id").as("p_id"), col("sec").as("p_sec"), col("p_cents"))
+
+  private def asOf(l: org.apache.spark.sql.DataFrame, r: org.apache.spark.sql.DataFrame) =
+    TemporalJoin.asOf(l, r, "user_id", "sec", "event_id",
+      Seq("p_id", "p_sec", "p_cents"))
+
+  test("asOf: picks most recent at-or-before, null when none precedes") {
+    val out = asOf(
+      clicks((1L, 100L, 10L), (1L, 50L, 11L), (2L, 100L, 12L)),
+      purchases((1L, 60L, 20L, 600L), (1L, 90L, 21L, 900L), (3L, 10L, 22L, 100L)))
+      .orderBy("event_id").collect()
+    // click@100 sees purchase@90; click@50 precedes all purchases → null
+    assert(out(0).getLong(0) == 10L && out(0).getLong(3) == 21L)
+    assert(out(1).getLong(0) == 11L && out(1).isNullAt(3))
+    // user 2 has no purchases at all
+    assert(out(2).getLong(0) == 12L && out(2).isNullAt(3))
+  }
+
+  test("asOf: a purchase at exactly the click's ts is visible (>= semantics)") {
+    val out = asOf(
+      clicks((1L, 100L, 10L)),
+      purchases((1L, 100L, 20L, 500L)))
+      .collect()
+    assert(out(0).getLong(3) == 20L)
+  }
+
+  test("asOf: simultaneous purchases resolve to the larger seq under any partitioning") {
+    val r = purchases((1L, 80L, 20L, 1L), (1L, 80L, 25L, 2L), (1L, 80L, 22L, 3L))
+    for (parts <- Seq(1, 7)) {
+      val out = asOf(clicks((1L, 100L, 10L)), r.repartition(parts)).collect()
+      assert(out(0).getLong(3) == 25L, s"parts=$parts")
+    }
+  }
+
+  test("asOf plan: one shuffle (window on key), no join operator at all") {
+    val plan = asOf(clicks((1L, 100L, 10L)), purchases((1L, 60L, 20L, 1L)))
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+  }
+
+  private def pSide(rows: (Long, Long, Long)*) =
+    rows.toDF("user_id", "p_sec", "p_id")
+
+  test("interval: inclusive bounds, cross-bucket matches, key isolation") {
+    val l = Seq((1L, 1000L, 1L), (2L, 1000L, 2L)).toDF("user_id", "c_sec", "c_id")
+    val r = pSide(
+      (1L, 1000L, 10L),  // at lower bound → match
+      (1L, 2800L, 11L),  // inside, next bucket (bucket width 1800) → match
+      (1L, 2801L, 12L),  // past upper bound 1000+1800 → no
+      (1L, 999L, 13L),   // before lower bound → no
+      (2L, 1500L, 14L))  // other key, inside its own window → match
+    val out = TemporalJoin.interval(l, r, "user_id", "c_sec", "p_sec",
+        0L, 1800L, 1800L)
+      .select("c_id", "p_id").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L), (1L, 11L), (2L, 14L)))
+  }
+
+  test("interval: no duplicate pairs when left and right share a bucket") {
+    // left explodes into 2 buckets; a right row matching from the FIRST
+    // bucket must not also pair via the second
+    val l = Seq((1L, 100L, 1L)).toDF("user_id", "c_sec", "c_id")
+    val r = pSide((1L, 200L, 10L))
+    val out = TemporalJoin.interval(l, r, "user_id", "c_sec", "p_sec",
+      0L, 1800L, 1800L).collect()
+    assert(out.length == 1)
+  }
+
+  test("interval: negative lower bound (window straddling the left ts)") {
+    val l = Seq((1L, 1000L, 1L)).toDF("user_id", "c_sec", "c_id")
+    val r = pSide((1L, 700L, 10L), (1L, 400L, 11L), (1L, 1200L, 12L))
+    val out = TemporalJoin.interval(l, r, "user_id", "c_sec", "p_sec",
+        -300L, 300L, 300L)
+      .select("p_id").as[Long].collect().toSet
+    assert(out == Set(10L, 12L))
+  }
+
+  test("interval plan: sort-merge/shuffle equi-join on (bucket, key), never a nested loop") {
+    val l = Seq((1L, 100L, 1L)).toDF("user_id", "c_sec", "c_id")
+    val r = pSide((1L, 200L, 10L))
+    val plan = TemporalJoin.interval(l, r, "user_id", "c_sec", "p_sec",
+      0L, 1800L, 1800L).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+}
