@@ -3611,6 +3611,80 @@ object Queries {
       |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** M3 — full-raster decode + nearest-neighbor resize + feature
+    * checksum through REAL codecs (the multimodal preprocessing step m2
+    * stops short of: m2 reads headers, m3 reads pixels). PNGs are
+    * generated per doc with a closed-form pixel pattern
+    * ((id + 31x + 17y) mod 2²⁴−1), encoded through the real ImageIO PNG
+    * writer, decoded back, resized 8×8 NN, and checksummed — so the
+    * oracle can recompute the EXPECTED checksum arithmetically while the
+    * engine exercises the actual encode→decode→sample path. PNG only:
+    * lossless round-trip is what makes the oracle exact (JPEG rasters
+    * are codec-approximate). Same 100 TB shape as m2: narrow
+    * mapPartitions, flat per-image cost, zero shuffle. */
+  def m3ImageResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val imgs = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .filter(_ % 2 == 0)
+      .mapPartitions { it =>
+        val baos = new java.io.ByteArrayOutputStream()
+        it.map { id =>
+          val w = 16 + (id % 16).toInt
+          val h = 16 + (id % 12).toInt
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, ((id + 31L * x + 17L * y) % 0xffffff).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          baos.reset()
+          val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+          val writer = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+          try { writer.setOutput(ios); writer.write(img) }
+          finally { writer.dispose(); ios.close() }
+          (id, baos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+    graft.operators.Multimodal.resizeFeature(imgs, tw = 8, th = 8).toDF()
+      .sortSmall("doc_id")
+  }
+
+  val m3Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(16 + doc_id % 16 AS INT) AS w,
+      |         CAST(16 + doc_id % 12 AS INT) AS h
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |g AS (SELECT CAST(i AS BIGINT) AS i FROM range(8) t(i)),
+      |px AS (
+      |  SELECT d.doc_id, d.w, d.h,
+      |    (d.doc_id + 31 * ((a.i * d.w) // 8) + 17 * ((b.i * d.h) // 8)) % 16777215 AS v
+      |  FROM d, g a, g b)
+      |SELECT doc_id, w, h, CAST(SUM(v) AS BIGINT) AS px_sum
+      |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+
+  /** S10 — JSON field extraction at the scan stage (the reference's whole
+    * ingest path is schemaless JSON field access,
+    * `M/dags/marketeye_etl_dag.py:33-59`): events.props is a JSON string;
+    * get_json_object pulls the key map-side (codegen'd path expression,
+    * no UDF), then one keyed aggregation. */
+  def s10JsonProps(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+        col("event_id"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("event_id").cast("long").as("id_sum"))
+      .sortSmall("k")
+
+  val s10Sql: String =
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  count(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** X18 — repeated verbatim passages across documents (exact-substring
     * dedup signal, Lee et al. 2022): word 4-grams in ≥3 distinct docs. */
   def x18RepeatedPassages(s: SparkSession, dir: String): DataFrame =
@@ -3747,7 +3821,9 @@ object Queries {
     "x19_passage_flags" -> x19PassageFlags,
     "x26_lm_surprisal" -> x26LmSurprisal,
     "e1_asof_join" -> e1AsofJoin,
-    "e2_interval_join" -> e2IntervalJoin
+    "e2_interval_join" -> e2IntervalJoin,
+    "m3_image_resize" -> m3ImageResize,
+    "s10_json_props" -> s10JsonProps
   )
 
   val oracles: Map[String, String] = Map(
@@ -3839,6 +3915,8 @@ object Queries {
     "x19_passage_flags" -> x19Sql,
     "x26_lm_surprisal" -> x26Sql,
     "e1_asof_join" -> e1Sql,
-    "e2_interval_join" -> e2Sql
+    "e2_interval_join" -> e2Sql,
+    "m3_image_resize" -> m3Sql,
+    "s10_json_props" -> s10Sql
   )
 }

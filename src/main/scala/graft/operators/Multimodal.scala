@@ -98,6 +98,59 @@ object Multimodal {
       .mapPartitions { it => it.map { case (id, bytes) => decodeOne(id, bytes) } }
   }
 
+  case class ResizedFeature(doc_id: Long, w: Int, h: Int, px_sum: Long)
+
+  /** Full-raster decode + nearest-neighbor resize + feature hash — the
+    * image-preprocessing step of a multimodal training pipeline (resize
+    * to model resolution, then embed/checksum). Decodes the ENTIRE
+    * raster (unlike [[imageDecode]]'s header-only path), samples a
+    * `tw`×`th` nearest-neighbor grid (target pixel (tx,ty) reads source
+    * pixel (⌊tx·w/tw⌋, ⌊ty·h/th⌋) — the standard NN convention), and
+    * reduces it to a deterministic 24-bit-RGB checksum standing in for
+    * the embed step. Narrow mapPartitions over the scan: per-image flat
+    * cost, zero shuffle, exactly the m2 decode shape with raster work.
+    * Undecodable payloads yield a (-1,-1,-1) row rather than failing the
+    * task. Lossless formats only for exactness (JPEG rasters are
+    * codec-approximate; PNG/BMP/GIF round-trip bit-exact). */
+  def resizeFeature(df: DataFrame, idCol: String = "doc_id",
+                    payloadCol: String = "payload",
+                    tw: Int = 8, th: Int = 8): Dataset[ResizedFeature] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val img = javax.imageio.ImageIO.read(iis)
+            if (img == null) ResizedFeature(id, -1, -1, -1L)
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              var sum = 0L
+              var ty = 0
+              while (ty < th) {
+                val sy = ty * h / th
+                var tx = 0
+                while (tx < tw) {
+                  sum += (img.getRGB(tx * w / tw, sy) & 0xffffff).toLong
+                  tx += 1
+                }
+                ty += 1
+              }
+              ResizedFeature(id, w, h, sum)
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => ResizedFeature(id, -1, -1, -1L)
+          } finally {
+            // ImageIO.read(ImageInputStream) closes the stream itself on
+            // success; only the failure paths leave it open
+            try iis.close() catch { case _: java.io.IOException => () }
+          }
+        }
+      }
+  }
+
   /** Column-expression twin of the stub decode (codegen'd; used by the
     * oracle-verified m1_multimodal_meta query). */
   def metaColumns(df: DataFrame, idCol: String, textCol: String): DataFrame = {

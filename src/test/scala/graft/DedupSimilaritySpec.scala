@@ -567,4 +567,21 @@ class DedupSimilaritySpec extends SparkSuite {
     for ((id, bytes) <- rows.take(3); meta = out.find(_.doc_id == id).get)
       assert(meta == Multimodal.stubDecode(id, bytes), s"doc $id not stub-decoded")
   }
+
+  test("multimodal: resizeFeature NN-samples the true raster; malformed → sentinel") {
+    // 16×8 PNG, pixel (x,y) = x + 256·y → the 8×8 NN checksum is
+    // computable by hand: target (tx,ty) reads source (⌊tx·16/8⌋, ⌊ty·8/8⌋)
+    val img = new java.awt.image.BufferedImage(16, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 16) img.setRGB(x, y, x + 256 * y)
+    val baos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "png", baos))
+    val expected = (for (ty <- 0 until 8; tx <- 0 until 8)
+      yield (tx * 16 / 8 + 256 * (ty * 8 / 8)).toLong).sum
+    val rows = Seq((1L, baos.toByteArray), (2L, "not an image".getBytes("UTF-8")))
+    val out = Multimodal.resizeFeature(rows.toDF("doc_id", "payload"))
+      .collect().sortBy(_.doc_id)
+    assert(out(0) == Multimodal.ResizedFeature(1L, 16, 8, expected))
+    assert(out(1) == Multimodal.ResizedFeature(2L, -1, -1, -1L))
+  }
 }
