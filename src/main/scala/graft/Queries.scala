@@ -2525,6 +2525,45 @@ object Queries {
       |  CAST(SUM(floor(value * 100)) AS BIGINT) AS cents
       |FROM j""".stripMargin
 
+  /** ST7 — arbitrary stateful processing through the real engine:
+    * [[graft.streaming.EventStream.priceEnvelope]]'s mapGroupsWithState
+    * (one tiny state struct per key) runs over the purchase stream keyed
+    * by user. Update mode emits a state row per key per batch; the final
+    * state per key is recovered order-insensitively (n is monotone, the
+    * envelope only widens), and last_price — the one order-dependent
+    * field — is excluded from the verified surface. The oracle is the
+    * plain batch aggregation the state fold must agree with. */
+  def st7PriceEnvelope(s: SparkSession, dir: String): DataFrame = {
+    val schema = t(s, dir, "events").schema
+    val ss = streamSession(s, 4)
+    import ss.implicits._
+    val sec = tsEpochSec(schema)
+    val stream = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id").cast("string").as("product_id"),
+        col("value").as("price"), timestamp_seconds(sec).as("ts"))
+      .as[graft.streaming.EventStream.PriceEvent]
+    val env = graft.streaming.EventStream.priceEnvelope(stream).toDF()
+    val name = s"st7_envelope_${stQueryId.incrementAndGet()}"
+    val q = env.writeStream.outputMode("update").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    ss.table(name)
+      .groupBy(col("product_id").cast("long").as("user_id"))
+      .agg(max(col("n")).cast("long").as("n"),
+        floor(min(col("min_price")) * 100).cast("long").as("min_cents"),
+        floor(max(col("max_price")) * 100).cast("long").as("max_cents"))
+      .sortSmall("user_id")
+  }
+
+  val st7Sql: String =
+    """SELECT user_id, count(*) AS n,
+      |  CAST(floor(min(value) * 100) AS BIGINT) AS min_cents,
+      |  CAST(floor(max(value) * 100) AS BIGINT) AS max_cents
+      |FROM events WHERE event_type = 'purchase'
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** E1 — as-of (point-in-time) join: each click picks up the most recent
     * purchase at-or-before it for the same user, via
     * [[graft.operators.TemporalJoin.asOf]] — a tagged union + ONE window
@@ -3823,7 +3862,8 @@ object Queries {
     "e1_asof_join" -> e1AsofJoin,
     "e2_interval_join" -> e2IntervalJoin,
     "m3_image_resize" -> m3ImageResize,
-    "s10_json_props" -> s10JsonProps
+    "s10_json_props" -> s10JsonProps,
+    "st7_price_envelope" -> st7PriceEnvelope
   )
 
   val oracles: Map[String, String] = Map(
@@ -3917,6 +3957,7 @@ object Queries {
     "e1_asof_join" -> e1Sql,
     "e2_interval_join" -> e2Sql,
     "m3_image_resize" -> m3Sql,
-    "s10_json_props" -> s10Sql
+    "s10_json_props" -> s10Sql,
+    "st7_price_envelope" -> st7Sql
   )
 }
