@@ -2638,6 +2638,37 @@ object Queries {
       |  AND p.p_sec >= c.c_sec AND p.p_sec <= c.c_sec + 1800
       |ORDER BY c_id, p_id""".stripMargin
 
+  /** E3 — dimension-band range join, the third temporal/range-join
+    * flavor: facts against a TINY band table on a non-equi predicate.
+    * The right plan here is the opposite of e2's: broadcast the bands
+    * and let each task scan them per row (BroadcastNestedLoopJoin over a
+    * 5-row build side is a constant-cost probe, and the only join Spark
+    * can use for pure inequality conditions) — bucketizing would add a
+    * shuffle for nothing. At 100 TB the fact side never moves. */
+  def e3BandJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("b0", 0.0, 20000.0), ("b1", 20000.0, 40000.0), ("b2", 40000.0, 60000.0),
+      ("b3", 60000.0, 80000.0), ("b4", 80000.0, 1.0e9))
+      .toDF("band", "lo", "hi")
+    t(s, dir, "lineitem")
+      .join(broadcast(bands),
+        col("l_extendedprice") >= col("lo") && col("l_extendedprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("l_extendedprice") * 100)).cast("long").as("cents"))
+      .sortSmall("band")
+  }
+
+  val e3Sql: String =
+    """WITH bands(band, lo, hi) AS (VALUES
+      |  ('b0', 0.0, 20000.0), ('b1', 20000.0, 40000.0), ('b2', 40000.0, 60000.0),
+      |  ('b3', 60000.0, 80000.0), ('b4', 80000.0, 1e9))
+      |SELECT band, count(*) AS n,
+      |  CAST(SUM(floor(l_extendedprice * 100)) AS BIGINT) AS cents
+      |FROM lineitem JOIN bands ON l_extendedprice >= lo AND l_extendedprice < hi
+      |GROUP BY band ORDER BY band""".stripMargin
+
   /** X6 — deterministic stratified hash-sampling (training-mix
     * rebalancing): per-language keep rates decided by a portable md5
     * bucket of the doc id — the same rows are sampled on every run and
@@ -3475,10 +3506,16 @@ object Queries {
     *
     * Plan shape at 100 TB: token instances never shuffle (map-side
     * TermCounts); corpus counts are ONE partial-aggregated shuffle keyed
-    * by term; scores come back via a term-keyed shuffle join (vocabulary
-    * scales past broadcast range); the per-doc reduce is a second keyed
+    * by term; scores come back via a term-keyed join (AQE broadcasts the
+    * count table while it measures small — it does here — and falls back
+    * to the shuffle join when the vocabulary outgrows that; both sides
+    * stay keyed on term). The per-doc reduce is a second keyed
     * aggregation. No driver-side state at all — the "model" stays
-    * distributed. */
+    * distributed. The tokenize-explode feeds both the count aggregation
+    * and the score join and is recomputed per consumer (the scan
+    * exchange is reused, plan-verified): TermCounts is a codegen'd
+    * single pass, so recomputation is deliberately preferred over
+    * materializing the doc×term stream to shuffle storage. */
   def x26LmSurprisal(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val tf = d.select(col("doc_id"),
@@ -3863,7 +3900,8 @@ object Queries {
     "e2_interval_join" -> e2IntervalJoin,
     "m3_image_resize" -> m3ImageResize,
     "s10_json_props" -> s10JsonProps,
-    "st7_price_envelope" -> st7PriceEnvelope
+    "st7_price_envelope" -> st7PriceEnvelope,
+    "e3_band_join" -> e3BandJoin
   )
 
   val oracles: Map[String, String] = Map(
@@ -3958,6 +3996,7 @@ object Queries {
     "e2_interval_join" -> e2Sql,
     "m3_image_resize" -> m3Sql,
     "s10_json_props" -> s10Sql,
-    "st7_price_envelope" -> st7Sql
+    "st7_price_envelope" -> st7Sql,
+    "e3_band_join" -> e3Sql
   )
 }

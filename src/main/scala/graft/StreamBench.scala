@@ -117,8 +117,12 @@ object StreamBench {
             (graft.streaming.EventStream.dedupKeys(
               stream.select((col("event_id") % 1000).as("k")), "k"), "append")
         }
-        val q = df.writeStream.outputMode(mode).format("memory")
-          .queryName(s"steady_$shape")
+        // noop sink: the memory sink accumulates the full append-mode
+        // result across batches, so st6's late batches paid sink-table
+        // growth on top of engine+state cost (measured: batches 7–8 ran
+        // 2× the median with memory, flat with noop). A production sink
+        // doesn't hold history; noop times what the engine pays.
+        val q = df.writeStream.outputMode(mode).format("noop")
           .option("checkpointLocation", base.resolve(s"ckpt_$shape").toString)
           .start()
         val times = (0 until nBatches).map { i =>
