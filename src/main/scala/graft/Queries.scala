@@ -3761,6 +3761,104 @@ object Queries {
       |  count(*) AS n, CAST(SUM(event_id) AS BIGINT) AS id_sum
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** M4 — video-style frame sampling: multi-frame payloads (a minimal
+    * length-prefixed container — the JDK ships no video codecs, so the
+    * container is the brief-sanctioned stub) with every REAL step
+    * exercised per sampled frame: ImageIO PNG decode + 4×4 NN sample +
+    * checksum, skipped frames costing zero decode. Frames carry a
+    * closed-form pixel pattern so the oracle recomputes the expected
+    * checksum arithmetically while the engine runs the actual
+    * encode→container→decode path. Same 100 TB shape as m2/m3: narrow
+    * mapPartitions, flat per-payload cost, zero shuffle. */
+  def m4FrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .filter(_ % 5 == 0)
+      .mapPartitions { it =>
+        val baos = new java.io.ByteArrayOutputStream()
+        it.map { id =>
+          val nf = 3 + (id % 4).toInt
+          val w = 8 + (id % 8).toInt
+          val h = 8 + (id % 6).toInt
+          val out = new java.io.ByteArrayOutputStream()
+          val dos = new java.io.DataOutputStream(out)
+          var f = 0
+          while (f < nf) {
+            val img = new java.awt.image.BufferedImage(w, h,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                img.setRGB(x, y, (((id + 7L * f + x + y) % 8) * 32 * 65793).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            baos.reset()
+            val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
+            val wr = javax.imageio.ImageIO.getImageWritersByFormatName("png").next()
+            try { wr.setOutput(ios); wr.write(img) }
+            finally { wr.dispose(); ios.close() }
+            dos.writeInt(baos.size()); baos.writeTo(dos)
+            f += 1
+          }
+          (id, out.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+    graft.operators.Multimodal.frameSample(payloads, every = 2, tw = 4, th = 4)
+      .toDF().sortSmall("doc_id")
+  }
+
+  val m4Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(3 + doc_id % 4 AS INT) AS nf,
+      |         CAST(8 + doc_id % 8 AS INT) AS w, CAST(8 + doc_id % 6 AS INT) AS h
+      |  FROM documents WHERE doc_id % 5 = 0),
+      |fr AS (SELECT CAST(f AS BIGINT) AS f FROM range(0, 6, 2) t(f)),
+      |g AS (SELECT CAST(i AS BIGINT) AS i FROM range(4) t(i)),
+      |px AS (
+      |  SELECT d.doc_id, d.nf,
+      |    ((d.doc_id + 7 * fr.f + (a.i * d.w) // 4 + (b.i * d.h) // 4) % 8) * 32 * 65793 AS v
+      |  FROM d JOIN fr ON fr.f < d.nf, g a, g b)
+      |SELECT doc_id, nf AS n_frames, CAST((nf + 1) // 2 AS INT) AS n_sampled,
+      |  CAST(SUM(v) AS BIGINT) AS px_sum
+      |FROM px GROUP BY doc_id, nf ORDER BY doc_id""".stripMargin
+
+  /** W2 — retention-cohort analysis over the event stream (the classic
+    * product-analytics rollup): cohort = a user's first signup week;
+    * activity = any event week at-or-after it; output = distinct active
+    * users per (cohort week, week offset). Two keyed aggregations and
+    * one user-keyed join — at 100 TB the cohort table is per-user (far
+    * past broadcast range) and the join shuffles on user_id, which the
+    * activity distinct already partitioned by. */
+  def w2RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val wk = floor(tsEpochSec(ev.schema).cast("long") / 604800L).cast("long")
+    val withWeek = ev.select(col("user_id"), col("event_type"), wk.as("wk"))
+    val cohort = withWeek.where(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("wk").as("cohort_wk"))
+    val activity = withWeek.select("user_id", "wk").distinct()
+    cohort.join(activity, "user_id")
+      .where(col("wk") >= col("cohort_wk"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .sortSmall("cohort_wk", "week_offset")
+  }
+
+  val w2Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type,
+      |    CAST(floor(epoch(date_trunc('second', ts)) / 604800) AS BIGINT) AS wk
+      |  FROM events),
+      |c AS (SELECT user_id, min(wk) AS cohort_wk FROM e
+      |      WHERE event_type = 'signup' GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, wk FROM e)
+      |SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_offset,
+      |  count(DISTINCT c.user_id) AS n_users
+      |FROM c JOIN a USING (user_id) WHERE a.wk >= c.cohort_wk
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** X18 — repeated verbatim passages across documents (exact-substring
     * dedup signal, Lee et al. 2022): word 4-grams in ≥3 distinct docs. */
   def x18RepeatedPassages(s: SparkSession, dir: String): DataFrame =
@@ -3901,7 +3999,9 @@ object Queries {
     "m3_image_resize" -> m3ImageResize,
     "s10_json_props" -> s10JsonProps,
     "st7_price_envelope" -> st7PriceEnvelope,
-    "e3_band_join" -> e3BandJoin
+    "e3_band_join" -> e3BandJoin,
+    "m4_frame_sample" -> m4FrameSample,
+    "w2_retention_cohorts" -> w2RetentionCohorts
   )
 
   val oracles: Map[String, String] = Map(
@@ -3997,6 +4097,8 @@ object Queries {
     "m3_image_resize" -> m3Sql,
     "s10_json_props" -> s10Sql,
     "st7_price_envelope" -> st7Sql,
-    "e3_band_join" -> e3Sql
+    "e3_band_join" -> e3Sql,
+    "m4_frame_sample" -> m4Sql,
+    "w2_retention_cohorts" -> w2Sql
   )
 }

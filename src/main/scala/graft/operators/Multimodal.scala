@@ -151,6 +151,69 @@ object Multimodal {
       }
   }
 
+  case class FrameSample(doc_id: Long, n_frames: Int, n_sampled: Int, px_sum: Long)
+
+  /** Video-style frame sampling: a multi-frame payload → every k-th
+    * frame decoded and reduced to a feature checksum. The JDK ships no
+    * video codecs (brief-sanctioned stub point), so the CONTAINER is a
+    * minimal length-prefixed concatenation of per-frame images — but
+    * each sampled frame goes through the REAL ImageIO decode + NN-sample
+    * path ([[resizeFeature]]'s core), so the expensive part of the
+    * pipeline (raster decode of sampled frames only; skipped frames cost
+    * zero decode) is exercised for real. Container format: repeated
+    * [4-byte big-endian length][image bytes]. Narrow mapPartitions,
+    * zero shuffle, cost ∝ sampled frames. Malformed containers/frames
+    * yield sentinel rows, never task failures. */
+  def frameSample(df: DataFrame, idCol: String = "doc_id",
+                  payloadCol: String = "payload",
+                  every: Int = 2, tw: Int = 4, th: Int = 4): Dataset[FrameSample] = {
+    import df.sparkSession.implicits._
+    require(every > 0, "every must be positive")
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          try {
+            val bb = java.nio.ByteBuffer.wrap(bytes)
+            var frames = List.empty[Array[Byte]]
+            while (bb.remaining() >= 4) {
+              val len = bb.getInt
+              if (len < 0 || len > bb.remaining()) throw new java.io.IOException("bad frame length")
+              val f = new Array[Byte](len)
+              bb.get(f)
+              frames ::= f
+            }
+            if (bb.remaining() != 0) throw new java.io.IOException("trailing bytes")
+            val all = frames.reverse.toArray
+            var sum = 0L
+            var sampled = 0
+            var i = 0
+            while (i < all.length) {
+              val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(all(i)))
+              try {
+                val img = javax.imageio.ImageIO.read(iis)
+                if (img == null) throw new java.io.IOException("undecodable frame")
+                val (w, h) = (img.getWidth, img.getHeight)
+                var ty = 0
+                while (ty < th) {
+                  val sy = ty * h / th
+                  var tx = 0
+                  while (tx < tw) { sum += (img.getRGB(tx * w / tw, sy) & 0xffffff).toLong; tx += 1 }
+                  ty += 1
+                }
+              } finally { try iis.close() catch { case _: java.io.IOException => () } }
+              sampled += 1
+              i += every
+            }
+            FrameSample(id, all.length, sampled, sum)
+          } catch {
+            case scala.util.control.NonFatal(_) => FrameSample(id, -1, -1, -1L)
+          }
+        }
+      }
+  }
+
   /** Column-expression twin of the stub decode (codegen'd; used by the
     * oracle-verified m1_multimodal_meta query). */
   def metaColumns(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -584,4 +584,29 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(out(0) == Multimodal.ResizedFeature(1L, 16, 8, expected))
     assert(out(1) == Multimodal.ResizedFeature(2L, -1, -1, -1L))
   }
+
+  test("multimodal: frameSample decodes every k-th frame; bad containers → sentinel") {
+    // 3 uniform-color 4×4 PNG frames; every=2 samples frames 0 and 2
+    def frame(v: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(4, 4,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, v)
+      val b = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", b))
+      b.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(out)
+    for (v <- Seq(11, 22, 33)) { val f = frame(v); dos.writeInt(f.length); dos.write(f) }
+    val rows = Seq(
+      (1L, out.toByteArray),
+      (2L, Array[Byte](0, 0, 0, 99, 1, 2)), // declared length > remaining
+      (3L, "noise".getBytes("UTF-8")))      // trailing bytes, no frame
+    val got = Multimodal.frameSample(rows.toDF("doc_id", "payload"), every = 2)
+      .collect().sortBy(_.doc_id)
+    // 4×4 source → 4×4 NN grid samples every pixel once: 16·(11+33)
+    assert(got(0) == Multimodal.FrameSample(1L, 3, 2, 16L * (11 + 33)))
+    assert(got(1) == Multimodal.FrameSample(2L, -1, -1, -1L))
+    assert(got(2) == Multimodal.FrameSample(3L, -1, -1, -1L))
+  }
 }
