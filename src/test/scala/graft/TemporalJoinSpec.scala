@@ -90,6 +90,49 @@ class TemporalJoinSpec extends SparkSuite {
     assert(out == Set(10L, 12L))
   }
 
+  test("property: asOf matches the brute-force reference on random data, any partitioning") {
+    val rnd = new scala.util.Random(42)
+    val lRows = Seq.tabulate(300)(i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(50).toLong, 1000L + i))
+    val rRows = Seq.tabulate(200)(i =>
+      (rnd.nextInt(12).toLong, rnd.nextInt(50).toLong, 2000L + i, rnd.nextInt(1000).toLong))
+    // brute force: newest right row at-or-before, ties toward larger seq
+    val expected = lRows.map { case (k, ts, id) =>
+      val m = rRows.filter(r => r._1 == k && r._2 <= ts)
+        .sortBy(r => (r._2, r._3)).lastOption
+      (id, m.map(_._3))
+    }.toMap
+    for (parts <- Seq(1, 5)) {
+      val out = asOf(
+        clicks(lRows.map { case (k, ts, id) => (k, ts, id) }: _*).repartition(parts),
+        purchases(rRows: _*).repartition(parts))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+      assert(out == expected, s"parts=$parts")
+    }
+  }
+
+  test("property: interval matches the brute-force cross-filter on random data") {
+    val rnd = new scala.util.Random(7)
+    val lRows = Seq.tabulate(250)(i =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(10000).toLong, 1000L + i))
+    val rRows = Seq.tabulate(250)(i =>
+      (rnd.nextInt(10).toLong, rnd.nextInt(10000).toLong, 2000L + i))
+    for ((lo, hi, bucket) <- Seq((0L, 1800L, 1800L), (-500L, 500L, 700L), (100L, 3000L, 1000L))) {
+      val expected = (for {
+        (lk, lts, lid) <- lRows
+        (rk, rts, rid) <- rRows
+        if lk == rk && rts >= lts + lo && rts <= lts + hi
+      } yield (lid, rid)).toSet
+      val out = TemporalJoin.interval(
+          lRows.toDF("user_id", "c_sec", "c_id"),
+          rRows.toDF("user_id", "p_sec", "p_id"),
+          "user_id", "c_sec", "p_sec", lo, hi, bucket)
+        .select("c_id", "p_id").as[(Long, Long)].collect().toSet
+      assert(out == expected, s"window=[$lo,$hi] bucket=$bucket")
+    }
+  }
+
   test("interval plan: sort-merge/shuffle equi-join on (bucket, key), never a nested loop") {
     val l = Seq((1L, 100L, 1L)).toDF("user_id", "c_sec", "c_id")
     val r = pSide((1L, 200L, 10L))
