@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output inherits this process's stdout/stderr directly instead
+// of going through sbt's logger, which prefixes every line with [info] /
+// [error] — the prefix broke downstream parsing of Bench's final JSON
+// metric line (BENCH_r0{5,6}.json "parsed": null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
