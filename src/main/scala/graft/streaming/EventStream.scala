@@ -61,6 +61,48 @@ object EventStream {
       }
   }
 
+  case class SessionAgg(key: String, n: Long, cents: Long, last_ms: Long)
+  case class SessionOut(key: String, n: Long, cents: Long)
+
+  /** Completed-session emission via flatMapGroupsWithState + EVENT-TIME
+    * TIMEOUT — the programmable sibling of session_window (st4) and the
+    * canonical custom-state streaming operator: accumulate per-key
+    * session state as events arrive; when the watermark passes the last
+    * event + `gap`, the state times out, the finished session is emitted
+    * ONCE, and its state is freed. Append-mode output = exactly-once
+    * session facts downstream. State is one small struct per active key,
+    * partitioned across executors and bounded by the timeout (an idle
+    * key's state cannot outlive watermark + gap — the property that
+    * keeps 100 TB of traffic from accreting state forever).
+    *
+    * The input must carry a watermark on `ts` (timeout firing is defined
+    * BY the watermark; without one EventTimeTimeout is rejected by the
+    * engine). */
+  def expiredSessions(events: Dataset[PriceEvent], gap: java.time.Duration): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gap.toMillis
+    events.groupByKey(_.product_id)
+      .flatMapGroupsWithState[SessionAgg, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (id: String, rows: Iterator[PriceEvent], state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(s.key, s.n, s.cents))
+          } else {
+            val prev = state.getOption.getOrElse(SessionAgg(id, 0L, 0L, 0L))
+            val next = rows.foldLeft(prev) { (st, e) =>
+              SessionAgg(id, st.n + 1,
+                st.cents + math.floor(e.price * 100).toLong,
+                math.max(st.last_ms, e.ts.getTime))
+            }
+            state.update(next)
+            state.setTimeoutTimestamp(next.last_ms + gapMs)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming exact dedup: keep the first arrival per key — one state
     * row per key, partitioned across executors. Unbounded keyspaces need
     * a watermark + dropDuplicatesWithinWatermark to bound state; for a

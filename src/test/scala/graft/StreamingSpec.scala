@@ -41,6 +41,37 @@ class StreamingSpec extends SparkSuite {
     assert(p1.getAs[Double]("last_price") == 50.0)
   }
 
+  test("expired sessions via flatMapGroupsWithState + event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(k: String, p: Double, t: String) =
+      EventStream.PriceEvent(k, p, java.sql.Timestamp.valueOf(t))
+    val mem = MemoryStream[EventStream.PriceEvent]
+    val sessions = EventStream.expiredSessions(
+      mem.toDS().withWatermark("ts", "0 seconds"),
+      gap = java.time.Duration.ofMinutes(10))
+    val q = sessions.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    try {
+      // Timeouts fire against the watermark, which advances at the END of
+      // each micro-batch — so each addData below is one controlled batch.
+      mem.addData(ev("p1", 100.0, "2026-01-01 10:00:00"),
+        ev("p1", 50.5, "2026-01-01 10:01:00"))
+      q.processAllAvailable() // wm -> 10:01; p1 timeout set for 10:11
+      mem.addData(ev("p2", 7.0, "2026-01-01 10:30:00"))
+      q.processAllAvailable() // checked against wm 10:01: p1 still open; wm -> 10:30
+      mem.addData(ev("p3", 1.0, "2026-01-01 11:00:00"))
+      q.processAllAvailable() // wm 10:30 > 10:11 -> p1 emitted; wm -> 11:00
+      mem.addData(ev("p4", 2.0, "2026-01-01 12:00:00"))
+      // wm 11:00 > 10:40 -> p2 emitted; the engine then runs a follow-up
+      // no-data batch for the wm advance to 12:00, which expires p3 too
+      q.processAllAvailable()
+      val out = spark.table("sessions").orderBy("key").collect()
+      assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq ==
+        Seq(("p1", 2L, 15050L), ("p2", 1L, 700L), ("p3", 1L, 100L)))
+      // p4's session is still open: nothing emitted for it
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join enriches facts with dimension rows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
