@@ -39,31 +39,39 @@ object TemporalJoin {
     * forward — right rows sort BEFORE left rows at the same ts, so an
     * exactly-simultaneous right row is visible (ASOF `>=` semantics).
     *
+    * All payload columns travel in ONE struct through a single
+    * `last(ignoreNulls)`, so every matched field comes from the SAME right
+    * row — a null field inside the newest right row stays null instead of
+    * resurrecting an older row's value (per-column carry would mix rows).
+    * `keyCol`/`tsCol`/`seqCol` are expected non-null on both sides; only
+    * payload fields may be null.
+    *
     * 100 TB shape: one exchange per side on the join key, O(1) window
     * state, no pair amplification; skewed keys cost the sort of their own
     * rows, not a cross product. */
   def asOf(left: DataFrame, right: DataFrame, keyCol: String, tsCol: String,
            seqCol: String, payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns
-    // tagged union: right rows carry the payload, left rows carry nulls.
-    // side=0 (right) sorts before side=1 (left) at equal ts.
+    // tagged union: right rows carry the payload struct, left rows carry a
+    // null struct. side=0 (right) sorts before side=1 (left) at equal ts.
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c)))
     val rTagged = right.select(
       col(keyCol) +: col(tsCol) +: lit(0).as("__side") +: col(seqCol).as("__seq") +:
-        (payloadCols.map(c => col(c).as(s"__p_$c")) ++
+        (struct(payloadCols.map(col): _*).as("__p") +:
           leftCols.filterNot(c => c == keyCol || c == tsCol).map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
     val lTagged = left.select(
       col(keyCol) +: col(tsCol) +: lit(1).as("__side") +: col(seqCol).as("__seq") +:
-        (payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__p_$c")) ++
+        (lit(null).cast(payloadType).as("__p") +:
           leftCols.filterNot(c => c == keyCol || c == tsCol).map(col)): _*)
     val w = Window.partitionBy(keyCol)
       .orderBy(col(tsCol), col("__side"), col("__seq"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payloadCols.foldLeft(rTagged.unionByName(lTagged)) { (df, c) =>
-      df.withColumn(s"__c_$c", last(col(s"__p_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = rTagged.unionByName(lTagged)
+      .withColumn("__c", last(col("__p"), ignoreNulls = true).over(w))
     carried.where(col("__side") === 1)
       .select(leftCols.map(col) ++
-        payloadCols.map(c => col(s"__c_$c").as(s"m_$c")): _*)
+        payloadCols.map(c => col(s"__c.$c").as(s"m_$c")): _*)
   }
 
   /** Bounded-interval join: all (left, right) pairs with equal key and

@@ -77,7 +77,16 @@ object EventStream {
     *
     * The input must carry a watermark on `ts` (timeout firing is defined
     * BY the watermark; without one EventTimeTimeout is rejected by the
-    * engine). */
+    * engine).
+    *
+    * Gap semantics match session_window (st4) even when a key receives
+    * data in consecutive batches: the timeout only fires for keys with NO
+    * data in a batch, so the data branch itself must close sessions. Each
+    * batch's events are sorted by event time and folded gap-aware — an
+    * event landing more than `gap` after the running session's last event
+    * CLOSES that session (emitted immediately, still exactly-once: append
+    * mode, state replaced) and starts a new one, instead of folding an
+    * arbitrarily long silence into one session. */
   def expiredSessions(events: Dataset[PriceEvent], gap: java.time.Duration): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gap.toMillis
@@ -90,15 +99,28 @@ object EventStream {
             state.remove()
             Iterator.single(SessionOut(s.key, s.n, s.cents))
           } else {
-            val prev = state.getOption.getOrElse(SessionAgg(id, 0L, 0L, 0L))
-            val next = rows.foldLeft(prev) { (st, e) =>
-              SessionAgg(id, st.n + 1,
-                st.cents + math.floor(e.price * 100).toLong,
-                math.max(st.last_ms, e.ts.getTime))
+            // A micro-batch delivers events in arbitrary order; gap
+            // detection needs event-time order within the batch.
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val closed = Seq.newBuilder[SessionOut]
+            val open = sorted.foldLeft(state.getOption) { (cur, e) =>
+              val ms = e.ts.getTime
+              val base = cur match {
+                case Some(st) if ms > st.last_ms + gapMs =>
+                  closed += SessionOut(st.key, st.n, st.cents)   // in-data gap
+                  SessionAgg(id, 0L, 0L, 0L)
+                case Some(st) => st
+                case None     => SessionAgg(id, 0L, 0L, 0L)
+              }
+              Some(SessionAgg(id, base.n + 1,
+                base.cents + math.floor(e.price * 100).toLong,
+                math.max(base.last_ms, ms)))
             }
-            state.update(next)
-            state.setTimeoutTimestamp(next.last_ms + gapMs)
-            Iterator.empty
+            open.foreach { st =>
+              state.update(st)
+              state.setTimeoutTimestamp(st.last_ms + gapMs)
+            }
+            closed.result().iterator
           }
       }
   }

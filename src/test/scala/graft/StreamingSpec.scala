@@ -72,6 +72,36 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("expired sessions: in-data gap closes the session instead of folding across silence") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(k: String, p: Double, t: String) =
+      EventStream.PriceEvent(k, p, java.sql.Timestamp.valueOf(t))
+    val mem = MemoryStream[EventStream.PriceEvent]
+    val sessions = EventStream.expiredSessions(
+      mem.toDS().withWatermark("ts", "0 seconds"),
+      gap = java.time.Duration.ofMinutes(10))
+    val q = sessions.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("sessions_gap").start()
+    try {
+      // Batch 1: p1 opens a session at 10:00.
+      mem.addData(ev("p1", 100.0, "2026-01-01 10:00:00"))
+      q.processAllAvailable() // wm -> 10:00; p1 timeout at 10:10
+      // Batch 2: p1 receives DATA again — but 50 min after its last event.
+      // The timeout cannot fire (the key has data), so the data branch
+      // must detect the in-data gap: close session 1, open session 2.
+      // Same batch also carries an IN-BATCH gap: 11:05 then 11:30.
+      mem.addData(ev("p1", 50.5, "2026-01-01 10:50:00"),
+        ev("p1", 1.0, "2026-01-01 11:05:00"),
+        ev("p1", 2.0, "2026-01-01 11:30:00"))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_gap").orderBy("cents").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      // Every consecutive pair is >10 min apart, so three sessions close
+      // (10:00; 10:50; 11:05) and the 11:30 one stays open in state.
+      assert(closed == Seq(("p1", 1L, 100L), ("p1", 1L, 5050L), ("p1", 1L, 10000L)))
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join enriches facts with dimension rows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]

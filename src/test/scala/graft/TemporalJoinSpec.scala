@@ -47,6 +47,21 @@ class TemporalJoinSpec extends SparkSuite {
     }
   }
 
+  test("asOf: all payload fields come from the SAME right row (null field stays null)") {
+    // Newest right row has p_cents = null; an older row has p_cents = 900.
+    // Per-column carry would resurrect 900 next to the newest row's p_id —
+    // the struct carry must keep the newest row's null.
+    val r = Seq(
+        (1L, 60L, 20L, Some(900L)),
+        (1L, 90L, 21L, None: Option[Long]))
+      .toDF("user_id", "sec", "event_id", "p_cents")
+      .select(col("user_id"), col("sec"), col("event_id"),
+        col("event_id").as("p_id"), col("sec").as("p_sec"), col("p_cents"))
+    val out = asOf(clicks((1L, 100L, 10L)), r).collect()
+    assert(out(0).getLong(3) == 21L)       // matched the newest row...
+    assert(out(0).isNullAt(5), out(0))     // ...and its p_cents is null
+  }
+
   test("asOf plan: one shuffle (window on key), no join operator at all") {
     val plan = asOf(clicks((1L, 100L, 10L)), purchases((1L, 60L, 20L, 1L)))
       .queryExecution.executedPlan.toString
