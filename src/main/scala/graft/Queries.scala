@@ -2057,6 +2057,16 @@ object Queries {
         n = 2, threshold = 0.8)
       .sortSmall("id_a", "id_b")
 
+  /** D4c — the auto-crossover entry point ([[Dedup.jaccardPairs]]) at the
+    * same production threshold: picks counting vs prefix from corpus
+    * size, so this oracle-gates whichever plan the switch selects at the
+    * verify scale (small corpus → counting; the d4b row already gates the
+    * prefix plan at equal t, so both switch arms stay lossless). */
+  def d4cJaccardAuto(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(docs(s, dir), "text", "doc_id", "lang",
+        n = 2, threshold = 0.8)
+      .sortSmall("id_a", "id_b")
+
   /** Brute-force capped-jaccard oracle at a given threshold — shared by
     * d4 (counting formulation, t=0.05) and d4b (prefix-filtered, t=0.8):
     * both Spark plans must reproduce this one definition exactly. */
@@ -3950,6 +3960,7 @@ object Queries {
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d4b_jaccard_prefix" -> d4bJaccardPrefix,
+    "d4c_jaccard_auto" -> d4cJaccardAuto,
     "d5_cosine_topk" -> d5CosineTopK,
     "d6_cosine_lsh" -> d6CosineLsh,
     "d7_embedding_neardup" -> d7EmbeddingNearDup,
@@ -4048,6 +4059,7 @@ object Queries {
     "d3_simhash" -> d3Sql,
     "d4_ngram_jaccard" -> d4Sql,
     "d4b_jaccard_prefix" -> d4bSql,
+    "d4c_jaccard_auto" -> d4bSql,
     "d5_cosine_topk" -> d5Sql,
     "d6_cosine_lsh" -> d6Sql,
     "st2_streaming_hourly" -> st1Sql,

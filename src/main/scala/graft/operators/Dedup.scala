@@ -483,6 +483,49 @@ object Dedup {
     * construction — the df cap doubles as the bucket cap), then the
     * standard SHUFFLE_HASH verify on sorted hash sets. Nothing O(corpus)
     * is broadcast or collected. */
+  /** Which exact-jaccard formulation to run, from corpus size and
+    * threshold — the measured crossover (BENCH_NOTES "d4 → d4b
+    * crossover"), not asymptotics asserted:
+    *
+    *  - counting ([[ngramJaccardPairs]]) wins small corpora (5k docs:
+    *    1.75 s vs 3.3 s at t=0.8) — the prefix path's extra exchanges
+    *    dominate before the pair stream grows. Exponent 1.46, so it
+    *    loses its lead within one decade (50k docs: 53.8 s vs 28.8 s).
+    *  - prefix ([[prefixJaccardPairs]]) is the only viable plan at scale
+    *    for t ≥ ~0.2: candidate volume scales with (1−t)·|grams|.
+    *  - below t ≈ 0.2 the prefix is ~the whole gram set and the filter's
+    *    extra joins make it strictly worse at ANY size — counting is
+    *    the honest plan there (low-threshold all-pairs jaccard is
+    *    inherently pair-bound; the maxDf cap is what bounds it).
+    *
+    * The 20k-doc default sits inside the measured 5k–50k crossover band
+    * for this corpus density; callers with much denser documents should
+    * lower it. */
+  private[graft] def jaccardPlan(nDocs: Long, threshold: Double,
+                                 countingMaxDocs: Long = 20000): String =
+    if (threshold < 0.2 || nDocs <= countingMaxDocs) "counting" else "prefix"
+
+  /** Exact n-gram Jaccard pairs with automatic plan choice — the entry
+    * point callers should use. Picks [[ngramJaccardPairs]] (counting)
+    * vs [[prefixJaccardPairs]] (All-Pairs prefix filter) per
+    * [[jaccardPlan]], so the superlinear counting plan cannot run on a
+    * large corpus by default. Both formulations are lossless at equal
+    * (threshold, maxDf), so the choice never changes the result set.
+    *
+    * @param numDocs corpus row count if the caller already knows it
+    *        (skips the counting job — on a 100 TB corpus prefer passing
+    *        catalog statistics rather than paying a count scan). */
+  def jaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                   blockCol: String, n: Int, threshold: Double,
+                   maxDf: Int = 500, countingMaxDocs: Long = 20000,
+                   numDocs: Option[Long] = None): DataFrame = {
+    val nDocs = numDocs.getOrElse(df.count())
+    jaccardPlan(nDocs, threshold, countingMaxDocs) match {
+      case "counting" => ngramJaccardPairs(df, textCol, idCol, blockCol, n, threshold, maxDf)
+      case _          => prefixJaccardPairs(df, textCol, idCol, blockCol, n, threshold, maxDf)
+    }
+  }
+
   def prefixJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                          blockCol: String, n: Int, threshold: Double,
                          maxDf: Int = 500): DataFrame = {

@@ -64,6 +64,29 @@ class DedupSimilaritySpec extends SparkSuite {
     }
   }
 
+  test("jaccardPairs auto-crossover: switch point pinned; both arms lossless") {
+    // the switch (measured crossover band 5k–50k docs, BENCH_NOTES):
+    // small corpus → counting; past countingMaxDocs → prefix; below
+    // t≈0.2 the prefix is ~the whole gram set → counting at ANY size
+    assert(Dedup.jaccardPlan(5000L, 0.8) == "counting")
+    assert(Dedup.jaccardPlan(20000L, 0.8) == "counting")   // boundary inclusive
+    assert(Dedup.jaccardPlan(20001L, 0.8) == "prefix")
+    assert(Dedup.jaccardPlan(100000000L, 0.5) == "prefix") // the 100 TB default
+    assert(Dedup.jaccardPlan(100000000L, 0.05) == "counting") // low-t degenerate
+    assert(Dedup.jaccardPlan(100L, 0.8, countingMaxDocs = 10L) == "prefix")
+    // both arms of the entry point produce the counting formulation's
+    // result set (numDocs hint forces each arm without a count job)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val expected = Dedup.ngramJaccardPairs(corpus, "text", "doc_id", "lang", 2, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (hint <- Seq(Some(1L), Some(10000000L))) {
+      val got = Dedup.jaccardPairs(corpus, "text", "doc_id", "lang", 2, 0.8,
+          numDocs = hint)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected, s"numDocs=$hint")
+    }
+  }
+
   test("incremental near-dedup: new-vs-history only, best match wins") {
     val hist = Seq(
       (2L, "the quick brown fox jumps over the lazy dog"),
