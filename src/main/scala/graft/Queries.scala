@@ -2617,9 +2617,10 @@ object Queries {
   /** E2 — bounded-interval join in batch (the batch twin of st6's
     * stream-stream join): clicks × purchases for the same user with the
     * purchase in [click, click+30min], via
-    * [[graft.operators.TemporalJoin.interval]] — time-bucketed equi-join
-    * (bucket = window width, so each left row lands in exactly 2
-    * buckets), never a θ-join nested loop. */
+    * [[graft.operators.TemporalJoin.interval]] — the auto-choosing entry
+    * point: a key-histogram sample picks the naive SMJ on uniform keys
+    * (events here) or the time-bucketed equi-join under hot-key skew;
+    * either way never a θ-join nested loop. */
   def e2IntervalJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events")
     val sec = tsEpochSec(ev.schema).cast("long")

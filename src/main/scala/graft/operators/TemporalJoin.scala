@@ -20,11 +20,12 @@ import org.apache.spark.sql.functions._
   *    key — a single shuffle, state per row is O(1) (the running "last
   *    right-side payload"), no join blow-up at all. This is the classic
   *    distributed as-of formulation (sort-merge over a tagged union).
-  *  - [[interval]]: bucketize time so each right row lands in at most
-  *    ⌈window/bucket⌉+1 buckets, join on (key, bucket) — a pure equi-join
-  *    Catalyst shuffles on both sides — then filter exactly. Pair volume
-  *    is bounded by true matches + same-bucket near-misses, never |L|·|R|
-  *    per key.
+  *  - [[intervalBucketed]]: bucketize time so each right row lands in at
+  *    most ⌈window/bucket⌉+1 buckets, join on (key, bucket) — a pure
+  *    equi-join Catalyst shuffles on both sides — then filter exactly.
+  *    Pair volume is bounded by true matches + same-bucket near-misses,
+  *    never |L|·|R| per key. [[interval]] picks it vs the naive SMJ
+  *    ([[intervalNaive]]) from a key-histogram sample.
   */
 object TemporalJoin {
 
@@ -74,6 +75,80 @@ object TemporalJoin {
         payloadCols.map(c => col(s"__c.$c").as(s"m_$c")): _*)
   }
 
+  /** Bounded-interval join with automatic plan choice — the entry point
+    * callers should use. Two lossless formulations exist with a
+    * data-dependent winner (IntervalAB, BENCH_NOTES "interval-join skew
+    * A/B"): the naive sort-merge θ-join wins uniform keys by ~1.4× (no
+    * explode, one exchange fewer), while the time-bucketed equi-join
+    * ([[intervalBucketed]]) wins a planted 30%-hot-key skew by 54× —
+    * per-key pair volume is quadratic for the SMJ and bounded by bucket
+    * co-residence for the bucketed plan.
+    *
+    * The choice is wired to a cheap key-histogram sample: each side's
+    * max-key share is estimated from a seeded `sampleFraction` sample
+    * (two small aggregation jobs at plan-construction time, O(sample)
+    * driver state), and the bucketed plan is taken iff the estimated
+    * hot-key pair count exceeds `pairBudgetPerRow` pairs per input row
+    * ([[useBucketed]]). Callers who already know their key distribution
+    * (catalog statistics, a previous run) should call
+    * [[intervalBucketed]]/[[intervalNaive]] directly and skip the
+    * sample. */
+  def interval(left: DataFrame, right: DataFrame, keyCol: String,
+               leftTsSec: String, rightTsSec: String,
+               lowerSec: Long, upperSec: Long, bucketSec: Long,
+               sampleFraction: Double = 0.02,
+               pairBudgetPerRow: Double = 8.0): DataFrame = {
+    val (shareL, nL) = keyShare(left, keyCol, sampleFraction)
+    val (shareR, nR) = keyShare(right, keyCol, sampleFraction)
+    if (useBucketed(shareL, shareR, nL, nR, pairBudgetPerRow))
+      intervalBucketed(left, right, keyCol, leftTsSec, rightTsSec,
+        lowerSec, upperSec, bucketSec)
+    else
+      intervalNaive(left, right, keyCol, leftTsSec, rightTsSec,
+        lowerSec, upperSec)
+  }
+
+  /** (estimated max-key share, estimated row count) from a seeded sample
+    * — one tiny two-row aggregation per side. */
+  private def keyShare(df: DataFrame, keyCol: String,
+                       fraction: Double): (Double, Double) = {
+    val row = df.select(col(keyCol))
+      .sample(withReplacement = false, fraction, seed = 42)
+      .groupBy(keyCol).count()
+      .agg(max(col("count")).cast("double"), sum(col("count")).cast("double"))
+      .head()
+    val mx = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+    val tot = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
+    (if (tot > 0) mx / tot else 0.0, tot / fraction)
+  }
+
+  /** Bucketed iff the hot-key pair product (share_L·|L|)·(share_R·|R|)
+    * exceeds `pairBudgetPerRow·(|L|+|R|)` — i.e. the naive SMJ's worst
+    * single key alone would stream more than a per-row budget of pairs.
+    * Uniform keys: share ≈ 1/K, product ≈ |L|·|R|/K² — tiny. A 30% hot
+    * key: 0.09·|L|·|R| — catastrophically past any linear budget. An
+    * empty/near-empty sample yields share 0 → naive (tiny inputs never
+    * need the explode). */
+  private[graft] def useBucketed(shareL: Double, shareR: Double,
+                                 nL: Double, nR: Double,
+                                 pairBudgetPerRow: Double): Boolean =
+    shareL * nL * shareR * nR > pairBudgetPerRow * (nL + nR)
+
+  /** Naive interval formulation: equality on the key, range as a join
+    * filter — Catalyst plans a sort-merge join. Σ per-key |L_k|·|R_k|
+    * pair stream: the right plan for uniform keys, quadratic on a hot
+    * key. Same output contract as [[intervalBucketed]]. */
+  def intervalNaive(left: DataFrame, right: DataFrame, keyCol: String,
+                    leftTsSec: String, rightTsSec: String,
+                    lowerSec: Long, upperSec: Long): DataFrame = {
+    require(upperSec >= lowerSec, "empty interval")
+    left.join(right,
+        left(keyCol) === right(keyCol) &&
+          right(rightTsSec) >= left(leftTsSec) + lowerSec &&
+          right(rightTsSec) <= left(leftTsSec) + upperSec)
+      .drop(right(keyCol))
+  }
+
   /** Bounded-interval join: all (left, right) pairs with equal key and
     * `right.ts` in `[left.ts + lowerSec, left.ts + upperSec]` (seconds).
     *
@@ -86,9 +161,9 @@ object TemporalJoin {
     * 100 TB shape: shuffle keys carry the bucket, so a hot key's rows
     * spread over time buckets instead of one reducer; pair volume is
     * matches + same-bucket near-misses, never per-key |L|·|R|. */
-  def interval(left: DataFrame, right: DataFrame, keyCol: String,
-               leftTsSec: String, rightTsSec: String,
-               lowerSec: Long, upperSec: Long, bucketSec: Long): DataFrame = {
+  def intervalBucketed(left: DataFrame, right: DataFrame, keyCol: String,
+                       leftTsSec: String, rightTsSec: String,
+                       lowerSec: Long, upperSec: Long, bucketSec: Long): DataFrame = {
     require(upperSec >= lowerSec, "empty interval")
     require(bucketSec > 0, "bucketSec must be positive")
     val nBuckets = ((upperSec - lowerSec) / bucketSec + 2).toInt

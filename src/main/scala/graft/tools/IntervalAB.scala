@@ -5,9 +5,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** A/B harness for the two batch interval-join formulations (bench
-  * tooling): the time-bucketed equi-join (`TemporalJoin.interval`, e2's
-  * plan) vs the naive θ-join `l.key = r.key AND r.ts BETWEEN l.ts+lo AND
-  * l.ts+hi`. The naive form is NOT a cartesian here — Catalyst plans the
+  * tooling): the time-bucketed equi-join (`TemporalJoin.intervalBucketed`)
+  * vs the naive θ-join `l.key = r.key AND r.ts BETWEEN l.ts+lo AND
+  * l.ts+hi` (`TemporalJoin.intervalNaive`); `TemporalJoin.interval`
+  * auto-picks between them from a key-histogram sample and its choice is
+  * printed per shape. The naive form is NOT a cartesian here — Catalyst plans the
   * equality as a sort-merge join and applies the range as a post-join
   * filter — so its cost is Σ per-key |L_k|·|R_k|: fine while keys are
   * uniform, quadratic on a hot key. The bucketed plan's cost follows
@@ -62,15 +64,19 @@ object IntervalAB {
     println(f"${"shape"}%10s ${"bucketed_s"}%11s ${"naive_s"}%9s ${"pairs"}%10s")
     for (skewed <- Seq(false, true)) {
       val (c, p) = sides(skewed)
-      val (bs, bRows) = time(graft.operators.TemporalJoin.interval(
+      val (bs, bRows) = time(graft.operators.TemporalJoin.intervalBucketed(
         c, p, "user_id", "c_sec", "p_sec", 0L, 1800L, 1800L))
-      val (ns, nRows) = time(
-        c.join(p, c("user_id") === p("user_id") &&
-          p("p_sec") >= c("c_sec") && p("p_sec") <= c("c_sec") + 1800L)
-          .drop(p("user_id")))
+      val (ns, nRows) = time(graft.operators.TemporalJoin.intervalNaive(
+        c, p, "user_id", "c_sec", "p_sec", 0L, 1800L))
       require(bRows == nRows, s"formulations disagree: $bRows vs $nRows")
+      // which arm would the auto entry point take here? (prints alongside
+      // the measured truth so the switch can be audited against it)
+      val autoPlan = graft.operators.TemporalJoin.interval(
+        c, p, "user_id", "c_sec", "p_sec", 0L, 1800L, 1800L)
+        .queryExecution.logical.toString
+      val chose = if (autoPlan.contains("explode")) "bucketed" else "naive"
       val label = if (skewed) f"skew=$skew%.1f" else "uniform"
-      println(f"$label%10s $bs%11.2f $ns%9.2f $bRows%10d")
+      println(f"$label%10s $bs%11.2f $ns%9.2f $bRows%10d  auto=$chose")
       c.unpersist(); p.unpersist()
     }
     spark.stop()

@@ -80,7 +80,7 @@ class TemporalJoinSpec extends SparkSuite {
       (1L, 2801L, 12L),  // past upper bound 1000+1800 → no
       (1L, 999L, 13L),   // before lower bound → no
       (2L, 1500L, 14L))  // other key, inside its own window → match
-    val out = TemporalJoin.interval(l, r, "user_id", "c_sec", "p_sec",
+    val out = TemporalJoin.intervalBucketed(l, r, "user_id", "c_sec", "p_sec",
         0L, 1800L, 1800L)
       .select("c_id", "p_id").as[(Long, Long)].collect().toSet
     assert(out == Set((1L, 10L), (1L, 11L), (2L, 14L)))
@@ -91,7 +91,7 @@ class TemporalJoinSpec extends SparkSuite {
     // bucket must not also pair via the second
     val l = Seq((1L, 100L, 1L)).toDF("user_id", "c_sec", "c_id")
     val r = pSide((1L, 200L, 10L))
-    val out = TemporalJoin.interval(l, r, "user_id", "c_sec", "p_sec",
+    val out = TemporalJoin.intervalBucketed(l, r, "user_id", "c_sec", "p_sec",
       0L, 1800L, 1800L).collect()
     assert(out.length == 1)
   }
@@ -99,7 +99,7 @@ class TemporalJoinSpec extends SparkSuite {
   test("interval: negative lower bound (window straddling the left ts)") {
     val l = Seq((1L, 1000L, 1L)).toDF("user_id", "c_sec", "c_id")
     val r = pSide((1L, 700L, 10L), (1L, 400L, 11L), (1L, 1200L, 12L))
-    val out = TemporalJoin.interval(l, r, "user_id", "c_sec", "p_sec",
+    val out = TemporalJoin.intervalBucketed(l, r, "user_id", "c_sec", "p_sec",
         -300L, 300L, 300L)
       .select("p_id").as[Long].collect().toSet
     assert(out == Set(10L, 12L))
@@ -139,7 +139,7 @@ class TemporalJoinSpec extends SparkSuite {
         (rk, rts, rid) <- rRows
         if lk == rk && rts >= lts + lo && rts <= lts + hi
       } yield (lid, rid)).toSet
-      val out = TemporalJoin.interval(
+      val out = TemporalJoin.intervalBucketed(
           lRows.toDF("user_id", "c_sec", "c_id"),
           rRows.toDF("user_id", "p_sec", "p_id"),
           "user_id", "c_sec", "p_sec", lo, hi, bucket)
@@ -151,8 +151,48 @@ class TemporalJoinSpec extends SparkSuite {
   test("interval plan: sort-merge/shuffle equi-join on (bucket, key), never a nested loop") {
     val l = Seq((1L, 100L, 1L)).toDF("user_id", "c_sec", "c_id")
     val r = pSide((1L, 200L, 10L))
-    val plan = TemporalJoin.interval(l, r, "user_id", "c_sec", "p_sec",
+    val plan = TemporalJoin.intervalBucketed(l, r, "user_id", "c_sec", "p_sec",
       0L, 1800L, 1800L).queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("interval auto: switch point pinned (hot-key pair product vs per-row budget)") {
+    // uniform keys: share ≈ 1/K → hot-key product tiny → naive SMJ
+    assert(!TemporalJoin.useBucketed(0.001, 0.001, 2e5, 2e5, 8.0))
+    // 30% hot key on both sides of a 200k-row join → bucketed (the 54× regime)
+    assert(TemporalJoin.useBucketed(0.3, 0.3, 2e5, 2e5, 8.0))
+    // one-sided 30% hot key still crosses the budget at 200k rows: the
+    // hot key meets 0.1% of the right side = 200 rows, 12M pairs — but a
+    // small join (2k rows) under the same shares stays naive
+    assert(TemporalJoin.useBucketed(0.3, 0.001, 2e5, 2e5, 8.0))
+    assert(!TemporalJoin.useBucketed(0.3, 0.001, 2e3, 2e3, 8.0))
+    // empty sample → share 0 → naive
+    assert(!TemporalJoin.useBucketed(0.0, 0.0, 0.0, 0.0, 8.0))
+  }
+
+  test("interval auto: picks each arm on the matching shape, identical results") {
+    val rnd = new scala.util.Random(11)
+    // uniform: 400 rows over 100 keys; skewed: same but 60% folded onto key 0
+    def rows(skewed: Boolean, idBase: Long) = Seq.tabulate(400) { i =>
+      val k = rnd.nextInt(100).toLong
+      (if (skewed && k < 60) 0L else k, rnd.nextInt(10000).toLong, idBase + i)
+    }
+    for (skewed <- Seq(false, true)) {
+      val lRows = rows(skewed, 1000L)
+      val rRows = rows(skewed, 2000L)
+      val l = lRows.toDF("user_id", "c_sec", "c_id")
+      val r = rRows.toDF("user_id", "p_sec", "p_id")
+      // sampleFraction=1.0 → the histogram is exact → decision deterministic
+      val auto = TemporalJoin.interval(l, r, "user_id", "c_sec", "p_sec",
+        0L, 1800L, 1800L, sampleFraction = 1.0)
+      val chosebucketed = auto.queryExecution.logical.toString.contains("explode")
+      assert(chosebucketed == skewed, s"skewed=$skewed chose wrong arm")
+      val expected = (for {
+        (lk, lts, lid) <- lRows; (rk, rts, rid) <- rRows
+        if lk == rk && rts >= lts && rts <= lts + 1800L
+      } yield (lid, rid)).toSet
+      assert(auto.select("c_id", "p_id").as[(Long, Long)].collect().toSet == expected,
+        s"skewed=$skewed")
+    }
   }
 }
