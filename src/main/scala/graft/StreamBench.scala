@@ -50,8 +50,12 @@ object StreamBench {
     ()
   }
 
-  /** Runs the stream shapes; returns the JSON fragment for the bench line. */
-  def run(spark: SparkSession, sfDir: String, nBatches: Int): String = {
+  /** Runs the stream shapes; returns the detailed JSON fragment for the
+    * bench line plus the per-shape steady-state medians (what the round
+    * artifact's compact line carries as `streaming_steady` — the restart
+    * floor in the catalog's per-query numbers would otherwise be the only
+    * streaming signal any automated gate sees). */
+  def run(spark: SparkSession, sfDir: String, nBatches: Int): (String, Map[String, Double]) = {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     val schema = events.schema
     val base = Files.createTempDirectory("graft-streambench")
@@ -135,15 +139,18 @@ object StreamBench {
         (times.head, times.tail)
       }
 
-      def fragment(shape: String): String = {
+      def fragment(shape: String): (String, Double) = {
         val (first, rest) = timeShape(shape)
         val sorted = rest.sorted
         val median = if (sorted.isEmpty) -1.0 else sorted(sorted.size / 2)
         val batches = rest.map(t => f"$t%.3f").mkString("[", ",", "]")
-        f""""$shape":{"first_batch":$first%.3f,"steady_median":$median%.3f,"batches":$batches}"""
+        (f""""$shape":{"first_batch":$first%.3f,"steady_median":$median%.3f,"batches":$batches}""",
+          median)
       }
 
-      s"""{${fragment("st2")},${fragment("st3")},${fragment("st6")}}"""
+      val shapes = Seq("st2", "st3", "st6").map(s => s -> fragment(s))
+      (shapes.map(_._2._1).mkString("{", ",", "}"),
+        shapes.map { case (s, (_, m)) => s -> m }.toMap)
     } finally rmTree(base)
   }
 }
