@@ -148,6 +148,35 @@ class StreamingSpec extends SparkSuite {
     assert(plan.contains("-T3600000ms"), s"join keys lost the watermark delay:\n$plan")
   }
 
+  test("checkpoint recovery: restart resumes state + offsets, output stays exactly-once") {
+    // The production failure mode at 100 TB: a long-running stream dies
+    // and restarts from its checkpoint. State (here: the dedup key set)
+    // and source offsets must both resume — re-delivered keys after the
+    // restart must still be dropped, and already-committed batches must
+    // not be re-emitted to the sink.
+    val in = tempDir("ckpt_in"); val out = tempDir("ckpt_out")
+    val ckpt = tempDir("ckpt_meta")
+    def writeDrop(name: String, keys: Range): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(in, name),
+        keys.map(k => s"""{"k":$k}""").mkString("\n").getBytes)
+    def start() = EventStream.dedupKeys(
+        spark.readStream.schema("k long").json(in), "k")
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt).start()
+    // run 1: two drops with overlapping keys, then stop (simulated death)
+    writeDrop("drop1.json", 1 to 5)
+    writeDrop("drop2.json", 4 to 8)   // 4,5 are dups within run 1
+    val q1 = start()
+    q1.processAllAvailable(); q1.stop()
+    // run 2 from the SAME checkpoint: re-deliver every old key + 9,10
+    writeDrop("drop3.json", 1 to 10)  // only 9,10 are new
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    // batch oracle: distinct over everything delivered = 1..10, once each
+    val got = spark.read.parquet(out).collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == (1L to 10L), s"got $got")
+  }
+
   test("streaming file source ingests scrape drops incrementally") {
     val raw = tempDir("stream_raw")
     java.nio.file.Files.write(java.nio.file.Paths.get(raw, "drop1.json"),
