@@ -112,11 +112,18 @@ object Bench {
       }
     // one untimed warmup pass (janino compilation + C2 JIT of native
     // expression evals + base-table cache materialization), then two timed
-    // passes, min per query — numbers measure the plan, not compiler warmup
-    names.foreach(n => try force(n) catch { case NonFatal(_) => () })
+    // passes, min per query — numbers measure the plan, not compiler
+    // warmup. At big scale factors (sf≥1 local runs) the multi-minute
+    // queries amortize compilation inside one execution and tripling the
+    // wall clock buys nothing: SPARK_GRAFT_PASSES=1 times a single pass,
+    // SPARK_GRAFT_WARMUP=0 skips the warmup.
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).getOrElse(2)
+    if (!sys.env.get("SPARK_GRAFT_WARMUP").contains("0"))
+      names.foreach(n => try force(n) catch { case NonFatal(_) => () })
     val pass1 = names.map(n => n -> timed(n)).toMap
     val results = names.map { n =>
-      val a = pass1(n); val b = timed(n)
+      val a = pass1(n)
+      val b = if (passes > 1) timed(n) else a
       n -> (if (a < 0 || b < 0) -1.0 else math.min(a, b))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

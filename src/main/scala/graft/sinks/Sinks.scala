@@ -122,15 +122,28 @@ object Sinks {
 
   /** Flatten product documents to the relational (products, offers) pair
     * used by the JDBC sink (dag:874-907); specifications serialized to a
-    * JSON string for parity with dag:881. */
-  def relational(merged: DataFrame): (DataFrame, DataFrame) = {
+    * JSON string for parity with dag:881.
+    *
+    * @param decimalMoney when true, money columns are typed
+    *        `DECIMAL(12,2)` (SURVEY §1.2: the reference stores prices as
+    *        Python floats and its Postgres DDL follows; a relational
+    *        consumer wants exact money). Default false — the in-pipeline
+    *        computation and the oracle hash-match path stay double (the
+    *        reference's float arithmetic, bugs preserved, is the
+    *        compatibility contract; the cast happens only at this sink
+    *        boundary). */
+  def relational(merged: DataFrame,
+                 decimalMoney: Boolean = false): (DataFrame, DataFrame) = {
+    val money = org.apache.spark.sql.types.DecimalType(12, 2)
+    def priceCol(c: org.apache.spark.sql.Column) =
+      if (decimalMoney) c.cast(money) else c
     val products = merged.select(
       col("product_id"), col("brand"), col("model"), col("product_name"),
       to_json(col("specifications")).as("specifications"),
       col("created_at"), col("last_updated").as("updated_at"))
     val offers = merged.select(col("product_id"), explode(col("offers")).as("o"))
       .select(col("product_id"), col("o.source").as("source"),
-        col("o.price").as("price"), col("o.currency").as("currency"),
+        priceCol(col("o.price")).as("price"), col("o.currency").as("currency"),
         col("o.condition").as("condition"), col("o.seller_type").as("seller_type"),
         col("o.url").as("url"), col("o.scraped_at").as("scraped_at"))
     (products, offers)

@@ -1,0 +1,171 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Invariant-based verification of the heavy dedup/curation family at
+  * scale factors where the DuckDB oracle cannot run (x22b already timed
+  * out at 900 s on sf1; sf10 is out of reach entirely). ScaleGen's
+  * documents table is a pure function of doc_id, so this checker
+  * REGENERATES the corpus and its planted dup structure in-process and
+  * audits the engine's query outputs against it — an oracle independent
+  * of the parquet under test and of the engine's hash/fingerprint path.
+  *
+  * Checks (hard assertions unless noted):
+  *  - C0 input integrity: row count and global xxhash64 text checksum of
+  *    the parquet equal the replayed corpus (proves the dir under test
+  *    IS ScaleGen output, so the planted structure is known).
+  *  - C1 exact dedup (d1): survivor count == distinct replayed texts,
+  *    computed by a plain distinct on regenerated strings — no md5
+  *    fingerprint, no window, different shuffle key than the engine.
+  *  - C2 pair soundness (d2): every reported (id_a, id_b, jaccard)
+  *    equals the true word-bigram jaccard recomputed from replayed texts
+  *    via string shingles + array_intersect — the DuckDB oracle's
+  *    formulation, not the engine's sorted int-hash merge.
+  *  - C3 planted recall (d2), reported + asserted ≥ 0.8: fraction of
+  *    planted ADJACENT EXACT pairs found (identical text ⇒ identical
+  *    signature ⇒ co-bucketed in every band; only the documented
+  *    maxBucket flood guard can drop one). Near-dup (one-token-swap)
+  *    recall is reported alongside (their ~0.93 jaccard gives each band
+  *    a ~86% match chance; 4 bands ⇒ ~99.96% expected).
+  *  - C4 cluster consistency (d8): every d2 pair is same-cluster, no
+  *    cluster label exceeds its member id (min-label semantics), and the
+  *    labeling covers every document exactly once.
+  *  - C5 manifest (d10): one survivor per d8 cluster and absorbed
+  *    counts summing to the corpus size.
+  *  - C6 lossless prefix filter (d4b/d4c at t=0.8): reported jaccard
+  *    can only UNDERSTATE the true replayed jaccard (df-capped
+  *    intersection ≤ true intersection), never exceed it.
+  *
+  * Prints one JSON line per check plus a final summary; exits nonzero on
+  * any hard failure.
+  *
+  * Usage: runMain graft.tools.ScaleCheck <sfDir>
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    System.setProperty("graft.cacheTables", "true")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", math.max(1, cpus.toInt / 2))
+      .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val failures = scala.collection.mutable.ListBuffer.empty[String]
+    def check(name: String, ok: Boolean, detail: String): Unit = {
+      println(s"""{"check":"$name","pass":$ok,"detail":"$detail"}""")
+      if (!ok) failures += name
+    }
+
+    val actual = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nDocs = actual.count()
+    val regen = spark.range(0, nDocs, 1, 64).map(id => ScaleGen.docRow(id))
+      .toDF("doc_id", "text", "lang", "source", "n_chars").cache()
+
+    // C0 — the corpus under test is exactly the replayed corpus
+    // (bit_xor: order-independent and immune to ANSI long overflow)
+    def checksum(df: DataFrame): Long =
+      df.agg(expr("bit_xor(xxhash64(doc_id, text))")).head().getLong(0)
+    val ckActual = checksum(actual)
+    val ckRegen = checksum(regen)
+    check("C0_input_integrity", ckActual == ckRegen && regen.count() == nDocs,
+      s"n=$nDocs checksum actual=$ckActual regen=$ckRegen")
+
+    // replayed truth used by several checks: word-bigram shingle sets via
+    // plain string ops (the oracle formulation, independent of the
+    // engine's native expressions)
+    def shingles(t: Column): Column = {
+      val toks = split(t, " ")
+      array_distinct(transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+    }
+    val sets = regen.select(col("doc_id"), shingles(col("text")).as("gr"))
+
+    def trueJaccard(pairs: DataFrame): DataFrame = pairs
+      .join(sets.select(col("doc_id").as("id_a"), col("gr").as("gr_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("gr").as("gr_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("gr_a"), col("gr_b"))))
+      .withColumn("true_j", round(col("inter").cast("double") /
+        (size(col("gr_a")) + size(col("gr_b")) - col("inter")), 4))
+
+    // planted adjacent pairs, split by whether the texts are truly equal
+    // (a kind-2 swap can draw the original token and degenerate to exact)
+    val adjacent = regen.select(col("doc_id").as("id_b"), col("text").as("t_b"))
+      .join(regen.select((col("doc_id") + 1).as("id_b"), col("doc_id").as("id_a"),
+        col("text").as("t_a")), "id_b")
+    val plantedKinds = spark.range(0, nDocs, 1, 64)
+      .map(id => (id.toLong, ScaleGen.docKind(id))).toDF("id_b", "kind")
+      .where(col("kind") > 0)
+    val planted = adjacent.join(plantedKinds, "id_b")
+      .withColumn("is_exact", col("t_a") === col("t_b"))
+      .select("id_a", "id_b", "is_exact").cache()
+    val nPlantedExact = planted.where(col("is_exact")).count()
+    val nPlantedNear = planted.where(!col("is_exact")).count()
+
+    def run(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
+
+    // C1 — exact dedup survivor count vs distinct replayed texts
+    val d1Rows = run("d1_dedup_exact").count()
+    val distinctTexts = regen.select("text").distinct().count()
+    check("C1_exact_dedup_count", d1Rows == distinctTexts,
+      s"survivors=$d1Rows distinct_texts=$distinctTexts " +
+        s"planted_exact=$nPlantedExact planted_near=$nPlantedNear")
+
+    // C2 + C3 — d2 soundness and planted recall
+    val d2 = run("d2_minhash_neardup").cache()
+    val d2n = d2.count()
+    val unsound = trueJaccard(d2).where(abs(col("jaccard") - col("true_j")) > 1e-9)
+    val nUnsound = unsound.count()
+    check("C2_d2_pair_soundness", nUnsound == 0,
+      s"pairs=$d2n mismatched_jaccard=$nUnsound")
+    val foundExact = d2.join(planted.where(col("is_exact")), Seq("id_a", "id_b")).count()
+    val foundNear = d2.join(planted.where(!col("is_exact")), Seq("id_a", "id_b")).count()
+    val exactRecall = if (nPlantedExact == 0) 1.0 else foundExact.toDouble / nPlantedExact
+    val nearRecall = if (nPlantedNear == 0) 1.0 else foundNear.toDouble / nPlantedNear
+    check("C3_d2_planted_recall", exactRecall >= 0.8,
+      f"exact_recall=$exactRecall%.4f ($foundExact/$nPlantedExact) " +
+        f"near_recall=$nearRecall%.4f ($foundNear/$nPlantedNear)")
+
+    // C4 — d8 clusters agree with d2 pairs
+    val d8 = run("d8_neardup_clusters").cache()
+    val labels = d8.select(col("doc_id"), col("cluster_id"))
+    val splitPairs = d2
+      .join(labels.select(col("doc_id").as("id_a"), col("cluster_id").as("c_a")), "id_a")
+      .join(labels.select(col("doc_id").as("id_b"), col("cluster_id").as("c_b")), "id_b")
+      .where(col("c_a") =!= col("c_b")).count()
+    val badLabel = d8.where(col("cluster_id") > col("doc_id")).count()
+    val d8n = d8.count()
+    val d8dup = d8n - d8.select("doc_id").distinct().count()
+    check("C4_d8_cluster_consistency",
+      splitPairs == 0 && badLabel == 0 && d8n == nDocs && d8dup == 0,
+      s"split_pairs=$splitPairs label_gt_id=$badLabel rows=$d8n dup_rows=$d8dup")
+
+    // C5 — d10 manifest
+    val d10 = run("d10_dedup_apply").cache()
+    val survivors = d10.count()
+    val clusters = d8.select("cluster_id").distinct().count()
+    val absorbed = d10.agg(sum("n_docs")).head().getLong(0)
+    check("C5_d10_manifest", survivors == clusters && absorbed == nDocs,
+      s"survivors=$survivors clusters=$clusters absorbed_sum=$absorbed n=$nDocs")
+
+    // C6 — prefix-filtered jaccard never overstates the true jaccard
+    val d4b = run("d4b_jaccard_prefix")
+    val overstated = trueJaccard(d4b).where(col("jaccard") > col("true_j") + 5e-5).count()
+    check("C6_d4b_lower_bound", overstated == 0, s"overstated=$overstated")
+
+    regen.unpersist(); d2.unpersist(); d8.unpersist(); d10.unpersist()
+    val ok = failures.isEmpty
+    println(s"""{"scalecheck":"${if (ok) "PASS" else "FAIL"}","sf_dir":"$sfDir","n_docs":$nDocs,"failed":${failures.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
+    spark.stop()
+    if (!ok) sys.exit(1)
+  }
+}

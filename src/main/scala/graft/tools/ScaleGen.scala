@@ -58,9 +58,54 @@ object ScaleGen extends Serializable {
 
   private def round2(x: Double): Double = math.round(x * 100.0) / 100.0
 
+  // ---- planted-structure replay API (ScaleCheck's independent oracle) ----
+  // Every documents row is a pure function of its id, so a checker can
+  // regenerate the corpus and its planted dup structure without reading
+  // the parquet it is auditing. These ARE the generator (main calls them).
+
+  /** The base token sequence seeded at `seedId` (before dup planting). */
+  def docTokens(seedId: Long): Array[String] = {
+    val r = rngFor(7, seedId)
+    Array.fill(10 + r.nextInt(91))(Vocab(r.nextInt(Vocab.length)))
+  }
+
+  /** 0 = fresh text, 1 = planted exact dup of id−1, 2 = planted near dup
+    * of id−1 (one token swapped — which may still land on the same token,
+    * so kind 2 does not guarantee inequality; replay the texts to know). */
+  def docKind(id: Long): Int = {
+    val roll = rngFor(8, id).nextInt(10000)
+    if (id > 0 && roll < 16) 1 else if (id > 0 && roll < 216) 2 else 0
+  }
+
+  /** The full documents row for `id`: (doc_id, text, lang, source, n_chars). */
+  def docRow(id: Long): (Long, String, String, String, Long) = {
+    val r = rngFor(8, id)
+    val roll = r.nextInt(10000)
+    val toks =
+      if (id > 0 && roll < 16) docTokens(id - 1) // exact dup of previous
+      else if (id > 0 && roll < 216) { // near dup: one token swapped
+        val t = docTokens(id - 1).clone()
+        t(r.nextInt(t.length)) = Vocab(r.nextInt(Vocab.length))
+        t
+      } else docTokens(id)
+    val lang = {
+      val p = rngFor(9, id).nextInt(1000)
+      if (p < 412) "en" else if (p < 562) "zh" else if (p < 712) "es"
+      else if (p < 861) "fr" else "de"
+    }
+    val text = toks.mkString(" ")
+    (id, text, lang, s"src${rngFor(10, id).nextInt(20)}", text.length.toLong)
+  }
+
   def main(args: Array[String]): Unit = {
     val outDir = if (args.nonEmpty) args(0) else "/tmp/graft_sf1"
     val sf = if (args.length > 1) args(1).toDouble else 1.0
+    // optional third arg: comma-separated table names — generate only
+    // those (the sf10 heavy-dedup runs need just `documents`; a 60M-row
+    // lineitem would be generated and never read)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scalegen")
@@ -98,21 +143,21 @@ object ScaleGen extends Serializable {
     }
 
     // region + nation are fixed-size: copy the driver's verbatim
-    for (t <- Seq("region", "nation"))
+    for (t <- Seq("region", "nation") if wanted(t))
       write(spark.read.parquet(s"/root/testdata/sf0.1/$t.parquet"), t)
 
-    write(spark.range(0, nCustomer, 1, par).map { id =>
+    if (wanted("customer")) write(spark.range(0, nCustomer, 1, par).map { id =>
       val r = rngFor(1, id)
       (id, f"Customer#$id%09d", r.nextInt(25), round2(-1000.0 + r.nextDouble() * 11000.0),
         Segments(r.nextInt(5)))
     }.toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"), "customer")
 
-    write(spark.range(0, nSupplier, 1, par).map { id =>
+    if (wanted("supplier")) write(spark.range(0, nSupplier, 1, par).map { id =>
       val r = rngFor(2, id)
       (id, f"Supplier#$id%09d", r.nextInt(25), round2(-1000.0 + r.nextDouble() * 11000.0))
     }.toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal"), "supplier")
 
-    write(spark.range(0, nPart, 1, par).map { id =>
+    if (wanted("part")) write(spark.range(0, nPart, 1, par).map { id =>
       val r = rngFor(3, id)
       (id, s"${PartAdjs(r.nextInt(PartAdjs.length))} ${PartNouns(r.nextInt(PartNouns.length))}",
         s"Brand#${r.nextInt(25)}", PartTypes(r.nextInt(PartTypes.length)),
@@ -122,7 +167,7 @@ object ScaleGen extends Serializable {
     val epoch1995 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00").getTime
     val orderSpanDays = 2404 // 1995-01-01 .. 2001-08-01, as at sf0.1
 
-    write(spark.range(0, nOrders, 1, par).map { id =>
+    if (wanted("orders")) write(spark.range(0, nOrders, 1, par).map { id =>
       val r = rngFor(4, id)
       (id, math.abs(r.nextLong()) % nCustomer, "FOP".charAt(r.nextInt(3)).toString,
         round2(1000.0 + r.nextDouble() * 499000.0),
@@ -132,7 +177,7 @@ object ScaleGen extends Serializable {
       "o_orderpriority"), "orders")
 
     // lineitem: 1..7 lines per order (avg ~4), FKs within the scaled dims
-    write(spark.range(0, nOrders, 1, par).flatMap { id =>
+    if (wanted("lineitem")) write(spark.range(0, nOrders, 1, par).flatMap { id =>
       val r = rngFor(5, id)
       // replay orders' draw sequence so l_shipdate really follows THIS
       // order's o_orderdate (custkey, status, totalprice drawn first)
@@ -156,7 +201,7 @@ object ScaleGen extends Serializable {
     // BIGINT (re-typed to parquet timestamp[ns] by scripts/make_scale.py)
     val evBase = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000000L
     val evSpanNs = 30L * 86400L * 1000000000L
-    write(spark.range(0, nEvents, 1, par).map { id =>
+    if (wanted("events")) write(spark.range(0, nEvents, 1, par).map { id =>
       val r = rngFor(6, id)
       (id, evBase + math.abs(r.nextLong()) % evSpanNs, math.abs(r.nextLong()) % nUsers,
         EventTypes(r.nextInt(5)), round2(r.nextDouble() * 561.0),
@@ -166,29 +211,10 @@ object ScaleGen extends Serializable {
     // documents: fresh word-salad over the driver's 31-word vocabulary,
     // 10..100 tokens; ~2% near-dup of the previous doc (one token swapped)
     // and ~0.16% exact dup — the adjacent-id seed keeps families intact
-    // at every sf without cross-family contamination
-    def docText(seedId: Long): Array[String] = {
-      val r = rngFor(7, seedId)
-      Array.fill(10 + r.nextInt(91))(Vocab(r.nextInt(Vocab.length)))
-    }
-    write(spark.range(0, nDocs, 1, par).map { id =>
-      val r = rngFor(8, id)
-      val roll = r.nextInt(10000)
-      val toks =
-        if (id > 0 && roll < 16) docText(id - 1) // exact dup of previous
-        else if (id > 0 && roll < 216) { // near dup: one token swapped
-          val t = docText(id - 1).clone()
-          t(r.nextInt(t.length)) = Vocab(r.nextInt(Vocab.length))
-          t
-        } else docText(id)
-      val lang = {
-        val p = rngFor(9, id).nextInt(1000)
-        if (p < 412) "en" else if (p < 562) "zh" else if (p < 712) "es"
-        else if (p < 861) "fr" else "de"
-      }
-      val text = toks.mkString(" ")
-      (id, text, lang, s"src${rngFor(10, id).nextInt(20)}", text.length.toLong)
-    }.toDF("doc_id", "text", "lang", "source", "n_chars"), "documents")
+    // at every sf without cross-family contamination. Row generation
+    // lives in [[docRow]] so ScaleCheck replays the identical corpus.
+    if (wanted("documents")) write(spark.range(0, nDocs, 1, par).map(id => docRow(id))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"), "documents")
 
     // embeddings: 10 labeled Gaussian clusters in dim 64 (center scale
     // ~0.3, noise 0.1, matching sf0.1 magnitudes); ~2% planted near-dups
@@ -203,7 +229,7 @@ object ScaleGen extends Serializable {
       val label = r.nextInt(10)
       (label, centers(label).map(c => c + (r.nextGaussian() * 0.1).toFloat))
     }
-    write(spark.range(0, nVecs, 1, par).map { id =>
+    if (wanted("embeddings")) write(spark.range(0, nVecs, 1, par).map { id =>
       val r = rngFor(13, id)
       val (label, vec) =
         if (id > 0 && r.nextInt(10000) < 200) {

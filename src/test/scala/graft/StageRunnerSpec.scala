@@ -73,6 +73,28 @@ class StageRunnerSpec extends SparkSuite {
     assert(Files.list(Paths.get(out, "relational", "offers")).count() > 0)
   }
 
+  test("decimal money view: DECIMAL(12,2) offers through the JDBC sink, doubles by default") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val merged = spark.sql(
+      """SELECT 'p1' AS product_id, 'Samsung' AS brand, 's24' AS model,
+        |  'Galaxy S24' AS product_name, named_struct('Stockage', '512 Go') AS specifications,
+        |  '2026-01-01' AS created_at, '2026-01-01' AS last_updated,
+        |  array(named_struct('source', 'jumia', 'price', 13.875D, 'currency', 'MAD',
+        |    'condition', 'new', 'seller_type', 's', 'url', 'u', 'scraped_at', 't')) AS offers""".stripMargin)
+    // default: the hash-match double path is untouched
+    val (_, offersDbl) = graft.sinks.Sinks.relational(merged)
+    assert(offersDbl.schema("price").dataType == DoubleType)
+    // decimal view: exact money at the sink boundary
+    val (_, offersDec) = graft.sinks.Sinks.relational(merged, decimalMoney = true)
+    assert(offersDec.schema("price").dataType == DecimalType(12, 2))
+    val url = s"jdbc:derby:${tempDir("sr_decdb")}/money;create=true"
+    offersDec.write.mode(org.apache.spark.sql.SaveMode.Overwrite).jdbc(url, "offers_dec", new java.util.Properties())
+    val back = spark.read.jdbc(url, "offers_dec", new java.util.Properties())
+    assert(back.schema("price").dataType == DecimalType(12, 2), back.schema("price").dataType)
+    assert(back.select(col("price").cast("string")).head().getString(0) == "13.88") // half-up at 2dp
+  }
+
   test("S7 contract: mongo write spec mirrors the reference's truncate+insert+indexes") {
     import graft.sinks.Sinks
     val spec = Sinks.mongoWriteSpec("mongodb://admin@mongodb:27017", "marketeye", "products")
