@@ -845,20 +845,25 @@ object Queries {
       |              THEN 'Unknown'
       |              ELSE upper(trim(regexp_replace(regexp_replace(model,'[^\p{L}\p{N}_\s]+',' ','g'),'\s+',' ','g'))) END)
       |      ELSE NULL END AS from_field,
-      |    regexp_replace(replace(upper(coalesce(title,'')), upper(coalesce(brand,' ')), ' '), '[^A-Z0-9 ]+', ' ', 'g') AS tnb
+      |    CASE WHEN coalesce(brand,'') = 'Unknown' THEN upper(coalesce(title,''))
+      |         ELSE replace(upper(coalesce(title,'')), upper(coalesce(brand,' ')), '') END AS tnb
       |  FROM r),
       |c AS (
-      |  SELECT p_partkey, title, from_field,
-      |    coalesce(
-      |      nullif(trim(regexp_extract(tnb, '[A-Z]+ ?[0-9]+[A-Z0-9 ]*', 0)), ''),
-      |      nullif(trim(regexp_extract(tnb, '[0-9]+ ?[A-Z]+[A-Z0-9 ]*', 0)), ''),
-      |      nullif(trim(regexp_extract(tnb, '[A-Z]{2,}', 0)), '')) AS raw
-      |  FROM ff)
+      |  SELECT p_partkey, title, from_field, tnb,
+      |    trim(regexp_replace(regexp_replace(trim(regexp_extract(tnb, '[A-Z]+\s*[0-9]+\s*[A-Z]*\s*[0-9]*\s*[A-Z]*', 0)), '\b(ULTRA|PRO|PLUS|MAX|MINI|LITE)\b', ' ', 'g'), '\s+', ' ', 'g')) AS c1,
+      |    trim(regexp_replace(regexp_replace(trim(regexp_extract(tnb, '[0-9]+\s*[A-Z]+\s*[0-9]*', 0)), '\b(ULTRA|PRO|PLUS|MAX|MINI|LITE)\b', ' ', 'g'), '\s+', ' ', 'g')) AS c2,
+      |    trim(regexp_replace(regexp_replace(trim(regexp_extract(tnb, '[A-Z]+\s*[0-9]+', 0)), '\b(ULTRA|PRO|PLUS|MAX|MINI|LITE)\b', ' ', 'g'), '\s+', ' ', 'g')) AS c3,
+      |    trim(regexp_replace(regexp_replace(trim(regexp_extract(tnb, '[0-9]+\s*[A-Z]{2,}', 0)), '\b(ULTRA|PRO|PLUS|MAX|MINI|LITE)\b', ' ', 'g'), '\s+', ' ', 'g')) AS c4,
+      |    trim(regexp_replace(regexp_replace(trim(regexp_extract(tnb, '[A-Z]{2,}\s*[0-9]+', 0)), '\b(ULTRA|PRO|PLUS|MAX|MINI|LITE)\b', ' ', 'g'), '\s+', ' ', 'g')) AS c5
+      |  FROM ff),
+      |w AS (SELECT *, array_to_string(list_filter(list_slice(list_filter(string_split_regex(trim(tnb), '\s+'), x -> x <> ''), 1, 3), x -> len(x) > 2 AND NOT regexp_matches(x, '^[0-9]+$')), ' ') AS fw FROM c)
       |SELECT p_partkey, title,
       |  coalesce(from_field,
-      |    nullif(trim(regexp_replace(regexp_replace(raw, '\b(ULTRA|PRO|PLUS|MAX|MINI|LITE)\b', ' ', 'g'), '\s+', ' ', 'g')), ''),
+      |    CASE WHEN len(c1) > 1 THEN c1 END, CASE WHEN len(c2) > 1 THEN c2 END,
+      |    CASE WHEN len(c3) > 1 THEN c3 END, CASE WHEN len(c4) > 1 THEN c4 END,
+      |    CASE WHEN len(c5) > 1 THEN c5 END, nullif(fw, ''),
       |    'Unknown') AS model_out
-      |FROM c ORDER BY p_partkey""".stripMargin
+      |FROM w ORDER BY p_partkey""".stripMargin
 
   /** F6 — product-id slug with token and md5 fallbacks. */
   def f6ProductId(s: SparkSession, dir: String): DataFrame = {
@@ -1172,17 +1177,22 @@ object Queries {
        |            THEN 'Unknown'
        |            ELSE upper(trim(regexp_replace(regexp_replace(model,'[^\\p{L}\\p{N}_\\s]+',' ','g'),'\\s+',' ','g'))) END)
        |    ELSE NULL END AS from_field,
-       |  regexp_replace(replace(upper(coalesce(title,'')), upper(coalesce(brand_out,' ')), ' '), '[^A-Z0-9 ]+', ' ', 'g') AS tnb
+       |  CASE WHEN coalesce(brand_out,'') = 'Unknown' THEN upper(coalesce(title,''))
+       |       ELSE replace(upper(coalesce(title,'')), upper(coalesce(brand_out,' ')), '') END AS tnb
        |  FROM b1),
        |m1 AS (SELECT *,
-       |  coalesce(
-       |    nullif(trim(regexp_extract(tnb, '[A-Z]+ ?[0-9]+[A-Z0-9 ]*', 0)), ''),
-       |    nullif(trim(regexp_extract(tnb, '[0-9]+ ?[A-Z]+[A-Z0-9 ]*', 0)), ''),
-       |    nullif(trim(regexp_extract(tnb, '[A-Z]{2,}', 0)), '')) AS rawm
+       |  trim(regexp_replace(regexp_replace(trim(regexp_extract(tnb, '[A-Z]+\\s*[0-9]+\\s*[A-Z]*\\s*[0-9]*\\s*[A-Z]*', 0)), '\\b(ULTRA|PRO|PLUS|MAX|MINI|LITE)\\b', ' ', 'g'), '\\s+', ' ', 'g')) AS mc1,
+       |  trim(regexp_replace(regexp_replace(trim(regexp_extract(tnb, '[0-9]+\\s*[A-Z]+\\s*[0-9]*', 0)), '\\b(ULTRA|PRO|PLUS|MAX|MINI|LITE)\\b', ' ', 'g'), '\\s+', ' ', 'g')) AS mc2,
+       |  trim(regexp_replace(regexp_replace(trim(regexp_extract(tnb, '[A-Z]+\\s*[0-9]+', 0)), '\\b(ULTRA|PRO|PLUS|MAX|MINI|LITE)\\b', ' ', 'g'), '\\s+', ' ', 'g')) AS mc3,
+       |  trim(regexp_replace(regexp_replace(trim(regexp_extract(tnb, '[0-9]+\\s*[A-Z]{2,}', 0)), '\\b(ULTRA|PRO|PLUS|MAX|MINI|LITE)\\b', ' ', 'g'), '\\s+', ' ', 'g')) AS mc4,
+       |  trim(regexp_replace(regexp_replace(trim(regexp_extract(tnb, '[A-Z]{2,}\\s*[0-9]+', 0)), '\\b(ULTRA|PRO|PLUS|MAX|MINI|LITE)\\b', ' ', 'g'), '\\s+', ' ', 'g')) AS mc5,
+       |  array_to_string(list_filter(list_slice(list_filter(string_split_regex(trim(tnb), '\\s+'), x -> x <> ''), 1, 3), x -> len(x) > 2 AND NOT regexp_matches(x, '^[0-9]+$$')), ' ') AS mfw
        |  FROM m0),
        |m2 AS (SELECT *,
        |  coalesce(from_field,
-       |    nullif(trim(regexp_replace(regexp_replace(rawm, '\\b(ULTRA|PRO|PLUS|MAX|MINI|LITE)\\b', ' ', 'g'), '\\s+', ' ', 'g')), ''),
+       |    CASE WHEN len(mc1) > 1 THEN mc1 END, CASE WHEN len(mc2) > 1 THEN mc2 END,
+       |    CASE WHEN len(mc3) > 1 THEN mc3 END, CASE WHEN len(mc4) > 1 THEN mc4 END,
+       |    CASE WHEN len(mc5) > 1 THEN mc5 END, nullif(mfw, ''),
        |    'Unknown') AS model_out
        |  FROM m1),
        |p0 AS (SELECT *, regexp_replace(price, '[^0-9,.]', '', 'g') AS pst FROM m2),
@@ -1221,7 +1231,7 @@ object Queries {
        |       ELSE 'https://www.avito.ma' END AS url_out
        |  FROM id0)
        |SELECT product_id, brand_out AS brand, model_out AS model,
-       |  coalesce(title,'') AS product_name, 'Smartphone' AS category,
+       |  trim(coalesce(title,'')) AS product_name, 'Smartphone' AS category,
        |  CASE WHEN storage IS NULL OR upper(trim(storage)) IN $sentinelsSql THEN NULL ELSE storage END AS spec_storage,
        |  CASE WHEN ram IS NULL OR upper(trim(ram)) IN $sentinelsSql THEN NULL ELSE ram END AS spec_ram,
        |  CASE WHEN battery_health IS NULL OR upper(trim(battery_health)) IN $sentinelsSql THEN NULL ELSE battery_health END AS spec_battery,
@@ -1310,23 +1320,20 @@ object Queries {
        |      ELSE 'Unknown' END END AS brand_out
        |  FROM b0),
        |m0 AS (SELECT *,
-       |  CASE WHEN model IS NOT NULL AND upper(trim(model)) NOT IN $sentinelsSql
-       |    THEN (CASE WHEN upper(trim(regexp_replace(regexp_replace(model,'[^A-Za-z0-9]+',' ','g'),'\\s+',' ','g'))) IN $sentinelsSql
-       |            THEN 'Unknown'
-       |            ELSE upper(trim(regexp_replace(regexp_replace(model,'[^A-Za-z0-9]+',' ','g'),'\\s+',' ','g'))) END)
-       |    ELSE NULL END AS from_field,
-       |  regexp_replace(replace(upper(coalesce(title,'')), upper(coalesce(brand_out,' ')), ' '), '[^A-Z0-9 ]+', ' ', 'g') AS tnb
+       |  CASE WHEN model IS NOT NULL AND model <> ''
+       |         AND upper(trim(model)) NOT IN ('NULL','UNKNOWN')
+       |    THEN upper(trim(model)) ELSE NULL END AS from_field,
+       |  trim(replace(lower(coalesce(title,'')), lower(coalesce(brand_out,' ')), '')) AS tnb
        |  FROM b1),
        |m1 AS (SELECT *,
        |  coalesce(
-       |    nullif(trim(regexp_extract(tnb, '[A-Z]+ ?[0-9]+[A-Z0-9 ]*', 0)), ''),
-       |    nullif(trim(regexp_extract(tnb, '[0-9]+ ?[A-Z]+[A-Z0-9 ]*', 0)), ''),
-       |    nullif(trim(regexp_extract(tnb, '[A-Z]{2,}', 0)), '')) AS rawm
+       |    nullif(upper(trim(regexp_extract(tnb, '[a-z]+\\s*[0-9]+[\\p{L}\\p{N}_]*\\s*[0-9]*[\\p{L}\\p{N}_]*', 0))), ''),
+       |    nullif(upper(trim(regexp_extract(tnb, '[0-9]+\\s*[a-z]+\\s*[0-9]*', 0))), ''),
+       |    nullif(upper(trim(regexp_extract(tnb, '[a-z]+\\s*[0-9]+', 0))), ''),
+       |    nullif(upper(trim(regexp_extract(tnb, '[0-9]+\\s*go|[0-9]+\\s*gb', 0))), '')) AS rawm
        |  FROM m0),
        |m2 AS (SELECT *,
-       |  coalesce(from_field,
-       |    nullif(trim(regexp_replace(regexp_replace(rawm, '\\b(ULTRA|PRO|PLUS|MAX|MINI|LITE)\\b', ' ', 'g'), '\\s+', ' ', 'g')), ''),
-       |    'Unknown') AS model_out,
+       |  coalesce(from_field, rawm, 'Unknown') AS model_out,
        |  lower(trim(coalesce(condition,''))) AS lcc
        |  FROM m1),
        |c0 AS (SELECT *,

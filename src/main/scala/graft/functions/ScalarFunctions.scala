@@ -215,23 +215,63 @@ object ScalarFunctions {
       regexp_replace(model, "[^\\p{L}\\p{N}_\\s]+", " "), "\\s+", " ")))
     val fromField = when(presentPer(model, ModelFieldSentinels),
       when(fieldCleaned === "", lit("Unknown")).otherwise(fieldCleaned))
-    // strip the brand (canonical + raw) from the title before pattern scan
-    val t0 = upper(coalesce(title, lit("")))
-    val tNoBrand = regexp_replace(
-      replace(t0, upper(coalesce(brand, lit(" "))), lit(" ")),
-      "[^A-Z0-9 ]+", " ")
-    // ordered patterns, ref avito_extractor.py:158-166
+    // title stage (avito_extractor.py:157-183), exactly the reference's
+    // shape — pinned by the real-record replay (GoldenReplaySpec), which
+    // caught an earlier simplified cascade producing "X100 6G 128G"
+    // where the reference's first pattern stops at "X100 6G":
+    //  - the brand is removed with an EMPTY replacement (guarded for
+    //    brand="Unknown", like the reference); raw punctuation stays —
+    //    the patterns treat it as a boundary
+    //  - FIVE ordered patterns with bounded tails; each match is
+    //    marketing-stripped + collapsed, accepted only if LONGER THAN 1
+    //    char, else the NEXT pattern is tried
+    //  - fallback: the first ≤3 title words longer than 2 chars that are
+    //    not pure digits
+    val tU = upper(coalesce(title, lit("")))
+    val t0 = when(coalesce(brand, lit("")) === "Unknown", tU)
+      .otherwise(replace(tU, upper(coalesce(brand, lit(" "))), lit("")))
     val patterns = Seq(
-      "[A-Z]+ ?\\d+[A-Z0-9 ]*", // S24 ULTRA, NOTE 12
-      "\\d+ ?[A-Z]+[A-Z0-9 ]*", // 12 PRO
-      "[A-Z]{2,}")              // bare series word
-    val cascade = patterns.map(p => nullif(trim(regexp_extract(tNoBrand, p, 0)), lit("")))
-    val raw = coalesce(cascade: _*)
-    // marketing-word stripping is an Avito-"fixed"-path behavior only
-    // (avito_extractor.py:171); Jumia/Electroplanet keep ULTRA/PRO/…
-    val stripped = if (stripMarketing) regexp_replace(raw, MarketingWords, " ") else raw
-    val cleaned = nullif(trim(regexp_replace(stripped, "\\s+", " ")), lit(""))
-    coalesce(fromField, cleaned, lit("Unknown"))
+      "[A-Z]+\\s*\\d+\\s*[A-Z]*\\s*\\d*\\s*[A-Z]*", // S24 ULTRA, 12T PRO
+      "\\d+\\s*[A-Z]+\\s*\\d*",                     // 12 PRO, 14 PLUS
+      "[A-Z]+\\s*\\d+",                             // GALAXY S21
+      "\\d+\\s*[A-Z]{2,}",                          // 256GB, 512 GO
+      "[A-Z]{2,}\\s*\\d+")                          // NOTE 10, TAB S9
+    val cascade = patterns.map { p =>
+      val m = trim(regexp_extract(t0, p, 0))
+      val stripped = if (stripMarketing) regexp_replace(m, MarketingWords, " ") else m
+      val cleaned = trim(regexp_replace(stripped, "\\s+", " "))
+      when(length(cleaned) > 1, cleaned)
+    }
+    // fallback: ' '.join(w for w in title.split()[:3] if len(w)>2 and not w.isdigit())
+    val words = slice(filter(split(trim(t0), "\\s+"), w => w =!= ""), 1, 3)
+    val meaningful = filter(words, w => length(w) > 2 && !w.rlike("^[0-9]+$"))
+    val fromWords = nullif(array_join(meaningful, " "), lit(""))
+    coalesce((fromField +: cascade) ++ Seq(fromWords, lit("Unknown")): _*)
+  }
+
+  /** F5-DAG — the DAG-inline Avito model extraction (dag.py:137-164), a
+    * genuinely different algorithm from the plugin's fixed path: 2-entry
+    * field sentinel list ('NONE' passes through verbatim — bug
+    * preserved), lowercase title with the brand removed UNCONDITIONALLY
+    * (brand "Unknown" removes the literal substring "unknown" — bug
+    * preserved), FOUR case-insensitive patterns with \w (unicode) tails,
+    * first raw match uppercased — no marketing strip, no length gate, no
+    * word fallback. */
+  def extractModelDag(model: Column, title: Column, brand: Column): Column = {
+    val fromField = when(model.isNotNull && model =!= "" &&
+        !upper(trim(model)).isin("NULL", "UNKNOWN"),
+      upper(trim(model)))
+    val t0 = trim(replace(lower(coalesce(title, lit(""))),
+      lower(coalesce(brand, lit(" "))), lit("")))
+    val W = "[\\p{L}\\p{N}_]"
+    val patterns = Seq(
+      s"[a-z]+\\s*\\d+$W*\\s*\\d*$W*", // iPhone 12 Pro, A14 5G
+      "\\d+\\s*[a-z]+\\s*\\d*",        // 12 Pro, 14 Plus
+      "[a-z]+\\s*\\d+",                // Galaxy S21
+      "\\d+\\s*go|\\d+\\s*gb")         // 128GB, 256 Go
+    val cascade = patterns.map(p =>
+      nullif(upper(trim(regexp_extract(t0, p, 0))), lit("")))
+    coalesce(fromField +: cascade :+ lit("Unknown"): _*)
   }
 
   /** F5b — the BASE-path extract_model_from_title

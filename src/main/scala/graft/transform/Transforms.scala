@@ -95,9 +95,13 @@ object Transforms {
       case CompatMode.Plugin => extractBrandFixed(col("brand"), col("title"), col("model"))
       case CompatMode.DagInline => extractBrandDagInline(col("brand"), col("title"))
     }
+    val modelExpr = mode match {
+      case CompatMode.Plugin => extractModel(col("model"), col("title"), col("__graft_brand"))
+      case CompatMode.DagInline => extractModelDag(col("model"), col("title"), col("__graft_brand"))
+    }
     val stagedRaw = raw
       .withColumn("__graft_brand", brandExpr)
-      .withColumn("__graft_model", extractModel(col("model"), col("title"), col("__graft_brand")))
+      .withColumn("__graft_model", modelExpr)
     val brand = col("__graft_brand")
     val model = col("__graft_model")
     val off = offer("Avito",
@@ -121,8 +125,12 @@ object Transforms {
       "battery_health" -> sentinelToNull(col("battery_health")),
       "color" -> sentinelToNull(col("color")),
       "condition" -> sentinelToNull(col("condition")))
+    // product_name is the STRIPPED title (avito_extractor.py:68) — the id
+    // hash and model extraction read the raw title, only the display name
+    // strips (caught by the real-record replay: committed listings carry
+    // trailing spaces the synthetic fixtures never had)
     stagedRaw.select(unified(productId(brand, model, col("title")), brand, model,
-      col("title"), specs, off, "Avito", runTs): _*)
+      trim(col("title")), specs, off, "Avito", runTs): _*)
   }
 
   /** Jumia — faithful to jumia_extractor.py:15-111: BASE-path brand

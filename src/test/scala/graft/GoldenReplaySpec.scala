@@ -284,6 +284,66 @@ class GoldenReplaySpec extends SparkSuite {
       s"rendered:\n${rendered.replace(" ", "·")}\ncommitted:\n${committed.replace(" ", "·")}")
   }
 
+  test("avito real-record replay: the 3 committed raw listings reproduce the reference transform") {
+    // The reference commits NO transformed Avito output (only jumia +
+    // electroplanet have processed artifacts), but its notebook checkpoint
+    // data/raw/.ipynb_checkpoints/avito_with_real_urls_*.csv carries 3
+    // REAL raw Avito listings — noisy lowercase titles ("iphone 7plus "),
+    // French condition text ("Bon état"), a brandless Nokia row. This
+    // replays them through the fixed-path transform and asserts every
+    // derived field against the output of the reference's own
+    // avito_extractor.py executed on the same records (field mapping from
+    // the Avito API columns: priceStr→price, phone_brand→brand,
+    // phone_model→model, adId→ad_id, listTime→list_time,
+    // locationCityName/AreaName→city/area; scraped_url is empty in all
+    // rows, so the ad_id URL fallback is the path under test).
+    val csvPath = s"$refData/raw/.ipynb_checkpoints/avito_with_real_urls_20251130_015821-checkpoint.csv"
+    assume(java.nio.file.Files.exists(java.nio.file.Paths.get(csvPath)))
+    val csv0 = spark.read.option("header", "true").option("multiLine", "true").csv(csvPath)
+    val csv = csv0.toDF(csv0.columns.map(_.replace("﻿", "")): _*)
+    val raw = csv.select(
+      col("adId").as("ad_id"), col("title"), col("description"),
+      col("priceStr").as("price"), col("locationCityName").as("city"),
+      col("locationAreaName").as("area"), col("sellerType").as("seller_type"),
+      lit(null).cast("string").as("seller_name"), col("categoryName").as("category"),
+      nullif(col("scraped_url"), lit("")).as("url"), col("listTime").as("list_time"),
+      nullif(col("phone_brand"), lit("")).as("brand"),
+      nullif(col("phone_model"), lit("")).as("model"),
+      lit(null).cast("string").as("storage"), lit(null).cast("string").as("ram"),
+      lit(null).cast("string").as("battery_health"), lit(null).cast("string").as("color"),
+      nullif(col("condition"), lit("")).as("condition"))
+    val ours = Transforms.avito(raw, "replayTs")
+      .select(col("product_id"), col("brand"), col("model"), col("product_name"),
+        col("specifications"),
+        element_at(col("offers"), 1).getField("price").as("price"),
+        element_at(col("offers"), 1).getField("condition").as("condition"),
+        element_at(col("offers"), 1).getField("seller_type").as("seller_type"),
+        element_at(col("offers"), 1).getField("url").as("url"),
+        element_at(col("offers"), 1).getField("scraped_at").as("scraped_at"))
+      .collect().map(r => r.getAs[String]("url") -> r).toMap
+    assert(ours.size == 3, ours.keys.toString)
+    // goldens = the reference extractor's output on these records
+    val want = Seq(
+      ("apple_iphonexr", "Apple", "IPHONE XR", "iphone xr bon etat", Map.empty[String, String],
+        1550.0, "used", "PRIVATE", "https://www.avito.ma/vi/75962308.htm", "2025-07-02T16:54:21Z"),
+      ("apple_iphone7plus", "Apple", "IPHONE 7 PLUS", "iphone 7plus", Map("condition" -> "Bon état"),
+        700.0, "good", "PRIVATE", "https://www.avito.ma/vi/75687396.htm", "2025-05-04T17:36:01Z"),
+      ("nokia_x1006g", "Nokia", "X100 6G", "Nokia x100 6g 128g", Map.empty[String, String],
+        1500.0, "used", "PRIVATE", "https://www.avito.ma/vi/75446550.htm", "2025-03-09T22:57:01Z"))
+    want.foreach { case (pid, brand, model, name, specs, price, cond, seller, url, ts) =>
+      val got = ours.getOrElse(url, fail(s"no replayed product for $url"))
+      assert(got.getAs[String]("product_id") == pid, s"$url product_id")
+      assert(got.getAs[String]("brand") == brand, s"$url brand")
+      assert(got.getAs[String]("model") == model, s"$url model")
+      assert(got.getAs[String]("product_name") == name, s"$url product_name")
+      assert(got.getAs[Map[String, String]]("specifications") == specs, s"$url specs")
+      assert(got.getAs[Double]("price") == price, s"$url price")
+      assert(got.getAs[String]("condition") == cond, s"$url condition")
+      assert(got.getAs[String]("seller_type") == seller, s"$url seller_type")
+      assert(got.getAs[String]("scraped_at") == ts, s"$url scraped_at")
+    }
+  }
+
   test("electroplanet golden replay: 80 real records match the committed transform") {
     assume(java.nio.file.Files.exists(java.nio.file.Paths.get(refData)))
     val raw = graft.sources.JsonSource.readJsonAuto(spark,
