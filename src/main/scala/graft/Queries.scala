@@ -1914,6 +1914,20 @@ object Queries {
       .sortSmall("id_a", "id_b")
   }
 
+  /** D2b — d2 with ADAPTIVE bucket refinement (reserve minhash rows split
+    * flooded buckets instead of dropping them — see
+    * [[graft.operators.Dedup.minhashCandidates]] `refineRows`). Identical
+    * output to d2 whenever no bucket exceeds the cap — which is every
+    * oracle scale, so the d2 SQL twin verifies it — and the scale path
+    * beyond: at sf10 the fixed cap's planted-dup recall measures 0.71
+    * while refinement holds ~1.0 (ScaleCheck C3). */
+  def d2bNeardupAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).where(length(normalizeText(col("text"))) > 0)
+    Dedup.minhashNearDup(d, "text", "doc_id", bands = 4, rowsPerBand = 2,
+        threshold = 0.2, shingleN = 2, refineRows = 8)
+      .sortSmall("id_a", "id_b")
+  }
+
   // Shared CTE pipeline of the minhash near-dup oracle (also the base of
   // the d8 clustering oracle): normalize → shingle → single-md5 minhash →
   // banded buckets (capped) → candidate pairs → exact jaccard.
@@ -3965,6 +3979,7 @@ object Queries {
     "z6_iqr_outliers" -> z6IqrOutliers,
     "d1_dedup_exact" -> d1DedupExact,
     "d2_minhash_neardup" -> d2MinhashNearDup,
+    "d2b_neardup_adaptive" -> d2bNeardupAdaptive,
     "d3_simhash" -> d3Simhash,
     "d4_ngram_jaccard" -> d4NgramJaccard,
     "d4b_jaccard_prefix" -> d4bJaccardPrefix,
@@ -4064,6 +4079,7 @@ object Queries {
     "z6_iqr_outliers" -> z6Sql,
     "d1_dedup_exact" -> d1Sql,
     "d2_minhash_neardup" -> d2Sql,
+    "d2b_neardup_adaptive" -> d2Sql,
     "d3_simhash" -> d3Sql,
     "d4_ngram_jaccard" -> d4Sql,
     "d4b_jaccard_prefix" -> d4bSql,

@@ -114,6 +114,39 @@ object NativeText {
     new GenericArrayData(mins.map(Long.box).toArray[Any])
   }
 
+  /** Refinement minhash rows over the distinct gram set — an INDEPENDENT
+    * hash family from [[minhashLongs]]: row r hashes each gram as
+    * md5('r' ++ r ++ ':' ++ gram) and takes the first 62 bits. The
+    * Kirsch-Mitzenmacher rows of the signature family are linear in the
+    * seed (h1 + seed·h2), so whenever one gram minimizes BOTH digest
+    * halves it wins EVERY seed — over a small vocabulary whole corpora
+    * share full signatures and reserve rows from that family cannot split
+    * a flooded bucket. Salted per-row digests are pairwise independent
+    * across rows, so each refinement level splits by the key's true
+    * alphabet. Not oracle-portable — refinement only fires beyond the
+    * no-flood regime, where no SQL twin applies. Codegen entry point. */
+  def minhashRefineLongs(input: UTF8String, numRows: Int, shingleN: Int): ArrayData = {
+    val grams = distinctShingles(input.toString, shingleN)
+    val md = Md5.get()
+    val mins = Array.fill(numRows)(Long.MaxValue)
+    grams.foreach { g =>
+      val bytes = g.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var r = 0
+      while (r < numRows) {
+        md.reset()
+        md.update('r'.toByte); md.update((r & 0xff).toByte); md.update(':'.toByte)
+        val d = md.digest(bytes)
+        val v = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+          ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+          ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+          ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 2
+        if (v < mins(r)) mins(r) = v
+        r += 1
+      }
+    }
+    new GenericArrayData(mins.map(Long.box).toArray[Any])
+  }
+
   /** Distinct gram set hashed to 62-bit ints: per gram ONE md5 digest,
     * v = h1·2^30 + (h2 >> 2) with h1/h2 the 32-bit digest halves (same
     * derivation as [[minhashLongs]]) — fits signed 64-bit in any engine.
@@ -309,6 +342,24 @@ case class MinHashSignature(child: Expression, numHashes: Int, shingleN: Int)
   override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(child = c)
 }
 
+/** Refinement minhash rows (numRows longs) of a text column — the
+  * independent salted-digest family for adaptive LSH bucket splitting;
+  * see [[NativeText.minhashRefineLongs]]. */
+case class MinHashRefine(child: Expression, numRows: Int, shingleN: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_refine"
+
+  override def nullSafeEval(input: Any): Any =
+    NativeText.minhashRefineLongs(input.asInstanceOf[UTF8String], numRows, shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NativeText.minhashRefineLongs($c, $numRows, $shingleN);")
+
+  override protected def withNewChildInternal(c: Expression): MinHashRefine = copy(child = c)
+}
+
 /** All ordered (a < b) pairs of a pre-sorted array, as
   * array<struct<id_a,id_b>> — the compiled twin of the nested-transform
   * pair explosion (which allocates an interpreted slice per element).
@@ -373,6 +424,8 @@ object NativeTextColumns {
     GraftBridge.column(GramHashes(GraftBridge.expression(c), n))
   def minhashSignature(c: Column, numHashes: Int, shingleN: Int): Column =
     GraftBridge.column(MinHashSignature(GraftBridge.expression(c), numHashes, shingleN))
+  def minhashRefine(c: Column, numRows: Int, shingleN: Int): Column =
+    GraftBridge.column(MinHashRefine(GraftBridge.expression(c), numRows, shingleN))
   def termCounts(c: Column): Column =
     GraftBridge.column(TermCounts(GraftBridge.expression(c)))
   def sortedPairs(c: Column): Column =

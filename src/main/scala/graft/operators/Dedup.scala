@@ -107,10 +107,88 @@ object Dedup {
             v => v.cast("string"))))
       ).as(Seq("band", "key")))
 
+  /** Adaptive LSH bucket refinement: a bucket larger than `maxBucket` has
+    * its band key EXTENDED with a fresh refinement minhash row instead of
+    * being dropped — repeated level by level until every bucket fits or
+    * `refineRows` levels are exhausted (residual flooded buckets fall to
+    * the pair stage's cap, exactly the old behavior).
+    *
+    * Why: the fixed cap's recall cost is not a constant — bucket occupancy
+    * grows LINEARLY with corpus size whenever the band-key space is
+    * smaller than the corpus (closed vocabularies, short or templated
+    * documents), so a guard that is invisible at 50k docs silently drops
+    * most planted duplicates at 500k (measured: adjacent exact-dup recall
+    * 1.00 at sf1 → 0.71 at sf10). Refinement restores recall with depth
+    * growing only logarithmically in corpus size: each level's
+    * INDEPENDENT hash row (salted digest family — the signature's own
+    * Kirsch-Mitzenmacher rows are linear in the seed and collapse over
+    * small vocabularies, see [[graft.functions.NativeText
+    * .minhashRefineLongs]]) shrinks a flooded bucket by the key's true
+    * alphabet size, and EXACT duplicates agree on every row of any
+    * deterministic text hash, so they survive every depth. A near-dup
+    * pair pays one extra `j` factor per level its bucket was split — the
+    * price of not being dropped outright.
+    *
+    * Refinement rows are computed ONLY for documents in flooded buckets
+    * (one join back to the text at first flood, never for the no-flood
+    * fast path). Each level is two jobs over only the still-flooded
+    * slice, a geometrically shrinking set; the final assignment is
+    * local-checkpointed so downstream pair generation reads one compact
+    * materialized table and the per-level caches can be released. On a
+    * cluster the checkpoint would be reliable storage; the driver never
+    * holds data rows, only per-level flooded counts. */
+  private def refineBuckets(banded: DataFrame, df: DataFrame,
+                            textCol: String, idCol: String, shingleN: Int,
+                            maxBucket: Int, refineRows: Int): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    val done = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    var cur = banded // (doc, band, key) at lvl 0; + tail once flooded
+    var lvl = 0
+    var exhausted = false
+    while (!exhausted && lvl < refineRows) {
+      val counts = cur.groupBy("band", "key").agg(count(lit(1)).as("__n"))
+      val joined = cur.join(counts, Seq("band", "key"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      persisted += joined
+      val over = joined.where(col("__n") > maxBucket)
+      if (over.isEmpty) { // all buckets fit — no further levels needed
+        done += joined.drop("__n", "tail")
+        exhausted = true
+      } else {
+        done += joined.where(col("__n") <= maxBucket).drop("__n", "tail")
+        val withTail =
+          if (lvl > 0) over.drop("__n") // tail attached at first flood
+          else {
+            val tails = df
+              .join(over.select(col("doc")).distinct()
+                .withColumnRenamed("doc", idCol), idCol)
+              .select(col(idCol).as("doc"), graft.functions.NativeTextColumns
+                .minhashRefine(col(textCol), refineRows, shingleN).as("tail"))
+            over.drop("__n").join(tails, "doc")
+          }
+        cur = withTail.withColumn("key",
+          concat_ws("|", col("key"),
+            element_at(col("tail"), lvl + 1).cast("string")))
+        lvl += 1
+      }
+    }
+    if (!exhausted) done += cur // residual flooded rows: pair-stage cap drops them
+    val result = done.map(_.select("doc", "band", "key"))
+      .reduce(_ unionByName _)
+      .localCheckpoint(true)
+    persisted.foreach(_.unpersist(false))
+    result
+  }
+
   def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
                         bands: Int, rowsPerBand: Int, shingleN: Int = 1,
-                        maxBucket: Int = 1000): DataFrame = {
-    val banded = bandedKeys(df, textCol, idCol, bands, rowsPerBand, shingleN)
+                        maxBucket: Int = 1000, refineRows: Int = 0): DataFrame = {
+    val banded0 = bandedKeys(df, textCol, idCol, bands, rowsPerBand, shingleN)
+    val banded =
+      if (refineRows > 0)
+        refineBuckets(banded0, df, textCol, idCol, shingleN, maxBucket, refineRows)
+      else banded0
     // bucket-local pair generation: group each LSH bucket, emit its ordered
     // pairs from the sorted member array — one shuffle on the bucket key,
     // no self-join (a band-key self-join sorts/merges the whole banded set
@@ -172,9 +250,10 @@ object Dedup {
   def minhashNearDup(df: DataFrame, textCol: String, idCol: String,
                      bands: Int = 8, rowsPerBand: Int = 2,
                      threshold: Double = 0.7, shingleN: Int = 1,
-                     maxBucket: Int = 1000): DataFrame =
+                     maxBucket: Int = 1000, refineRows: Int = 0): DataFrame =
     verifyJaccard(df,
-      minhashCandidates(df, textCol, idCol, bands, rowsPerBand, shingleN, maxBucket),
+      minhashCandidates(df, textCol, idCol, bands, rowsPerBand, shingleN,
+        maxBucket, refineRows),
       textCol, idCol, threshold, shingleN)
 
   /** Incremental near-dedup: which documents of an INCOMING batch are

@@ -23,12 +23,12 @@ import org.apache.spark.sql.functions._
   *    equals the true word-bigram jaccard recomputed from replayed texts
   *    via string shingles + array_intersect — the DuckDB oracle's
   *    formulation, not the engine's sorted int-hash merge.
-  *  - C3 planted recall (d2), reported + asserted ≥ 0.8: fraction of
-  *    planted ADJACENT EXACT pairs found (identical text ⇒ identical
-  *    signature ⇒ co-bucketed in every band; only the documented
-  *    maxBucket flood guard can drop one). Near-dup (one-token-swap)
-  *    recall is reported alongside (their ~0.93 jaccard gives each band
-  *    a ~86% match chance; 4 bands ⇒ ~99.96% expected).
+  *  - C3 planted recall, asserted ≥ 0.95 on the ADAPTIVE d2b (bucket
+  *    refinement — identical text ⇒ identical signature ⇒ co-bucketed at
+  *    every refinement depth, so exact recall is corpus-size-invariant)
+  *    and reported for the capped d2, whose recall decays by design once
+  *    linear bucket occupancy outgrows the fixed cap (0.71 at sf10).
+  *    Near-dup (one-token-swap) recall reported for both.
   *  - C4 cluster consistency (d8): every d2 pair is same-cluster, no
   *    cluster label exceeds its member id (min-label semantics), and the
   *    labeling covers every document exactly once.
@@ -120,20 +120,33 @@ object ScaleCheck {
       s"survivors=$d1Rows distinct_texts=$distinctTexts " +
         s"planted_exact=$nPlantedExact planted_near=$nPlantedNear")
 
-    // C2 + C3 — d2 soundness and planted recall
+    // C2 + C3 — pair soundness and planted recall. Soundness is asserted
+    // for BOTH the capped d2 and the adaptive d2b; recall is asserted for
+    // d2b (the scale path — refinement splits flooded buckets instead of
+    // dropping them, so exact-dup recall holds at any corpus size) and
+    // REPORTED for capped d2, whose recall degrades by design once bucket
+    // occupancy outgrows the cap (measured 0.71 exact at sf10).
+    def recalls(pairs: DataFrame): (Double, Double, Long, Long) = {
+      val fe = pairs.join(planted.where(col("is_exact")), Seq("id_a", "id_b")).count()
+      val fn = pairs.join(planted.where(!col("is_exact")), Seq("id_a", "id_b")).count()
+      (if (nPlantedExact == 0) 1.0 else fe.toDouble / nPlantedExact,
+        if (nPlantedNear == 0) 1.0 else fn.toDouble / nPlantedNear, fe, fn)
+    }
     val d2 = run("d2_minhash_neardup").cache()
+    val d2b = run("d2b_neardup_adaptive").cache()
     val d2n = d2.count()
-    val unsound = trueJaccard(d2).where(abs(col("jaccard") - col("true_j")) > 1e-9)
-    val nUnsound = unsound.count()
-    check("C2_d2_pair_soundness", nUnsound == 0,
-      s"pairs=$d2n mismatched_jaccard=$nUnsound")
-    val foundExact = d2.join(planted.where(col("is_exact")), Seq("id_a", "id_b")).count()
-    val foundNear = d2.join(planted.where(!col("is_exact")), Seq("id_a", "id_b")).count()
-    val exactRecall = if (nPlantedExact == 0) 1.0 else foundExact.toDouble / nPlantedExact
-    val nearRecall = if (nPlantedNear == 0) 1.0 else foundNear.toDouble / nPlantedNear
-    check("C3_d2_planted_recall", exactRecall >= 0.8,
-      f"exact_recall=$exactRecall%.4f ($foundExact/$nPlantedExact) " +
-        f"near_recall=$nearRecall%.4f ($foundNear/$nPlantedNear)")
+    val d2bn = d2b.count()
+    val nUnsound = trueJaccard(d2).where(abs(col("jaccard") - col("true_j")) > 1e-9).count()
+    val nUnsoundB = trueJaccard(d2b).where(abs(col("jaccard") - col("true_j")) > 1e-9).count()
+    check("C2_d2_pair_soundness", nUnsound == 0 && nUnsoundB == 0,
+      s"d2_pairs=$d2n mismatched=$nUnsound d2b_pairs=$d2bn mismatched_b=$nUnsoundB")
+    val (exactRecall, nearRecall, foundExact, foundNear) = recalls(d2)
+    val (exactRecallB, nearRecallB, foundExactB, foundNearB) = recalls(d2b)
+    check("C3_d2_planted_recall", exactRecallB >= 0.95,
+      f"adaptive_exact_recall=$exactRecallB%.4f ($foundExactB/$nPlantedExact) " +
+        f"adaptive_near_recall=$nearRecallB%.4f ($foundNearB/$nPlantedNear) " +
+        f"capped_exact_recall=$exactRecall%.4f ($foundExact/$nPlantedExact) " +
+        f"capped_near_recall=$nearRecall%.4f ($foundNear/$nPlantedNear)")
 
     // C4 — d8 clusters agree with d2 pairs
     val d8 = run("d8_neardup_clusters").cache()
@@ -162,7 +175,7 @@ object ScaleCheck {
     val overstated = trueJaccard(d4b).where(col("jaccard") > col("true_j") + 5e-5).count()
     check("C6_d4b_lower_bound", overstated == 0, s"overstated=$overstated")
 
-    regen.unpersist(); d2.unpersist(); d8.unpersist(); d10.unpersist()
+    regen.unpersist(); d2.unpersist(); d2b.unpersist(); d8.unpersist(); d10.unpersist()
     val ok = failures.isEmpty
     println(s"""{"scalecheck":"${if (ok) "PASS" else "FAIL"}","sf_dir":"$sfDir","n_docs":$nDocs,"failed":${failures.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
     spark.stop()

@@ -163,6 +163,45 @@ class DedupSimilaritySpec extends SparkSuite {
     assert((exact -- sem).forall { case (a, b, _) => cell(a) != cell(b) })
   }
 
+  test("adaptive refinement: flooded buckets split instead of dropping pairs") {
+    // 10 distinct 3-word subsets of a 5-word vocabulary, 4 copies each:
+    // with ONE band of ONE minhash row, every doc keys on the min-hash of
+    // its 3 words — at most 5 distinct keys for 10 subsets, so by
+    // pigeonhole some bucket holds ≥2 subsets = 8 docs > maxBucket=6 and
+    // the capped run provably drops that bucket's same-set pairs.
+    // Refinement splits it by reserve rows (distinct subsets diverge,
+    // identical ones never do) down to the 4-doc subset groups.
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val subsets = vocab.combinations(3).toSeq // 10 subsets
+    val flood = subsets.zipWithIndex.flatMap { case (ws, si) =>
+      (0 until 4).map(c => ((si * 4 + c).toLong, ws.mkString(" ")))
+    }.toDF("doc_id", "text")
+    def run(refine: Int) = Dedup.minhashNearDup(flood, "text", "doc_id",
+        bands = 1, rowsPerBand = 1, threshold = 0.99, shingleN = 1,
+        maxBucket = 6, refineRows = refine)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = run(0)
+    val refined = run(6)
+    // ground truth: all C(4,2)=6 pairs within each of the 10 subset groups
+    val truth = (0 until 10).flatMap { si =>
+      val ids = (0 until 4).map(c => (si * 4 + c).toLong)
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    }.toSet
+    assert(refined == truth, s"refined missed ${(truth -- refined).size} planted pairs")
+    assert(capped.subsetOf(refined))
+    assert(capped.size < truth.size, "cap never flooded — test corpus too small")
+  }
+
+  test("adaptive refinement: identical output to capped when nothing floods") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(length(TextFunctions.normalizeText(col("text"))) > 0)
+    def run(refine: Int) = Dedup.minhashNearDup(corpus, "text", "doc_id",
+        bands = 4, rowsPerBand = 2, threshold = 0.2, shingleN = 2,
+        refineRows = refine)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(8) == run(0))
+  }
+
   test("cluster-aware split: near-dup pair members never straddle splits") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .where(length(TextFunctions.normalizeText(col("text"))) > 0)
