@@ -21,7 +21,9 @@ import scala.util.control.NonFatal
   * also written to BENCH_FULL.json. Rounds 1–4 lost their totals because
   * the single per-query line outgrew the window and was beheaded.
   *
-  * Args: optional query names → bench only those (iteration aid).
+  * Args: optional query names → bench only those (iteration aid);
+  * `-name` excludes a query from the full catalog (big-sf runs exclude
+  * the documented-superlinear d4 counting plan and time it separately).
   * Env: SPARK_GRAFT_EXPLAIN=true prints each query's formatted plan.
   */
 object Bench {
@@ -97,14 +99,17 @@ object Bench {
       }
     }
     val names0 = SparkEntry.queries.keys.toSeq.sorted
-    val unknown = args.filterNot(names0.contains)
+    val (excluded, included) = args.partition(_.startsWith("-"))
+    val excludeSet = excluded.map(_.stripPrefix("-")).toSet
+    val unknown = (included ++ excludeSet).filterNot(names0.contains)
     if (unknown.nonEmpty) {
       System.err.println(
         s"[bench] unknown query name(s): ${unknown.mkString(", ")} — " +
           s"known: ${names0.mkString(", ")}")
       sys.exit(2) // a typo must not bench zero queries and report a healthy 0
     }
-    val names = if (args.nonEmpty) names0.filter(args.contains) else names0
+    val names = (if (included.nonEmpty) names0.filter(included.contains) else names0)
+      .filterNot(excludeSet.contains)
     if (sys.env.get("SPARK_GRAFT_EXPLAIN").contains("true"))
       names.foreach { n =>
         System.err.println(s"==== $n ====")
@@ -139,7 +144,7 @@ object Bench {
     // SPARK_GRAFT_STREAM_STEADY=0 to skip when iterating on batch queries
     // (full catalog runs only: single-query invocations skip it too).
     val steadyN = sys.env.get("SPARK_GRAFT_STREAM_STEADY").flatMap(_.toIntOption)
-      .getOrElse(if (args.isEmpty) 8 else 0)
+      .getOrElse(if (included.isEmpty) 8 else 0)
     val steady: Option[(String, Map[String, Double])] =
       if (steadyN > 1)
         try Some(StreamBench.run(spark, sfDir, steadyN))
