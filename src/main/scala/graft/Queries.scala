@@ -211,7 +211,10 @@ object Queries {
     part.join(li, part("p_partkey") === li("l_partkey"))
       .groupBy("p_brand", "p_partkey")
       .agg(count(lit(1)).as("n1"),
-        collect_set(col("l_returnflag")).as("s1"),
+        // canonical (sorted) per-product flag set → level 2 sees at most
+        // 2^|flags| DISTINCT arrays per brand, so its collect_set buffer
+        // is O(1) regardless of product count
+        sort_array(collect_set(col("l_returnflag"))).as("s1"),
         first(col("p_name")).as("name"),
         min(col("l_extendedprice")).as("mn1"),
         max(col("l_extendedprice")).as("mx1"))
@@ -219,7 +222,12 @@ object Queries {
       .agg(
         count(lit(1)).as("n_products"),
         sum(col("n1")).as("n_offers"),
-        concat_ws(",", sort_array(array_distinct(flatten(collect_list(col("s1"))))))
+        // collect_SET, not collect_list: a brand groups millions of
+        // products but only a handful of distinct flag sets — the list
+        // version buffered one small array PER PRODUCT per brand (the
+        // sf10 GC hotspot: ~25 groups × ~2M boxed arrays), the set
+        // version dedups on insert and stays a handful of elements
+        concat_ws(",", sort_array(array_distinct(flatten(collect_set(col("s1"))))))
           .as("sources"),
         graft.functions.MinByOrd.maxBy(
           struct(length(col("name")).as("len"), col("name").as("name")),
@@ -1906,10 +1914,14 @@ object Queries {
        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin
 
   /** D2 — MinHash+LSH near-duplicate pairs over word-bigram shingles
-    * (bands=4, rows=2, thr=0.2). */
+    * (bands=4, rows=2, thr=0.2), through the AUTO entry point
+    * [[graft.operators.Dedup.neardupPairs]]: fixed-cap buckets below
+    * ~100k docs (every oracle scale — the SQL twin verifies that plan),
+    * adaptive refinement at or above it (the sf10 recall measurement
+    * says the fixed cap drops real duplicates past the switch). */
   def d2MinhashNearDup(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).where(length(normalizeText(col("text"))) > 0)
-    Dedup.minhashNearDup(d, "text", "doc_id", bands = 4, rowsPerBand = 2,
+    Dedup.neardupPairs(d, "text", "doc_id", bands = 4, rowsPerBand = 2,
         threshold = 0.2, shingleN = 2)
       .sortSmall("id_a", "id_b")
   }
