@@ -256,6 +256,44 @@ object Dedup {
         maxBucket, refineRows),
       textCol, idCol, threshold, shingleN)
 
+  /** Refinement depth for a corpus of `nDocs` documents: 0 (fixed-cap
+    * buckets) below `adaptiveMinDocs`, 8 levels at or above it.
+    *
+    * The switch point comes from the sf10 measurement (ScaleCheck C3,
+    * SCALECHECK_r8_sf10.jsonl): with a closed vocabulary the fixed
+    * `maxBucket` cap's planted-duplicate recall is 1.00 at 50k docs but
+    * 0.71 at 500k — bucket occupancy grows linearly with corpus size once
+    * the band-key space saturates, so past ~100k docs the cap starts
+    * dropping whole buckets of real duplicates. Below the switch the
+    * fixed cap is exact AND skips refinement's extra per-level count
+    * jobs; above it, recall beats wall-clock. 8 levels halt the sf10
+    * corpus (depth grows ~logarithmically in corpus size — each level
+    * divides a flooded bucket by the refinement row's alphabet size). */
+  private[graft] def neardupPlan(nDocs: Long,
+                                 adaptiveMinDocs: Long = 100000): Int =
+    if (nDocs >= adaptiveMinDocs) 8 else 0
+
+  /** MinHash-LSH near-dup pairs with automatic bucket-strategy choice —
+    * the entry point callers should use (gates d2 the way
+    * [[jaccardPairs]] gates d4). Picks fixed-cap vs adaptive-refinement
+    * buckets per [[neardupPlan]], so the recall-losing fixed cap cannot
+    * run on a large corpus by default. Both plans emit identical pairs
+    * whenever no bucket floods — every corpus below the switch point —
+    * so the choice never changes small-corpus results.
+    *
+    * @param numDocs corpus row count if the caller already knows it
+    *        (skips the counting job — on a 100 TB corpus prefer passing
+    *        catalog statistics rather than paying a count scan). */
+  def neardupPairs(df: DataFrame, textCol: String, idCol: String,
+                   bands: Int = 8, rowsPerBand: Int = 2,
+                   threshold: Double = 0.7, shingleN: Int = 1,
+                   maxBucket: Int = 1000, adaptiveMinDocs: Long = 100000,
+                   numDocs: Option[Long] = None): DataFrame = {
+    val nDocs = numDocs.getOrElse(df.count())
+    minhashNearDup(df, textCol, idCol, bands, rowsPerBand, threshold,
+      shingleN, maxBucket, neardupPlan(nDocs, adaptiveMinDocs))
+  }
+
   /** Incremental near-dedup: which documents of an INCOMING batch are
     * near-duplicates of a HISTORICAL corpus. The candidate join is
     * asymmetric — new band keys against history band keys — so the

@@ -192,6 +192,31 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(capped.size < truth.size, "cap never flooded — test corpus too small")
   }
 
+  test("neardupPairs auto entry: switch point pinned; both arms agree below it") {
+    // switch at 100k docs (sf10 measurement: fixed-cap recall 0.71 at
+    // 500k, 1.00 at 50k — see Dedup.neardupPlan scaladoc)
+    assert(Dedup.neardupPlan(99999L) == 0)
+    assert(Dedup.neardupPlan(100000L) == 8) // boundary: adaptive at the switch
+    assert(Dedup.neardupPlan(50000L) == 0) // sf1, recall measured 1.00
+    assert(Dedup.neardupPlan(500000L) == 8) // sf10, fixed cap measured 0.71
+    assert(Dedup.neardupPlan(1000L, adaptiveMinDocs = 500L) == 8) // caller override
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(length(TextFunctions.normalizeText(col("text"))) > 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fixed = rows(Dedup.minhashNearDup(corpus, "text", "doc_id",
+      bands = 4, rowsPerBand = 2, threshold = 0.2, shingleN = 2))
+    // auto below the switch = the fixed plan, and the numDocs hint must
+    // short-circuit the count scan without changing the choice
+    assert(rows(Dedup.neardupPairs(corpus, "text", "doc_id",
+      bands = 4, rowsPerBand = 2, threshold = 0.2, shingleN = 2)) == fixed)
+    // auto FORCED adaptive (numDocs hint past the switch): same pairs on
+    // a corpus where nothing floods — the choice never changes results
+    assert(rows(Dedup.neardupPairs(corpus, "text", "doc_id",
+      bands = 4, rowsPerBand = 2, threshold = 0.2, shingleN = 2,
+      numDocs = Some(200000L))) == fixed)
+  }
+
   test("adaptive refinement: identical output to capped when nothing floods") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .where(length(TextFunctions.normalizeText(col("text"))) > 0)
