@@ -108,10 +108,29 @@ object TemporalJoin {
         lowerSec, upperSec)
   }
 
+  /** [[keyShare]] memo keyed by (canonicalized input plan, key, fraction):
+    * re-planning a join over the SAME input lineage (a catalog query
+    * re-executed, a pipeline that builds the plan per batch) pays the two
+    * sample jobs once per session instead of per construction. A stale or
+    * hash-colliding entry can only steer the PLAN CHOICE, never change
+    * results — both arms are exact — so session-lifetime staleness is
+    * safe. Bounded: cleared wholesale past 1024 entries (plan-build-time
+    * state on the driver, not data). */
+  private val keyShareCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Double), (Double, Double)]()
+
   /** (estimated max-key share, estimated row count) from a seeded sample
-    * — one tiny two-row aggregation per side. */
+    * — one tiny two-row aggregation per side, memoized per input lineage. */
   private def keyShare(df: DataFrame, keyCol: String,
                        fraction: Double): (Double, Double) = {
+    val key = (df.queryExecution.analyzed.canonicalized.semanticHash(),
+      keyCol, fraction)
+    if (keyShareCache.size > 1024) keyShareCache.clear()
+    keyShareCache.computeIfAbsent(key, _ => keyShareSample(df, keyCol, fraction))
+  }
+
+  private def keyShareSample(df: DataFrame, keyCol: String,
+                             fraction: Double): (Double, Double) = {
     val row = df.select(col(keyCol))
       .sample(withReplacement = false, fraction, seed = 42)
       .groupBy(keyCol).count()
