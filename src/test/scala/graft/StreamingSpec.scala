@@ -102,6 +102,84 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("property: expiredSessions equals batch session_window over random streams") {
+    // ≥100 independent per-key event streams (keys are independent in
+    // flatMapGroupsWithState, so one query multiplexes them all): random
+    // event counts/timestamps per key, random BATCH BOUNDARIES cut from
+    // the globally time-sorted event list (cuts from sorted order keep
+    // every batch's min ≥ the previous watermark, i.e. no late data —
+    // the contract the operator documents), random order WITHIN a batch.
+    // A far-future sentinel key then flushes every real session (its
+    // watermark advance fires all remaining event-time timeouts), and
+    // the emitted sessions must equal batch session_window exactly.
+    // Even-second timestamps + an odd 601 s gap keep every inter-event
+    // delta strictly off the gap boundary, where the streaming fold
+    // (closed interval) and session_window (half-open) could disagree.
+    implicit val sqlCtx = spark.sqlContext
+    import org.scalacheck.Gen
+    val nKeys = 120
+    val gapSec = 601L
+    val streamGen = for {
+      n <- Gen.chooseNum(1, 25)
+      // even seconds, shifted one day up: ts = 0 would equal Spark's
+      // INITIAL watermark and be dropped as late in the first batch —
+      // a harness artifact (epoch-zero events), not operator behavior
+      ts <- Gen.listOfN(n, Gen.chooseNum(0L, 30000L).map(s => (s + 43200L) * 2))
+      cents <- Gen.listOfN(n, Gen.chooseNum(1, 99999))
+    } yield ts.zip(cents)
+    val perKey = (0 until nKeys).map { k =>
+      s"k$k" -> streamGen.sample.getOrElse(Seq((0L, 1)))
+    }
+    val events = perKey.flatMap { case (k, evs) =>
+      evs.map { case (sec, c) =>
+        EventStream.PriceEvent(k, c / 100.0, new java.sql.Timestamp(sec * 1000L))
+      }
+    }.sortBy(_.ts.getTime)
+    // random cut points over the sorted list -> ~40 micro-batches. Cuts
+    // are only legal where the timestamp STRICTLY increases: a cut inside
+    // a run of equal timestamps would put rows at ts == watermark into
+    // the next batch, where the stateful operator's late-row filter
+    // drops them — late data is outside the operator's contract.
+    val legal = (1 until events.size)
+      .filter(i => events(i - 1).ts.getTime < events(i).ts.getTime)
+    val nCuts = 40
+    val cutGen = Gen.listOfN(nCuts - 1, Gen.oneOf(legal))
+    val cuts = (Seq(0, events.size) ++
+      (if (legal.nonEmpty) cutGen.sample.getOrElse(Nil) else Nil)).distinct.sorted
+    val batches = cuts.zip(cuts.tail).map { case (a, b) =>
+      scala.util.Random.shuffle(events.slice(a, b)) // in-batch disorder
+    }.filter(_.nonEmpty)
+    val sentinel = EventStream.PriceEvent("zzz_sentinel", 1.0,
+      new java.sql.Timestamp((events.map(_.ts.getTime).max) + 10 * gapSec * 1000L))
+
+    val mem = MemoryStream[EventStream.PriceEvent]
+    val sessions = EventStream.expiredSessions(
+      mem.toDS().withWatermark("ts", "0 seconds"),
+      gap = java.time.Duration.ofSeconds(gapSec))
+    val q = sessions.toDF().writeStream.outputMode("append")
+      .format("memory").queryName("sessions_prop").start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      mem.addData(sentinel)
+      q.processAllAvailable()
+      val got = spark.table("sessions_prop")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val expected = events.toDF()
+        .groupBy(col("product_id"),
+          session_window(col("ts"), s"$gapSec seconds").as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("price") * 100).cast("long")).as("cents"))
+        .collect().map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Long]("cents")))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      // multiset equality: a key can close several identical sessions
+      assert(got == expected,
+        s"streaming sessions diverge from batch session_window: " +
+          s"only-streaming=${(got.toSet -- expected.toSet).take(5)} " +
+          s"only-batch=${(expected.toSet -- got.toSet).take(5)}")
+    } finally q.stop()
+  }
+
   test("stream-static broadcast join enriches facts with dimension rows") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Double)]
