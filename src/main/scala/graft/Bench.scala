@@ -57,6 +57,16 @@ object Bench {
       // the JIT state of the previous (now-discarded) class. Any long-lived
       // app serving a query catalog wants this sized to its working set.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // ObjectHashAggregate (every TypedImperativeAggregate: MinByOrd,
+      // the merge fold, collect_set over arrays) falls back to FULL
+      // SORT-BASED aggregation after only 128 distinct keys per
+      // partition — the default turns the a1/a1b rollups into external
+      // sorts of the unreduced input at sf10 (measured: a1b 57→36 s).
+      // 128k keys/partition × O(100 B) buffers is a few MB of executor
+      // memory — the right trade anywhere short of billions of groups
+      // per partition.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "131072"))
       // streaming state/commit logs on tmpfs: micro-batch commit latency is
       // filesystem fsync, not plan work (a cluster would put this on fast
       // shared storage); falls back to the default temp dir if absent

@@ -3245,9 +3245,16 @@ object Queries {
     val mwl = col("st.tok_chars").cast("double") / col("st.n_tok")
     val stopR = col("st.stop_all").cast("double") / col("st.n_tok")
     val punctR = col("st.punct").cast("double") / col("st.chars")
+    // LAZY checkpoint: the gated corpus has FIVE downstream consumers
+    // (band keys, verify gram sets, the CC seed, the survivor join, and
+    // through it decontamination + packing) with different prunings, so
+    // exchange reuse never kicks in and the TextStats gate chain would
+    // re-scan the full corpus per consumer. Materialized once on the
+    // first job; on a cluster this would be a reliable checkpoint.
     val kept = g.where(col("st.n_tok") >= 10 && col("st.n_tok") <= 5000 &&
         mwl >= 2.0 && mwl <= 12.0 && stopR >= 0.05 && punctR <= 0.2)
       .select("doc_id", "source", "text")
+      .localCheckpoint(false)
     // 2. near-dedup: MinHash pairs over the kept set (the fixture has no
     // EXACT dups, so a fingerprint stage would be a provable no-op),
     // clustered, one canonical min-id survivor per cluster

@@ -16,6 +16,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // see Bench.scala: the 128-key ObjectHashAggregate sort fallback
+      // would run every typed-imperative aggregation as a full sort
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "131072")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -136,7 +136,20 @@ object Dedup {
     * local-checkpointed so downstream pair generation reads one compact
     * materialized table and the per-level caches can be released. On a
     * cluster the checkpoint would be reliable storage; the driver never
-    * holds data rows, only per-level flooded counts. */
+    * holds data rows, only per-level flooded counts.
+    *
+    * Recall/cost frontier, measured at sf10 (500k docs, d2 params,
+    * single pass, local[32]): the refinement machinery itself is cheap —
+    * the loop terminates at depth 2 (1.45M flooded banded rows → 163k →
+    * 0) in ~27 s — but end-to-end the adaptive plan costs ~3.6× the
+    * capped plan (164 s vs 45 s). The difference is not overhead: it is
+    * the candidate pairs of the buckets the cap silently DROPPED (72% of
+    * banded rows sat in flooded buckets), now generated and exactly
+    * verified. Capped recall at that scale is 0.71 on planted exact
+    * duplicates (ScaleCheck C3); refined recall is 1.00 exact / 0.89
+    * near. Callers who prefer the old speed at the old recall can pass
+    * `refineRows = 0` explicitly or a larger `adaptiveMinDocs` to
+    * [[neardupPairs]]. */
   private def refineBuckets(banded: DataFrame, df: DataFrame,
                             textCol: String, idCol: String, shingleN: Int,
                             maxBucket: Int, refineRows: Int): DataFrame = {
@@ -146,13 +159,18 @@ object Dedup {
     var cur = banded // (doc, band, key) at lvl 0; + tail once flooded
     var lvl = 0
     var exhausted = false
+    val debug = sys.env.get("SPARK_GRAFT_REFINE_DEBUG").contains("true")
     while (!exhausted && lvl < refineRows) {
+      val t0 = System.nanoTime()
       val counts = cur.groupBy("band", "key").agg(count(lit(1)).as("__n"))
       val joined = cur.join(counts, Seq("band", "key"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       persisted += joined
       val over = joined.where(col("__n") > maxBucket)
-      if (over.isEmpty) { // all buckets fit — no further levels needed
+      val nOver = if (debug) over.count() else if (over.isEmpty) 0L else 1L
+      if (debug) System.err.println(
+        f"[refine] lvl $lvl flooded rows $nOver%d  (${(System.nanoTime() - t0) / 1e9}%.1f s)")
+      if (nOver == 0L) { // all buckets fit — no further levels needed
         done += joined.drop("__n", "tail")
         exhausted = true
       } else {
