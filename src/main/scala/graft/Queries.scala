@@ -1994,7 +1994,11 @@ object Queries {
     * count); the oracle computes the same fixpoint with a recursive CTE. */
   def d8NeardupClusters(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).where(length(normalizeText(col("text"))) > 0)
-    val pairs = Dedup.minhashNearDup(d, "text", "doc_id", bands = 4, rowsPerBand = 2,
+    // the AUTO entry point, same as d2: the clustering must see the SAME
+    // pair set the detection step reports, at every corpus size — a
+    // capped d8 under an adaptive d2 would put recovered pairs in
+    // different clusters (ScaleCheck C4 catches exactly that divergence)
+    val pairs = Dedup.neardupPairs(d, "text", "doc_id", bands = 4, rowsPerBand = 2,
       threshold = 0.2, shingleN = 2)
     Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
       .select(col("id").as("doc_id"), col("cluster_id"))
@@ -2024,7 +2028,7 @@ object Queries {
     * labels — both shuffle on the id, nothing broadcast. */
   def d10DedupApply(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).where(length(normalizeText(col("text"))) > 0)
-    val pairs = Dedup.minhashNearDup(d, "text", "doc_id", bands = 4, rowsPerBand = 2,
+    val pairs = Dedup.neardupPairs(d, "text", "doc_id", bands = 4, rowsPerBand = 2,
       threshold = 0.2, shingleN = 2)
     val labels = Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
     labels.groupBy(col("cluster_id"))
@@ -2858,7 +2862,7 @@ object Queries {
     * collected, and the only broadcast is the 5-row rate table. */
   def x22bPretrainNearDedup(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).where(length(normalizeText(col("text"))) > 0)
-    val pairs = Dedup.minhashNearDup(d, "text", "doc_id", bands = 4,
+    val pairs = Dedup.neardupPairs(d, "text", "doc_id", bands = 4,
       rowsPerBand = 2, threshold = 0.2, shingleN = 2)
     val labels = Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
     val keep = d.join(
@@ -3258,7 +3262,7 @@ object Queries {
     // 2. near-dedup: MinHash pairs over the kept set (the fixture has no
     // EXACT dups, so a fingerprint stage would be a provable no-op),
     // clustered, one canonical min-id survivor per cluster
-    val pairs = graft.operators.Dedup.minhashNearDup(kept, "text", "doc_id",
+    val pairs = graft.operators.Dedup.neardupPairs(kept, "text", "doc_id",
       bands = 4, rowsPerBand = 2, threshold = 0.2, shingleN = 2)
     val labels = graft.operators.Dedup.connectedComponents(
       kept.select(col("doc_id").as("id")), pairs)
@@ -3387,7 +3391,7 @@ object Queries {
     * itself is free. */
   def x17ClusterSplit(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).where(length(normalizeText(col("text"))) > 0)
-    val pairs = Dedup.minhashNearDup(d, "text", "doc_id", bands = 4, rowsPerBand = 2,
+    val pairs = Dedup.neardupPairs(d, "text", "doc_id", bands = 4, rowsPerBand = 2,
       threshold = 0.2, shingleN = 2)
     val labels = Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
     val bucket = graft.operators.Sampling.hashBucket(

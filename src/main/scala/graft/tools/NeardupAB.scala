@@ -1,0 +1,77 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A/B harness for the two MinHash-LSH bucket strategies at the d2
+  * parameters (bench tooling): fixed-cap buckets (`refineRows = 0` —
+  * flooded buckets dropped, the pre-round-8 plan) vs adaptive bucket
+  * refinement (`refineRows = 8` — flooded buckets split by the salted
+  * refinement hash family, `Dedup.refineBuckets`). ScaleCheck C3 proved
+  * the recall difference at sf10 (capped 0.71 exact vs refined 1.00);
+  * this tool prices it — the wall-clock cost of generating and exactly
+  * verifying the candidate pairs the cap silently dropped — so the
+  * recall/cost frontier in the `refineBuckets` scaladoc is a published
+  * measurement, not an assertion.
+  *
+  * Single timed pass per arm by default (the sf10 arms run minutes and
+  * amortize codegen internally; SPARK_GRAFT_PASSES=2 for min-of-two at
+  * small sf). Also reports each arm's pair count: refined ⊇ capped on
+  * any corpus (refinement only ADDS surviving buckets), asserted here.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.tools.NeardupAB
+  */
+object NeardupAB {
+  def main(args: Array[String]): Unit = {
+    System.setProperty("graft.cacheTables", "true")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val passes = sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).getOrElse(1)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", math.max(1, cpus.toInt / 2))
+      .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .where(length(graft.functions.TextFunctions.normalizeText(col("text"))) > 0)
+      .cache()
+    val nDocs = docs.count()
+
+    def arm(refineRows: Int): DataFrame =
+      graft.operators.Dedup.minhashNearDup(docs, "text", "doc_id",
+        bands = 4, rowsPerBand = 2, threshold = 0.2, shingleN = 2,
+        refineRows = refineRows)
+
+    // time a full materialization; min over `passes` runs (the cache is
+    // filled on the LAST pass so the ⊇ check below reads a warm arm)
+    def time(mk: => DataFrame): (Double, Long, DataFrame) = {
+      var best = Double.MaxValue
+      var last: DataFrame = null
+      var rows = -1L
+      for (p <- 1 to passes) {
+        val d = mk
+        val t0 = System.nanoTime()
+        if (p == passes) { last = d.cache(); rows = last.count() }
+        else d.write.format("noop").mode("overwrite").save()
+        best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      }
+      (best, rows, last)
+    }
+
+    val (cs, cRows, capped) = time(arm(0))
+    val (rs, rRows, refined) = time(arm(8))
+    // refinement only splits flooded buckets it would otherwise DROP, so
+    // its pair set must contain every capped pair
+    val lost = capped.join(refined, Seq("id_a", "id_b"), "left_anti").count()
+    require(lost == 0, s"refined plan lost $lost capped pairs — refinement must only ADD")
+    println(f"""{"tool":"NeardupAB","sf_dir":"$sfDir","n_docs":$nDocs,"capped_s":$cs%.1f,"refined_s":$rs%.1f,"capped_pairs":$cRows,"refined_pairs":$rRows,"cost_ratio":${rs / cs}%.2f}""")
+    spark.stop()
+  }
+}
