@@ -3349,7 +3349,7 @@ object Queries {
     * match at or above the threshold. */
   def x14IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).where(length(normalizeText(col("text"))) > 0)
-    Dedup.incrementalNearDup(
+    Dedup.incrementalPairs(
         history = d.where(col("doc_id") % 2 === 0),
         incoming = d.where(col("doc_id") % 2 === 1),
         "text", "doc_id", bands = 4, rowsPerBand = 2,

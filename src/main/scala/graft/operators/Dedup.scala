@@ -150,9 +150,13 @@ object Dedup {
     * near. Callers who prefer the old speed at the old recall can pass
     * `refineRows = 0` explicitly or a larger `adaptiveMinDocs` to
     * [[neardupPairs]]. */
-  private def refineBuckets(banded: DataFrame, df: DataFrame,
-                            textCol: String, idCol: String, shingleN: Int,
+  private def refineBuckets(banded: DataFrame, texts: DataFrame,
+                            textCol: String, shingleN: Int,
                             maxBucket: Int, refineRows: Int): DataFrame = {
+    // banded: (doc, band, key); texts: (doc, <textCol>). `doc` may be any
+    // equality-comparable value — a plain id for self-dedup, a
+    // struct(side, id) for the two-corpus incremental case (whose id
+    // spaces may legitimately collide, so the side must ride in the key).
     import org.apache.spark.storage.StorageLevel
     val persisted = scala.collection.mutable.ListBuffer.empty[DataFrame]
     val done = scala.collection.mutable.ListBuffer.empty[DataFrame]
@@ -178,10 +182,9 @@ object Dedup {
         val withTail =
           if (lvl > 0) over.drop("__n") // tail attached at first flood
           else {
-            val tails = df
-              .join(over.select(col("doc")).distinct()
-                .withColumnRenamed("doc", idCol), idCol)
-              .select(col(idCol).as("doc"), graft.functions.NativeTextColumns
+            val tails = texts
+              .join(over.select(col("doc")).distinct(), "doc")
+              .select(col("doc"), graft.functions.NativeTextColumns
                 .minhashRefine(col(textCol), refineRows, shingleN).as("tail"))
             over.drop("__n").join(tails, "doc")
           }
@@ -205,7 +208,8 @@ object Dedup {
     val banded0 = bandedKeys(df, textCol, idCol, bands, rowsPerBand, shingleN)
     val banded =
       if (refineRows > 0)
-        refineBuckets(banded0, df, textCol, idCol, shingleN, maxBucket, refineRows)
+        refineBuckets(banded0, df.select(col(idCol).as("doc"), col(textCol)),
+          textCol, shingleN, maxBucket, refineRows)
       else banded0
     // bucket-local pair generation: group each LSH bucket, emit its ordered
     // pairs from the sorted member array — one shuffle on the bucket key,
@@ -322,20 +326,51 @@ object Dedup {
     * same guard as [[minhashCandidates]]). Returns one row per matched
     * new document: its best history match (highest jaccard, ties to the
     * smallest history id) at or above `threshold` — the drop list, with
-    * provenance. */
+    * provenance.
+    *
+    * @param refineRows 0 = fixed-cap buckets (flooded buckets dropped);
+    *        > 0 = adaptive refinement as in [[minhashCandidates]], run
+    *        over the UNION of both sides' banded keys so a flooded
+    *        bucket's key is extended identically on both sides (the
+    *        refinement row is a pure function of the text, so a history
+    *        doc and its incoming near-duplicate stay co-bucketed at every
+    *        depth; splitting one side alone would break the equi-join).
+    *        Flooding is judged on the combined occupancy n_hist + n_new —
+    *        the candidate join's work for a bucket is the product, so the
+    *        sum bounds the larger factor — and the per-side `maxBucket`
+    *        cap still applies to whatever refinement could not split.
+    *        Use [[incrementalPairs]] to pick this automatically. */
   def incrementalNearDup(history: DataFrame, incoming: DataFrame,
                          textCol: String, idCol: String,
                          bands: Int, rowsPerBand: Int,
                          threshold: Double, shingleN: Int = 1,
-                         maxBucket: Int = 1000): DataFrame = {
-    def capped(df: DataFrame) = {
-      val b = bandedKeys(df, textCol, idCol, bands, rowsPerBand, shingleN)
+                         maxBucket: Int = 1000, refineRows: Int = 0): DataFrame = {
+    // side-qualified doc key: the two id spaces may overlap (a re-ingested
+    // document exists in both), so refinement and bucket splits key on
+    // struct(side, id), never the bare id
+    def sideBanded(df: DataFrame, tag: String) =
+      bandedKeys(df, textCol, idCol, bands, rowsPerBand, shingleN)
+        .select(struct(lit(tag).as("side"), col("doc").as("id")).as("doc"),
+          col("band"), col("key"))
+    val banded0 = sideBanded(incoming, "n").unionByName(sideBanded(history, "h"))
+    val banded =
+      if (refineRows > 0) {
+        def sideTexts(df: DataFrame, tag: String) =
+          df.select(struct(lit(tag).as("side"), col(idCol).as("id")).as("doc"),
+            col(textCol))
+        refineBuckets(banded0,
+          sideTexts(incoming, "n").unionByName(sideTexts(history, "h")),
+          textCol, shingleN, maxBucket, refineRows)
+      } else banded0
+    def capped(tag: String) = {
+      val b = banded.where(col("doc.side") === tag)
+        .select(col("doc.id").as("doc"), col("band"), col("key"))
       val ok = b.groupBy("band", "key").agg(count(lit(1)).as("n"))
         .where(col("n") <= maxBucket).drop("n")
       b.join(ok, Seq("band", "key"))
     }
-    val cands = capped(incoming).withColumnRenamed("doc", "id_a")
-      .join(capped(history).withColumnRenamed("doc", "id_b"), Seq("band", "key"))
+    val cands = capped("n").withColumnRenamed("doc", "id_a")
+      .join(capped("h").withColumnRenamed("doc", "id_b"), Seq("band", "key"))
       .select("id_a", "id_b").distinct()
     // verify each side against ITS OWN gram-set table (not a union keyed
     // on idCol): the two id spaces may overlap — a re-ingested document
@@ -357,6 +392,29 @@ object Dedup {
     val w = Window.partitionBy("id_a").orderBy(desc("jaccard"), col("id_b"))
     scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col("id_a").as("new_id"), col("id_b").as("hist_id"), col("jaccard"))
+  }
+
+  /** Incremental near-dedup with automatic bucket-strategy choice — the
+    * entry point callers should use (gates x14 the way [[neardupPairs]]
+    * gates d2). The switch input is the COMBINED corpus size
+    * history + incoming: bucket occupancy on the history side grows with
+    * the history, and a flooded history bucket silently drops incoming
+    * matches under the fixed cap exactly as in the self-dedup case.
+    * Results are identical to the fixed-cap plan whenever no bucket
+    * floods — every corpus below the switch point.
+    *
+    * @param numDocs combined row count if the caller already knows it
+    *        (skips two counting jobs — a daily pipeline deduping against
+    *        a 100 TB history should pass catalog statistics). */
+  def incrementalPairs(history: DataFrame, incoming: DataFrame,
+                       textCol: String, idCol: String,
+                       bands: Int, rowsPerBand: Int,
+                       threshold: Double, shingleN: Int = 1,
+                       maxBucket: Int = 1000, adaptiveMinDocs: Long = 100000,
+                       numDocs: Option[Long] = None): DataFrame = {
+    val n = numDocs.getOrElse(history.count() + incoming.count())
+    incrementalNearDup(history, incoming, textCol, idCol, bands, rowsPerBand,
+      threshold, shingleN, maxBucket, neardupPlan(n, adaptiveMinDocs))
   }
 
   /** Connected components over near-duplicate pairs: every document gets

@@ -175,6 +175,26 @@ object ScaleCheck {
     val overstated = trueJaccard(d4b).where(col("jaccard") > col("true_j") + 5e-5).count()
     check("C6_d4b_lower_bound", overstated == 0, s"overstated=$overstated")
 
+    // C7 — incremental dedup recall (x14): history = even ids, incoming =
+    // odd ids, and every planted pair is (id−1, id), so a planted pair
+    // with odd id_b is always CROSS-SIDE — its incoming doc must surface
+    // in the drop list. Asserted ≥0.95 on planted exact dups under the
+    // auto entry (refinement holds at any corpus size); near-dup (one
+    // token swapped, still ≫ the 0.2 threshold) reported alongside.
+    val x14 = run("x14_incremental_dedup").cache()
+    val matched = x14.select(col("new_id").as("id_b"))
+    def x14Recall(exact: Boolean): (Double, Long, Long) = {
+      val p = planted.where(col("is_exact") === exact && col("id_b") % 2 === 1)
+      val n = p.count()
+      val f = p.join(matched, "id_b").count()
+      (if (n == 0) 1.0 else f.toDouble / n, f, n)
+    }
+    val (x14E, x14Ef, x14En) = x14Recall(exact = true)
+    val (x14N, x14Nf, x14Nn) = x14Recall(exact = false)
+    check("C7_x14_incremental_recall", x14E >= 0.95,
+      f"exact_recall=$x14E%.4f ($x14Ef/$x14En) near_recall=$x14N%.4f ($x14Nf/$x14Nn)")
+    x14.unpersist()
+
     regen.unpersist(); d2.unpersist(); d2b.unpersist(); d8.unpersist(); d10.unpersist()
     val ok = failures.isEmpty
     println(s"""{"scalecheck":"${if (ok) "PASS" else "FAIL"}","sf_dir":"$sfDir","n_docs":$nDocs,"failed":${failures.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")

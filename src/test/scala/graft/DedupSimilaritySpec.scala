@@ -217,6 +217,60 @@ class DedupSimilaritySpec extends SparkSuite {
       numDocs = Some(200000L))) == fixed)
   }
 
+  test("incremental refinement: cross-side flooded buckets split, matches recovered") {
+    // same pigeonhole corpus as the self-dedup flood test, but the 4
+    // copies of each 3-word subset are SPLIT across sides: history gets
+    // copies 0-1, incoming copies 2-3. With one band of one minhash row
+    // at most 5 distinct keys carry 10 subsets, so some bucket holds ≥2
+    // subsets = 4 docs PER SIDE > maxBucket=3 and the fixed cap drops
+    // both sides of it — the incoming docs' exact history duplicates are
+    // silently missed. Refinement splits the bucket by reserve rows
+    // identically on both sides (the key extension is a pure function of
+    // the text), so every incoming doc recovers its history match; the
+    // 2-per-side residual of identical docs passes the per-side cap.
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val subsets = vocab.combinations(3).toSeq // 10 subsets
+    val all = subsets.zipWithIndex.flatMap { case (ws, si) =>
+      (0 until 4).map(c => ((si * 4 + c).toLong, ws.mkString(" ")))
+    }
+    val hist = all.filter(_._1 % 4 < 2).toDF("doc_id", "text")
+    val incoming = all.filter(_._1 % 4 >= 2).toDF("doc_id", "text")
+    def run(refine: Int) = Dedup.incrementalNearDup(hist, incoming,
+        "text", "doc_id", bands = 1, rowsPerBand = 1, threshold = 0.99,
+        shingleN = 1, maxBucket = 3, refineRows = refine)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val capped = run(0)
+    val refined = run(6)
+    // truth: every incoming doc is an exact dup of its subset's two
+    // history copies; best match ties to the smallest history id si*4
+    val truth = (0 until 10).flatMap { si =>
+      Seq((si * 4 + 2).toLong, (si * 4 + 3).toLong).map(n => (n, si * 4L, 1.0))
+    }.toSet
+    assert(refined == truth, s"refined missed ${(truth -- refined).size} matches")
+    assert(capped.subsetOf(refined))
+    assert(capped.size < truth.size, "cap never flooded — test corpus too small")
+  }
+
+  test("incrementalPairs auto entry: both arms agree below the switch; hint forces adaptive") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(length(TextFunctions.normalizeText(col("text"))) > 0)
+    val hist = d.where(col("doc_id") % 2 === 0)
+    val inc = d.where(col("doc_id") % 2 === 1)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fixed = rows(Dedup.incrementalNearDup(hist, inc, "text", "doc_id",
+      bands = 4, rowsPerBand = 2, threshold = 0.2, shingleN = 2))
+    assert(fixed.nonEmpty)
+    // auto below the switch = the fixed plan
+    assert(rows(Dedup.incrementalPairs(hist, inc, "text", "doc_id",
+      bands = 4, rowsPerBand = 2, threshold = 0.2, shingleN = 2)) == fixed)
+    // auto forced adaptive via the numDocs hint: nothing floods at this
+    // scale, so the strategy choice must not change results
+    assert(rows(Dedup.incrementalPairs(hist, inc, "text", "doc_id",
+      bands = 4, rowsPerBand = 2, threshold = 0.2, shingleN = 2,
+      numDocs = Some(200000L))) == fixed)
+  }
+
   test("adaptive refinement: identical output to capped when nothing floods") {
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .where(length(TextFunctions.normalizeText(col("text"))) > 0)
