@@ -91,6 +91,11 @@ object Bench {
         .asScala.map(_.getCollectionTime).sum
 
     def timed(name: String): Double = {
+      // start line BEFORE the run: a multi-hour sf run that dies
+      // mid-query must leave the query's name in the log (the r8 sf10
+      // attempt was unattributable for 13 minutes because nothing
+      // printed until completion)
+      System.err.println(s"[bench] start $name")
       val t0 = System.nanoTime()
       val g0 = gcMillis()
       try {
@@ -99,7 +104,7 @@ object Bench {
         val gc = gcMillis() - g0
         // GC share per query on stderr — separates allocation pressure
         // (fix the operator) from plan work (fix the plan)
-        if (gc > 100) System.err.println(f"[bench] $name%-28s ${sec}%6.2f s  gc ${gc}%4d ms")
+        System.err.println(f"[bench] $name%-28s ${sec}%6.2f s  gc ${gc}%4d ms")
         sec
       }
       catch { case NonFatal(e) =>
@@ -144,6 +149,12 @@ object Bench {
     // wall clock buys nothing: SPARK_GRAFT_PASSES=1 times a single pass,
     // SPARK_GRAFT_WARMUP=0 skips the warmup.
     val passes = sys.env.get("SPARK_GRAFT_PASSES").flatMap(_.toIntOption).getOrElse(2)
+    // cache fill is untimed at EVERY setting: with the full warmup it
+    // rides the first pass; without it (big-sf single-pass runs) the
+    // explicit prewarm keeps the 60M-row repartition+columnar build out
+    // of the first query's number (measured: cold a1 at sf10 = 513 s vs
+    // 75 s warm — the difference is the fill, not the plan)
+    Queries.prewarmTables(spark, sfDir)
     if (!sys.env.get("SPARK_GRAFT_WARMUP").contains("0"))
       names.foreach(n => try force(n) catch { case NonFatal(_) => () })
     val pass1 = names.map(n => n -> timed(n)).toMap

@@ -21,6 +21,11 @@ object BenchOne {
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // match Bench's session exactly — an a1 experiment here that ran
+      // sort-based while Bench ran hash-based would optimize the wrong
+      // plan (see Bench.scala for why 128k)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OHA_FALLBACK", "131072"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
