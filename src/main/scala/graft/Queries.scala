@@ -3091,6 +3091,24 @@ object Queries {
       .sortSmall("doc_id")
   }
 
+  /** X9c — decontamination through the AUTO entry point
+    * ([[graft.operators.Decontaminate.overlap]]): same result as
+    * x9/x9b, but the plan is chosen from the eval side's postings count
+    * — here (and at any benchmark-sized eval set) the broadcast
+    * inverted-index pass, which streams the corpus through ONE narrow
+    * codegen'd stage instead of materializing (corpus gram × eval
+    * posting) join rows. The join formulations measure exponent ~2 on
+    * this closed-vocabulary corpus between sf1 and sf10 (the r9 scale
+    * finding); the index plan holds linear. */
+  def x9cDecontaminateAuto(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).where(length(normalizeText(col("text"))) > 0)
+    graft.operators.Decontaminate.overlap(
+        corpus = d.where(col("doc_id") % 50 =!= 0),
+        evalSet = d.where(col("doc_id") % 50 === 0),
+        textCol = "text", idCol = "doc_id", shingleN = 2, threshold = 0.2)
+      .sortSmall("doc_id")
+  }
+
   /** X10 — sequence packing (concat-then-chunk, 512-token budget, per
     * source, ordered by doc_id): per-pack document counts and token sums. */
   def x10SequencePacking(s: SparkSession, dir: String): DataFrame =
@@ -4056,6 +4074,7 @@ object Queries {
     "x8_keyword_terms" -> x8KeywordTerms,
     "x9_decontaminate" -> x9Decontaminate,
     "x9b_decontaminate_bloom" -> x9bDecontaminateBloom,
+    "x9c_decontaminate_auto" -> x9cDecontaminateAuto,
     "x10_sequence_packing" -> x10SequencePacking,
     "x11_repetition" -> x11Repetition,
     "x12_source_cap" -> x12SourceCap,
@@ -4156,6 +4175,7 @@ object Queries {
     "x8_keyword_terms" -> x8Sql,
     "x9_decontaminate" -> x9Sql,
     "x9b_decontaminate_bloom" -> x9Sql,
+    "x9c_decontaminate_auto" -> x9Sql,
     "x10_sequence_packing" -> x10Sql,
     "x11_repetition" -> x11Sql,
     "x12_source_cap" -> x12Sql,

@@ -96,4 +96,91 @@ object Decontaminate {
       .where(col("rn") === 1 && col("overlap") >= threshold)
       .select("doc_id", "eval_id", "overlap")
   }
+
+  /** [[overlapAgainst]] as a ZERO-SHUFFLE corpus pass: the eval set's
+    * gram → eval-id inverted index is built once (one aggregation +
+    * driver collect of the distinct (gram, eval) postings — small-side
+    * bounded, like the Bloom build) and shipped to every task; each
+    * corpus document then counts its per-eval intersections LOCALLY
+    * inside one codegen'd stage ([[graft.functions.TopEvalOverlap]])
+    * and emits only its argmax row.
+    *
+    * Why this exists: the inverted-index JOIN formulation streams one
+    * row per (corpus gram × matching eval posting) — on corpora whose
+    * gram vocabulary is much smaller than the document count (templated
+    * or short documents, closed vocabularies) that is quadratic in the
+    * corpus, measured exponent ~2 between sf1 and sf10 on the synthetic
+    * corpus (14 s → killed at 20+ min; this plan: seconds). The index
+    * plan does the same intersection arithmetic but materializes no
+    * pair rows and shuffles nothing: cost is O(corpus grams × postings
+    * hit) simple array ops, spread map-side, with output one row per
+    * contaminated document.
+    *
+    * Identical output to [[overlapAgainst]]: the argmax compares the
+    * SAME round₄(inter/n) value the join plan sorts on (exact long
+    * arithmetic), ties to the smallest eval id. Requires the eval
+    * postings to fit in a task payload — decontamination eval sets are
+    * benchmark-sized by nature; [[overlap]] gates on a postings budget
+    * and falls back to the join plan. */
+  def overlapAgainstIndex(corpus: DataFrame, evalSet: DataFrame, textCol: String,
+                          idCol: String, shingleN: Int, threshold: Double): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val postings = evalSet
+      .select(col(idCol).cast("long").as("eval_id"),
+        explode(Dedup.gramHashSet(col(textCol), shingleN)).as("gram"))
+      .collect() // distinct by construction: gramHashSet is a set per doc
+    // slots in ascending eval-id order → smallest slot == smallest id
+    val evalIds = postings.map(_.getLong(0)).distinct.sorted
+    val slotOf = evalIds.zipWithIndex.toMap
+    val byGram = new java.util.TreeMap[Long, scala.collection.mutable.ArrayBuffer[Int]]()
+    postings.foreach { r =>
+      byGram.computeIfAbsent(r.getLong(1),
+        _ => scala.collection.mutable.ArrayBuffer.empty[Int]) += slotOf(r.getLong(0))
+    }
+    val gramKeys = new Array[Long](byGram.size())
+    val offsets = new Array[Int](byGram.size() + 1)
+    val lists = scala.collection.mutable.ArrayBuilder.make[Int]
+    var i = 0
+    byGram.entrySet().asScala.foreach { e =>
+      gramKeys(i) = e.getKey
+      offsets(i + 1) = offsets(i) + e.getValue.length
+      lists ++= e.getValue.sorted
+      i += 1
+    }
+    val index = new graft.functions.OverlapEvalIndex(
+      gramKeys, offsets, lists.result(), evalIds)
+    corpus
+      .select(col(idCol).as("doc_id"),
+        Dedup.gramHashSet(col(textCol), shingleN).as("g"))
+      .withColumn("best",
+        graft.functions.OverlapIndexColumns.topEvalOverlap(col("g"), index))
+      .where(col("best").isNotNull)
+      .select(col("doc_id"), col("best.eval_id").as("eval_id"),
+        round(col("best.inter").cast("double") / size(col("g")), 4).as("overlap"))
+      .where(col("overlap") >= threshold)
+  }
+
+  /** Entry point with automatic plan choice (the d4c/neardupPairs
+    * pattern): the broadcast-index plan while the eval side's postings
+    * fit a task payload, the Bloom-reduced inverted-index join beyond.
+    * `numEvalPostings` lets callers pass catalog statistics instead of
+    * paying the sizing aggregation (one job over the SMALL side only —
+    * never the corpus).
+    *
+    * The default budget (4M postings ≈ ~64 MB of index) is a task
+    * payload bound, not a correctness bound: both plans are exact. */
+  def overlap(corpus: DataFrame, evalSet: DataFrame, textCol: String,
+              idCol: String, shingleN: Int, threshold: Double,
+              indexMaxPostings: Long = 4000000L,
+              numEvalPostings: Option[Long] = None): DataFrame = {
+    val n = numEvalPostings.getOrElse {
+      val r = evalSet.select(
+        sum(size(Dedup.gramHashSet(col(textCol), shingleN)))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0) // null sum == empty eval set
+    }
+    if (n <= indexMaxPostings)
+      overlapAgainstIndex(corpus, evalSet, textCol, idCol, shingleN, threshold)
+    else
+      overlapAgainstBloom(corpus, evalSet, textCol, idCol, shingleN, threshold)
+  }
 }

@@ -68,6 +68,40 @@ class CurationSpec extends SparkSuite {
       .contains("graft_bloom_might_contain"))
   }
 
+  test("index decontamination: identical result to the exact join; zero-" +
+      "shuffle argmax runs through the broadcast inverted index") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(fn: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        String, String, Int, Double) => org.apache.spark.sql.DataFrame) =
+      fn(d.where(col("doc_id") % 10 =!= 0), d.where(col("doc_id") % 10 === 0),
+          "text", "doc_id", 2, 0.1)
+    val exact = run(Decontaminate.overlapAgainst(_, _, _, _, _, _))
+    val indexed = run(Decontaminate.overlapAgainstIndex(_, _, _, _, _, _))
+    assert(indexed.collect().map(_.toSeq).toSet == exact.collect().map(_.toSeq).toSet)
+    assert(indexed.queryExecution.executedPlan.toString
+      .contains("graft_top_eval_overlap"))
+    // the whole corpus side is ONE narrow stage: no shuffle anywhere
+    assert(!indexed.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
+  test("decontamination auto entry: postings budget picks index vs bloom-" +
+      "join plan; both produce the join formulation's exact result") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (corpus, evalSet) =
+      (d.where(col("doc_id") % 10 =!= 0), d.where(col("doc_id") % 10 === 0))
+    val exact = Decontaminate.overlapAgainst(
+      corpus, evalSet, "text", "doc_id", 2, 0.1).collect().map(_.toSeq).toSet
+    val viaIndex = Decontaminate.overlap(corpus, evalSet, "text", "doc_id", 2, 0.1)
+    val viaBloom = Decontaminate.overlap(corpus, evalSet, "text", "doc_id", 2, 0.1,
+      indexMaxPostings = 1L) // force the fallback arm
+    assert(viaIndex.queryExecution.executedPlan.toString
+      .contains("graft_top_eval_overlap"))
+    assert(viaBloom.queryExecution.executedPlan.toString
+      .contains("graft_bloom_might_contain"))
+    assert(viaIndex.collect().map(_.toSeq).toSet == exact)
+    assert(viaBloom.collect().map(_.toSeq).toSet == exact)
+  }
+
   test("bloom might-contain: no false negatives; codegen and interpreted agree") {
     import graft.functions.BloomFilterColumns
     val keys = (1L to 500L).map(_ * 7919L)
