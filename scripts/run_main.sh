@@ -15,8 +15,15 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
+# -Xms=-Xmx + AlwaysPreTouch: fault the whole heap in ONCE at JVM start,
+# outside any timed window. This VM guest pays heavily for first-touch
+# page faults under host memory pressure (measured: 50-95% guest-kernel
+# time during big-heap runs, zero steal); pre-touching moves that cost to
+# startup and keeps it out of query timings. Keep SPARK_DRIVER_MEM modest
+# (default 8g, big-sf runs ~24g): a 60g heap's fault+GC footprint alone
+# degraded identical queries 4-20x here.
 exec java $ADD_OPENS \
-  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -Xms"${SPARK_DRIVER_MEM:-8g}" -Xmx"${SPARK_DRIVER_MEM:-8g}" -XX:+AlwaysPreTouch \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
   "$MAIN" "$@"

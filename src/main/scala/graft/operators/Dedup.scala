@@ -139,17 +139,21 @@ object Dedup {
     * holds data rows, only per-level flooded counts.
     *
     * Recall/cost frontier, measured at sf10 (500k docs, d2 params,
-    * single pass, local[32]): the refinement machinery itself is cheap —
-    * the loop terminates at depth 2 (1.45M flooded banded rows → 163k →
-    * 0) in ~27 s — but end-to-end the adaptive plan costs ~3.6× the
-    * capped plan (164 s vs 45 s). The difference is not overhead: it is
-    * the candidate pairs of the buckets the cap silently DROPPED (72% of
-    * banded rows sat in flooded buckets), now generated and exactly
-    * verified. Capped recall at that scale is 0.71 on planted exact
-    * duplicates (ScaleCheck C3); refined recall is 1.00 exact / 0.89
-    * near. Callers who prefer the old speed at the old recall can pass
-    * `refineRows = 0` explicitly or a larger `adaptiveMinDocs` to
-    * [[neardupPairs]]. */
+    * single pass, local[32]; r9 NeardupAB re-measurement): the
+    * refinement machinery itself is cheap — the loop terminates at
+    * depth 2 (1.45M flooded banded rows → 163k → 0) — and end-to-end
+    * the adaptive plan costs ~2× the capped plan (same-process A/B
+    * cost_ratio 2.05; the r8 session measured 3.6× — absolute times
+    * swing with environment, the ratio's order does not). The
+    * difference is not overhead: it is the candidate pairs of the
+    * buckets the cap silently DROPPED (72% of banded rows sat in
+    * flooded buckets), now generated and exactly verified. Capped
+    * recall at that scale is 0.71 on planted exact duplicates
+    * (ScaleCheck C3); refined recall is 1.00 exact / 0.89 near. Across
+    * the sf1→sf10 decade the adaptive plan itself scales LINEARLY
+    * (d2b exponent 1.02, BENCH_NOTES r9). Callers who prefer the old
+    * speed at the old recall can pass `refineRows = 0` explicitly or a
+    * larger `adaptiveMinDocs` to [[neardupPairs]]. */
   private def refineBuckets(banded: DataFrame, texts: DataFrame,
                             textCol: String, shingleN: Int,
                             maxBucket: Int, refineRows: Int): DataFrame = {
