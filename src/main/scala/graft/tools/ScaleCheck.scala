@@ -26,9 +26,12 @@ import org.apache.spark.sql.functions._
   *  - C3 planted recall, asserted ≥ 0.95 on the ADAPTIVE d2b (bucket
   *    refinement — identical text ⇒ identical signature ⇒ co-bucketed at
   *    every refinement depth, so exact recall is corpus-size-invariant)
-  *    and reported for the capped d2, whose recall decays by design once
-  *    linear bucket occupancy outgrows the fixed cap (0.71 at sf10).
-  *    Near-dup (one-token-swap) recall reported for both.
+  *    AND on the auto-routed catalog d2 (which must have picked
+  *    refinement at any corpus size this checker runs at); REPORTED for
+  *    an explicitly-constructed refineRows=0 capped arm, whose recall
+  *    decays by design once linear bucket occupancy outgrows the fixed
+  *    cap (0.71 at sf10 — the r8 measurement that made refinement the
+  *    default). Near-dup (one-token-swap) recall reported for all arms.
   *  - C4 cluster consistency (d8): every d2 pair is same-cluster, no
   *    cluster label exceeds its member id (min-label semantics), and the
   *    labeling covers every document exactly once.
@@ -132,21 +135,38 @@ object ScaleCheck {
       (if (nPlantedExact == 0) 1.0 else fe.toDouble / nPlantedExact,
         if (nPlantedNear == 0) 1.0 else fn.toDouble / nPlantedNear, fe, fn)
     }
+    // the catalog d2 routes through the AUTO entry (adaptive refinement
+    // at this corpus size since r8) — the capped arm of the frontier
+    // report must therefore be constructed explicitly with refineRows=0,
+    // or "capped recall" would silently measure the adaptive plan twice
     val d2 = run("d2_minhash_neardup").cache()
+    val capped = graft.operators.Dedup.minhashNearDup(
+      actual.where(length(graft.functions.TextFunctions.normalizeText(col("text"))) > 0),
+      "text", "doc_id", bands = 4, rowsPerBand = 2,
+      threshold = 0.2, shingleN = 2, refineRows = 0).cache()
     val d2b = run("d2b_neardup_adaptive").cache()
     val d2n = d2.count()
+    val cappedN = capped.count()
     val d2bn = d2b.count()
     val nUnsound = trueJaccard(d2).where(abs(col("jaccard") - col("true_j")) > 1e-9).count()
+    val nUnsoundC = trueJaccard(capped).where(abs(col("jaccard") - col("true_j")) > 1e-9).count()
     val nUnsoundB = trueJaccard(d2b).where(abs(col("jaccard") - col("true_j")) > 1e-9).count()
-    check("C2_d2_pair_soundness", nUnsound == 0 && nUnsoundB == 0,
-      s"d2_pairs=$d2n mismatched=$nUnsound d2b_pairs=$d2bn mismatched_b=$nUnsoundB")
-    val (exactRecall, nearRecall, foundExact, foundNear) = recalls(d2)
+    check("C2_d2_pair_soundness", nUnsound == 0 && nUnsoundB == 0 && nUnsoundC == 0,
+      s"d2_pairs=$d2n mismatched=$nUnsound d2b_pairs=$d2bn mismatched_b=$nUnsoundB " +
+        s"capped_pairs=$cappedN mismatched_c=$nUnsoundC")
+    val (exactRecall, nearRecall, foundExact, foundNear) = recalls(capped)
+    val (exactRecallA, nearRecallA, foundExactA, foundNearA) = recalls(d2)
     val (exactRecallB, nearRecallB, foundExactB, foundNearB) = recalls(d2b)
-    check("C3_d2_planted_recall", exactRecallB >= 0.95,
+    // the AUTO-routed d2 must inherit the adaptive plan's recall here
+    // (it picked refinement at this corpus size) — asserted alongside d2b
+    check("C3_d2_planted_recall", exactRecallB >= 0.95 && exactRecallA >= 0.95,
       f"adaptive_exact_recall=$exactRecallB%.4f ($foundExactB/$nPlantedExact) " +
         f"adaptive_near_recall=$nearRecallB%.4f ($foundNearB/$nPlantedNear) " +
+        f"auto_exact_recall=$exactRecallA%.4f ($foundExactA/$nPlantedExact) " +
+        f"auto_near_recall=$nearRecallA%.4f ($foundNearA/$nPlantedNear) " +
         f"capped_exact_recall=$exactRecall%.4f ($foundExact/$nPlantedExact) " +
         f"capped_near_recall=$nearRecall%.4f ($foundNear/$nPlantedNear)")
+    capped.unpersist()
 
     // C4 — d8 clusters agree with d2 pairs
     val d8 = run("d8_neardup_clusters").cache()
