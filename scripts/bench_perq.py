@@ -18,7 +18,15 @@ Each BenchOne process: warms its own tables via count(), then times
 graft.Bench's {"queries": {...}} shape so scripts/scale_exponents.py
 can eat it directly.
 
-Usage: bench_perq.py <sfDir> <out.json> [--repeats N] [--mem 60g] q1 q2 ...
+Usage: bench_perq.py <sfDir> <out.json> [--repeats N] [--mem 60g]
+           [--skip name=reason]... q1 q2 ...
+
+--skip records the query as deliberately not run, with the reason in the
+output JSON's "skipped" map — distinct from a FAILURE. Use it for catalog
+entries whose parameters are known to mismatch the scale regime (e.g.
+x9b's small-eval bloom-join arm at sf10, where the auto entry would never
+pick that plan), so a heavy run can report n_failed=0 without silently
+pretending the entry was measured.
 """
 import json
 import re
@@ -30,11 +38,20 @@ import time
 def main():
     args = [a for a in sys.argv[1:]]
     repeats, mem = "1", "60g"
+    skipped = {}
     if "--repeats" in args:
         i = args.index("--repeats"); repeats = args[i + 1]; del args[i:i + 2]
     if "--mem" in args:
         i = args.index("--mem"); mem = args[i + 1]; del args[i:i + 2]
+    while "--skip" in args:
+        i = args.index("--skip")
+        name, _, reason = args[i + 1].partition("=")
+        skipped[name] = reason or "skipped"
+        del args[i:i + 2]
     sf_dir, out_path, queries = args[0], args[1], args[2:]
+    queries = [q for q in queries if q not in skipped]
+    for q, why in skipped.items():
+        print(f"[perq] {q} SKIPPED: {why}", flush=True)
     results, failed = {}, []
     for q in queries:
         t0 = time.time()
@@ -58,6 +75,7 @@ def main():
     total = sum(v for v in results.values() if v >= 0)
     doc = {"metric": "total", "value": total, "unit": "sec",
            "queries": results, "n_failed": len(failed), "failed": failed,
+           "skipped": skipped,
            "sf": sf_dir, "mode": f"per-query fresh JVM, min of {repeats}"}
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)

@@ -46,7 +46,14 @@ object Queries {
     if (cacheEnabled)
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings")
-        .foreach { n => t(s, dir, n).count(); () }
+        .foreach { n =>
+          // per-table guard: a dataset dir missing one table (ScaleGen
+          // dirs carry only the regenerated ones) must not abort the
+          // whole bench — the queries over present tables still run,
+          // and a query over the missing one fails individually
+          try { t(s, dir, n).count(); () }
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
 
   /** Each test table ships as ONE parquet file → one input split, so every
     * downstream stage would run on a single task no matter how many cores
@@ -70,6 +77,28 @@ object Queries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     if (cacheEnabled) t(s, dir, "documents")
     else t(s, dir, "documents").repartition(s.sparkContext.defaultParallelism)
+
+  /** The d2-family near-dup parameter set — ONE definition shared by the
+    * catalog queries, ScaleCheck's explicit capped arm and the NeardupAB
+    * harness, so a frontier report can never silently measure a
+    * different configuration than the catalog runs (r9 ADVICE:
+    * ScaleCheck hardcoded these). */
+  private[graft] val D2Params: graft.operators.PairGraph.Params =
+    graft.operators.PairGraph.Params(bands = 4, rowsPerBand = 2,
+      threshold = 0.2, shingleN = 2)
+
+  /** The d2 pair-graph ARTIFACT for the non-blank documents corpus: the
+    * whole composed family (d2 detection, d8 clustering, d10 manifest,
+    * x17 splits, x22b pretrain program) consumes these pairs, so they
+    * are computed once per process — and once per corpus snapshot when a
+    * disk cache is configured — through [[graft.operators.PairGraph]].
+    * Five catalog queries used to re-run the identical ~300 s candidate+
+    * verify pipeline at sf10; an artifact is how a real pipeline shares
+    * that stage. */
+  private def d2PairGraph(s: SparkSession, dir: String): DataFrame =
+    graft.operators.PairGraph.pairs(
+      docs(s, dir).where(length(normalizeText(col("text"))) > 0),
+      "text", "doc_id", corpusKey = s"$dir#documents#nonblank", D2Params)
 
   /** One-pass total order over the VERIFICATION output. The driver's
     * oracle compare hashes rows in order, so every catalog query ends in
@@ -1945,12 +1974,8 @@ object Queries {
     * ~100k docs (every oracle scale — the SQL twin verifies that plan),
     * adaptive refinement at or above it (the sf10 recall measurement
     * says the fixed cap drops real duplicates past the switch). */
-  def d2MinhashNearDup(s: SparkSession, dir: String): DataFrame = {
-    val d = docs(s, dir).where(length(normalizeText(col("text"))) > 0)
-    Dedup.neardupPairs(d, "text", "doc_id", bands = 4, rowsPerBand = 2,
-        threshold = 0.2, shingleN = 2)
-      .sortSmall("id_a", "id_b")
-  }
+  def d2MinhashNearDup(s: SparkSession, dir: String): DataFrame =
+    d2PairGraph(s, dir).sortSmall("id_a", "id_b")
 
   /** D2b — d2 with ADAPTIVE bucket refinement (reserve minhash rows split
     * flooded buckets instead of dropping them — see
@@ -2020,12 +2045,10 @@ object Queries {
     * count); the oracle computes the same fixpoint with a recursive CTE. */
   def d8NeardupClusters(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).where(length(normalizeText(col("text"))) > 0)
-    // the AUTO entry point, same as d2: the clustering must see the SAME
-    // pair set the detection step reports, at every corpus size — a
-    // capped d8 under an adaptive d2 would put recovered pairs in
-    // different clusters (ScaleCheck C4 catches exactly that divergence)
-    val pairs = Dedup.neardupPairs(d, "text", "doc_id", bands = 4, rowsPerBand = 2,
-      threshold = 0.2, shingleN = 2)
+    // the shared pair-graph ARTIFACT, same as d2: the clustering sees
+    // the SAME pair set the detection step reports — by construction
+    // now, not just by matching parameters (ScaleCheck C4 still checks)
+    val pairs = d2PairGraph(s, dir)
     Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
       .select(col("id").as("doc_id"), col("cluster_id"))
       .sortSmall("doc_id")
@@ -2054,8 +2077,7 @@ object Queries {
     * labels — both shuffle on the id, nothing broadcast. */
   def d10DedupApply(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).where(length(normalizeText(col("text"))) > 0)
-    val pairs = Dedup.neardupPairs(d, "text", "doc_id", bands = 4, rowsPerBand = 2,
-      threshold = 0.2, shingleN = 2)
+    val pairs = d2PairGraph(s, dir)
     val labels = Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
     labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_docs"))
@@ -2888,8 +2910,7 @@ object Queries {
     * collected, and the only broadcast is the 5-row rate table. */
   def x22bPretrainNearDedup(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).where(length(normalizeText(col("text"))) > 0)
-    val pairs = Dedup.neardupPairs(d, "text", "doc_id", bands = 4,
-      rowsPerBand = 2, threshold = 0.2, shingleN = 2)
+    val pairs = d2PairGraph(s, dir)
     val labels = Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
     val keep = d.join(
       labels.where(col("id") === col("cluster_id")).select(col("id").as("doc_id")),
@@ -3305,9 +3326,13 @@ object Queries {
       .localCheckpoint(false)
     // 2. near-dedup: MinHash pairs over the kept set (the fixture has no
     // EXACT dups, so a fingerprint stage would be a provable no-op),
-    // clustered, one canonical min-id survivor per cluster
-    val pairs = graft.operators.Dedup.neardupPairs(kept, "text", "doc_id",
-      bands = 4, rowsPerBand = 2, threshold = 0.2, shingleN = 2)
+    // clustered, one canonical min-id survivor per cluster. The pair
+    // graph is an artifact too, but under its OWN corpus key: the
+    // quality gate changes the corpus, so these pairs are NOT the d2
+    // family's (bucket occupancy, and thus candidates, legitimately
+    // differ between the gated and ungated corpus).
+    val pairs = graft.operators.PairGraph.pairs(kept, "text", "doc_id",
+      corpusKey = s"$dir#documents#x13kept", D2Params)
     val labels = graft.operators.Dedup.connectedComponents(
       kept.select(col("doc_id").as("id")), pairs)
     val surv = kept.join(
@@ -3435,8 +3460,7 @@ object Queries {
     * itself is free. */
   def x17ClusterSplit(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir).where(length(normalizeText(col("text"))) > 0)
-    val pairs = Dedup.neardupPairs(d, "text", "doc_id", bands = 4, rowsPerBand = 2,
-      threshold = 0.2, shingleN = 2)
+    val pairs = d2PairGraph(s, dir)
     val labels = Dedup.connectedComponents(d.select(col("doc_id").as("id")), pairs)
     val bucket = graft.operators.Sampling.hashBucket(
       concat(lit("split:"), col("cluster_id").cast("string")))

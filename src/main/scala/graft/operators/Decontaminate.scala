@@ -120,11 +120,39 @@ object Decontaminate {
     * SAME round₄(inter/n) value the join plan sorts on (exact long
     * arithmetic), ties to the smallest eval id. Requires the eval
     * postings to fit in a task payload — decontamination eval sets are
-    * benchmark-sized by nature; [[overlap]] gates on a postings budget
-    * and falls back to the join plan. */
+    * benchmark-sized by nature. PREFER [[overlap]], which gates on the
+    * postings budget and falls back to the join plan; a direct call
+    * here pays the same sizing aggregation as a guard (pass
+    * `postingsBudget = -1` only when the caller has already checked).
+    *
+    * Preconditions (shared with the tests and the [[overlap]] contract):
+    *   - eval ids must be integral (they are indexed as longs; the
+    *     output eval_id is cast back to the input column's type, so the
+    *     schema matches the join formulations for any integral id);
+    *   - ids must be UNIQUE per side. With duplicate eval ids the index
+    *     pools their grams under one slot; with duplicate corpus
+    *     doc_ids this plan emits one argmax row per corpus ROW while
+    *     the join plans merge duplicate rows in their groupBy — the
+    *     "identical output" claim above assumes unique ids, exactly as
+    *     a dedup pipeline's id contract does. */
   def overlapAgainstIndex(corpus: DataFrame, evalSet: DataFrame, textCol: String,
-                          idCol: String, shingleN: Int, threshold: Double): DataFrame = {
+                          idCol: String, shingleN: Int, threshold: Double,
+                          postingsBudget: Long = 4000000L): DataFrame = {
     import scala.jdk.CollectionConverters._
+    if (postingsBudget >= 0) {
+      // the budget lives HERE, not only in [[overlap]]: an unguarded
+      // direct call would collect an unbounded eval set to the driver
+      // (r9 verdict item 8). One aggregation over the SMALL side.
+      val r = evalSet.select(
+        sum(size(Dedup.gramHashSet(col(textCol), shingleN)))).head()
+      val n = if (r.isNullAt(0)) 0L else r.getLong(0)
+      require(n <= postingsBudget,
+        s"eval set has $n gram postings > budget $postingsBudget — the " +
+          "broadcast index would not fit a task payload; use " +
+          "Decontaminate.overlap, which falls back to the inverted-index " +
+          "join for big eval sets")
+    }
+    val evalIdType = evalSet.schema(idCol).dataType
     val postings = evalSet
       .select(col(idCol).cast("long").as("eval_id"),
         explode(Dedup.gramHashSet(col(textCol), shingleN)).as("gram"))
@@ -155,7 +183,10 @@ object Decontaminate {
       .withColumn("best",
         graft.functions.OverlapIndexColumns.topEvalOverlap(col("g"), index))
       .where(col("best").isNotNull)
-      .select(col("doc_id"), col("best.eval_id").as("eval_id"),
+      // cast back to the INPUT id type: the join formulations preserve
+      // it, so the auto entry's schema must not depend on which plan the
+      // postings budget selected (r9 ADVICE)
+      .select(col("doc_id"), col("best.eval_id").cast(evalIdType).as("eval_id"),
         round(col("best.inter").cast("double") / size(col("g")), 4).as("overlap"))
       .where(col("overlap") >= threshold)
   }
@@ -168,7 +199,9 @@ object Decontaminate {
     * never the corpus).
     *
     * The default budget (4M postings ≈ ~64 MB of index) is a task
-    * payload bound, not a correctness bound: both plans are exact. */
+    * payload bound, not a correctness bound: both plans are exact.
+    * Precondition either way: ids unique per side and (for the index
+    * plan) integral — see [[overlapAgainstIndex]]. */
   def overlap(corpus: DataFrame, evalSet: DataFrame, textCol: String,
               idCol: String, shingleN: Int, threshold: Double,
               indexMaxPostings: Long = 4000000L,
@@ -179,7 +212,10 @@ object Decontaminate {
       if (r.isNullAt(0)) 0L else r.getLong(0) // null sum == empty eval set
     }
     if (n <= indexMaxPostings)
-      overlapAgainstIndex(corpus, evalSet, textCol, idCol, shingleN, threshold)
+      // budget already enforced here — skip the index entry's own guard
+      // (it would repeat the same sizing aggregation)
+      overlapAgainstIndex(corpus, evalSet, textCol, idCol, shingleN, threshold,
+        postingsBudget = -1L)
     else
       overlapAgainstBloom(corpus, evalSet, textCol, idCol, shingleN, threshold)
   }

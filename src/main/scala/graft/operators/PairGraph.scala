@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The near-duplicate PAIR GRAPH as a materialize-once artifact.
+  *
+  * Why this exists: detection (d2), clustering (d8), the dedup manifest
+  * (d10), leakage-safe splits (x17) and the pretrain program (x22b) all
+  * start from the SAME candidate-generation + exact-verify pipeline over
+  * the same corpus — by far the most expensive stage of the family
+  * (measured at sf10: five catalog queries ≥288 s each, ~300 s of which
+  * is this shared prefix; BENCH_NOTES r9). At 100 TB the pair graph is a
+  * pipeline ARTIFACT — computed once per corpus snapshot, persisted,
+  * then consumed by every downstream step — not a per-query
+  * recomputation. This object is that artifact's API:
+  *
+  *   - in-process: per (session, corpusKey, params) the verified pair
+  *     DataFrame is computed once and local-checkpointed; every later
+  *     consumer in the same application reuses the materialized blocks
+  *     (lineage is truncated on first materialization, so the upstream
+  *     banding/verify shuffles can be reaped while the compact pair set
+  *     lives on).
+  *   - across processes (optional): set `SPARK_GRAFT_PAIR_CACHE=<dir>`
+  *     (or pass `cacheDir`) and the pairs are also written to / read
+  *     from `<dir>/<md5(corpusKey|params)>/pairs.parquet` with a JSON
+  *     manifest. On a cluster this would be a table in the lakehouse
+  *     keyed by corpus snapshot id; here it is a directory.
+  *
+  * Cache identity: `corpusKey` is the CALLER's name for the logical
+  * corpus (data dir + any filter/gate applied — e.g. the quality-kept
+  * subset must use a different key than the raw table). The disk
+  * manifest additionally records the corpus row count and re-validates
+  * it on load — a cheap one-column scan that catches the common
+  * staleness case (data regenerated in place at a different size)
+  * without paying a content hash of 100 TB of text. A corpus EDITED at
+  * constant row count under an unchanged corpusKey is the caller's
+  * contract violation: clear the cache dir when the snapshot changes.
+  *
+  * Results are identical to calling [[Dedup.neardupPairs]] directly:
+  * same auto bucket-strategy choice (fixed-cap vs adaptive refinement at
+  * `adaptiveMinDocs`), same exact-jaccard verify — the artifact changes
+  * WHERE the pairs are kept, never what they are.
+  */
+object PairGraph {
+
+  /** The MinHash-LSH near-dup parameter set that defines one pair-graph
+    * artifact. One shared definition so detection, clustering, splits,
+    * A/B harnesses and scale checks can never silently diverge on a
+    * parameter (they did diverge once: r9's ScaleCheck hardcoded its
+    * capped arm). */
+  final case class Params(bands: Int, rowsPerBand: Int, threshold: Double,
+                          shingleN: Int, maxBucket: Int = 1000,
+                          adaptiveMinDocs: Long = 100000L) {
+    def cacheKey(corpusKey: String): String =
+      s"$corpusKey|b=$bands|r=$rowsPerBand|t=$threshold|n=$shingleN|" +
+        s"cap=$maxBucket|amd=$adaptiveMinDocs"
+  }
+
+  private val inProcess =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
+  /** Near-dup pairs (id_a, id_b, jaccard) of the corpus, through every
+    * cache layer. First call computes (and persists, if a disk cache is
+    * configured); later calls — same process or, with the disk cache, a
+    * later job over the same corpus snapshot — reuse the artifact. */
+  def pairs(df: DataFrame, textCol: String, idCol: String,
+            corpusKey: String, p: Params,
+            cacheDir: Option[String] = sys.env.get("SPARK_GRAFT_PAIR_CACHE"))
+  : DataFrame = {
+    val sess = df.sparkSession
+    val key = (System.identityHashCode(sess).toString, p.cacheKey(corpusKey))
+    inProcess.getOrElseUpdate(key, {
+      cacheDir match {
+        case Some(root) => diskPairs(sess, df, textCol, idCol, corpusKey, p, root)
+        case None =>
+          Dedup.neardupPairs(df, textCol, idCol, p.bands, p.rowsPerBand,
+              p.threshold, p.shingleN, p.maxBucket, p.adaptiveMinDocs)
+            .localCheckpoint(false)
+      }
+    })
+  }
+
+  /** Drop every in-process entry (test isolation; sessions come and go). */
+  def clearInProcess(): Unit = inProcess.clear()
+
+  private def diskPairs(sess: SparkSession, df: DataFrame, textCol: String,
+                        idCol: String, corpusKey: String, p: Params,
+                        root: String): DataFrame = {
+    val keyStr = p.cacheKey(corpusKey)
+    val hash = java.security.MessageDigest.getInstance("MD5")
+      .digest(keyStr.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val dir = new Path(root, hash)
+    val fs = dir.getFileSystem(sess.sparkContext.hadoopConfiguration)
+    val manifestPath = new Path(dir, "manifest.json")
+    val dataPath = new Path(dir, "pairs.parquet")
+    // one column-pruned scan of the corpus: feeds BOTH the staleness
+    // check and neardupPairs' plan choice (which would otherwise count
+    // again)
+    val nDocs = df.select(idCol).count()
+    val cached: Option[DataFrame] =
+      if (fs.exists(manifestPath) && fs.exists(dataPath)) {
+        val in = fs.open(manifestPath)
+        val manifest = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        val keyOk = manifest.contains("\"key\":" + quote(keyStr))
+        val countOk = manifest.contains(s""""corpus_rows":$nDocs,""")
+        if (keyOk && countOk) Some(sess.read.parquet(dataPath.toString))
+        else None // md5 collision or stale snapshot: recompute below
+      } else None
+    cached.getOrElse {
+      val pairs = Dedup.neardupPairs(df, textCol, idCol, p.bands,
+        p.rowsPerBand, p.threshold, p.shingleN, p.maxBucket,
+        p.adaptiveMinDocs, numDocs = Some(nDocs))
+      pairs.write.mode("overwrite").parquet(dataPath.toString)
+      val out = fs.create(manifestPath, true)
+      try out.write(
+        (s"""{"key":${quote(keyStr)},"corpus_rows":$nDocs,""" +
+          s""""created_ms":${System.currentTimeMillis()}}""").getBytes("UTF-8"))
+      finally out.close()
+      sess.read.parquet(dataPath.toString)
+    }
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+}

@@ -44,9 +44,12 @@ object NeardupAB {
       .cache()
     val nDocs = docs.count()
 
+    // both arms run the catalog's shared d2 parameter constant — the A/B
+    // prices exactly the configuration the catalog ships
+    val p = graft.Queries.D2Params
     def arm(refineRows: Int): DataFrame =
       graft.operators.Dedup.minhashNearDup(docs, "text", "doc_id",
-        bands = 4, rowsPerBand = 2, threshold = 0.2, shingleN = 2,
+        p.bands, p.rowsPerBand, p.threshold, p.shingleN, p.maxBucket,
         refineRows = refineRows)
 
     // time a full materialization; min over `passes` runs (the cache is
@@ -72,6 +75,24 @@ object NeardupAB {
     val lost = capped.join(refined, Seq("id_a", "id_b"), "left_anti").count()
     require(lost == 0, s"refined plan lost $lost capped pairs — refinement must only ADD")
     println(f"""{"tool":"NeardupAB","sf_dir":"$sfDir","n_docs":$nDocs,"capped_s":$cs%.1f,"refined_s":$rs%.1f,"capped_pairs":$cRows,"refined_pairs":$rRows,"cost_ratio":${rs / cs}%.2f}""")
+
+    // ---- incremental (x14-shaped) arms: capped vs refined, like-for-like.
+    // The d2 A/B cannot stand in for this one: the incremental candidate
+    // join is asymmetric (new bands × history bands, per-side caps,
+    // combined-occupancy flooding), and no superset invariant holds —
+    // refinement SPLITS a bucket that passed the per-side caps but
+    // flooded on combined occupancy, which can separate a cross-side
+    // near-dup pair the capped plan kept. So this section reports both
+    // arms' times and matched-doc counts; recall is ScaleCheck C7's job.
+    val history = docs.where(col("doc_id") % 2 === 0)
+    val incoming = docs.where(col("doc_id") % 2 === 1)
+    def incArm(refineRows: Int): DataFrame =
+      graft.operators.Dedup.incrementalNearDup(history, incoming,
+        "text", "doc_id", p.bands, p.rowsPerBand, p.threshold, p.shingleN,
+        p.maxBucket, refineRows = refineRows)
+    val (ics, icRows, _) = time(incArm(0))
+    val (irs, irRows, _) = time(incArm(8))
+    println(f"""{"tool":"NeardupAB_incremental","sf_dir":"$sfDir","n_docs":$nDocs,"capped_s":$ics%.1f,"refined_s":$irs%.1f,"capped_matched":$icRows,"refined_matched":$irRows,"cost_ratio":${irs / ics}%.2f}""")
     spark.stop()
   }
 }

@@ -140,10 +140,15 @@ object ScaleCheck {
     // report must therefore be constructed explicitly with refineRows=0,
     // or "capped recall" would silently measure the adaptive plan twice
     val d2 = run("d2_minhash_neardup").cache()
+    // the capped arm is defined by the SAME shared parameter constant the
+    // catalog runs (Queries.D2Params) — if the catalog's d2 definition
+    // changes, this frontier report follows it instead of silently
+    // measuring a stale configuration (r9 ADVICE)
+    val p = graft.Queries.D2Params
     val capped = graft.operators.Dedup.minhashNearDup(
       actual.where(length(graft.functions.TextFunctions.normalizeText(col("text"))) > 0),
-      "text", "doc_id", bands = 4, rowsPerBand = 2,
-      threshold = 0.2, shingleN = 2, refineRows = 0).cache()
+      "text", "doc_id", p.bands, p.rowsPerBand, p.threshold, p.shingleN,
+      p.maxBucket, refineRows = 0).cache()
     val d2b = run("d2b_neardup_adaptive").cache()
     val d2n = d2.count()
     val cappedN = capped.count()

@@ -102,6 +102,27 @@ class CurationSpec extends SparkSuite {
     assert(viaBloom.collect().map(_.toSeq).toSet == exact)
   }
 
+  test("index decontamination: direct calls enforce the postings budget, " +
+      "and the eval_id output type follows the input id type") {
+    val evalSet = Seq((100, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq((1, "alpha beta gamma zeta")).toDF("doc_id", "text")
+    // reject path: an unbudgeted direct call must not build an unbounded
+    // driver index (r9 verdict item 8 — the budget lived only in overlap)
+    val e = intercept[IllegalArgumentException] {
+      Decontaminate.overlapAgainstIndex(corpus, evalSet, "text", "doc_id",
+        shingleN = 2, threshold = 0.1, postingsBudget = 1L)
+    }
+    assert(e.getMessage.contains("Decontaminate.overlap"))
+    // type consistency: int ids in → int eval_id out, same as the join
+    // formulations (r9 ADVICE: the index plan used to widen to long)
+    val viaIndex = Decontaminate.overlapAgainstIndex(corpus, evalSet, "text",
+      "doc_id", shingleN = 2, threshold = 0.1)
+    val viaJoin = Decontaminate.overlapAgainst(corpus, evalSet, "text",
+      "doc_id", shingleN = 2, threshold = 0.1)
+    assert(viaIndex.schema("eval_id").dataType == viaJoin.schema("eval_id").dataType)
+    assert(viaIndex.collect().map(_.toSeq).toSet == viaJoin.collect().map(_.toSeq).toSet)
+  }
+
   test("bloom might-contain: no false negatives; codegen and interpreted agree") {
     import graft.functions.BloomFilterColumns
     val keys = (1L to 500L).map(_ * 7919L)

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.{Dedup, PairGraph}
+import org.apache.spark.sql.functions._
+
+/** The materialize-once near-dup pair-graph artifact: identity with the
+  * direct computation, in-process reuse, disk round-trip and staleness
+  * invalidation. */
+class PairGraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val p = PairGraph.Params(bands = 4, rowsPerBand = 2,
+    threshold = 0.2, shingleN = 2)
+
+  private def corpus() = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy cat"),
+    (3L, "entirely different text about spark shuffles and joins"),
+    (4L, "the quick brown fox jumps over the lazy dog"),
+    (5L, "completely unrelated words nothing shared here at all")
+  ).toDF("doc_id", "text")
+
+  test("pairs match Dedup.neardupPairs exactly (the artifact changes " +
+      "where pairs are kept, never what they are)") {
+    PairGraph.clearInProcess()
+    val direct = Dedup.neardupPairs(corpus(), "text", "doc_id", p.bands,
+        p.rowsPerBand, p.threshold, p.shingleN, p.maxBucket, p.adaptiveMinDocs)
+      .collect().map(_.toSeq).toSet
+    val viaGraph = PairGraph.pairs(corpus(), "text", "doc_id",
+        corpusKey = "test#corpus1", p, cacheDir = None)
+      .collect().map(_.toSeq).toSet
+    assert(viaGraph == direct && direct.nonEmpty)
+  }
+
+  test("in-process cache: same (corpusKey, params) returns the same " +
+      "materialized frame; different key or params computes fresh") {
+    PairGraph.clearInProcess()
+    val a = PairGraph.pairs(corpus(), "text", "doc_id", "test#reuse", p, None)
+    val b = PairGraph.pairs(corpus(), "text", "doc_id", "test#reuse", p, None)
+    assert(a eq b) // the SAME DataFrame — consumers share one lineage
+    val c = PairGraph.pairs(corpus(), "text", "doc_id", "test#other", p, None)
+    assert(!(a eq c))
+    val d = PairGraph.pairs(corpus(), "text", "doc_id", "test#reuse",
+      p.copy(threshold = 0.5), None)
+    assert(!(a eq d))
+  }
+
+  test("disk cache: second process-equivalent read loads the parquet " +
+      "artifact; a changed corpus row count invalidates it") {
+    val root = tempDir("pairgraph")
+    PairGraph.clearInProcess()
+    val first = PairGraph.pairs(corpus(), "text", "doc_id", "test#disk", p,
+      cacheDir = Some(root)).collect().map(_.toSeq).toSet
+    // the artifact landed on disk
+    val sub = new java.io.File(root).listFiles().filter(_.isDirectory)
+    assert(sub.length == 1)
+    val manifest = new java.io.File(sub.head, "manifest.json")
+    assert(manifest.exists())
+    val stamp1 = scala.io.Source.fromFile(manifest).mkString
+
+    // simulate a NEW process: clear the in-process layer, read again —
+    // must load (manifest untouched), and must match
+    PairGraph.clearInProcess()
+    val second = PairGraph.pairs(corpus(), "text", "doc_id", "test#disk", p,
+      cacheDir = Some(root)).collect().map(_.toSeq).toSet
+    assert(second == first)
+    assert(scala.io.Source.fromFile(manifest).mkString == stamp1)
+
+    // a corpus with a different row count under the same key is STALE:
+    // the artifact is recomputed (manifest rewritten) and reflects the
+    // new corpus
+    PairGraph.clearInProcess()
+    val shrunk = corpus().where(col("doc_id") =!= 4L)
+    val third = PairGraph.pairs(shrunk, "text", "doc_id", "test#disk", p,
+      cacheDir = Some(root)).collect().map(_.toSeq).toSet
+    val directShrunk = Dedup.neardupPairs(shrunk, "text", "doc_id", p.bands,
+        p.rowsPerBand, p.threshold, p.shingleN, p.maxBucket, p.adaptiveMinDocs)
+      .collect().map(_.toSeq).toSet
+    assert(third == directShrunk && third != first)
+    assert(scala.io.Source.fromFile(manifest).mkString != stamp1)
+  }
+}
