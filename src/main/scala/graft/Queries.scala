@@ -52,7 +52,13 @@ object Queries {
           // whole bench — the queries over present tables still run,
           // and a query over the missing one fails individually
           try { t(s, dir, n).count(); () }
-          catch { case scala.util.control.NonFatal(_) => () }
+          catch { case scala.util.control.NonFatal(e) =>
+            // tolerated (ScaleGen dirs carry only regenerated tables) but
+            // never silent: a genuinely corrupt table must not present as
+            // an unexplained uncached slow bench
+            System.err.println(
+              s"[prewarm] $dir/$n.parquet not cached: ${e.getMessage}")
+          }
         }
 
   /** Each test table ships as ONE parquet file → one input split, so every

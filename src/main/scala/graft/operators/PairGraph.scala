@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The near-duplicate PAIR GRAPH as a materialize-once artifact.
@@ -15,27 +16,40 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * then consumed by every downstream step — not a per-query
   * recomputation. This object is that artifact's API:
   *
-  *   - in-process: per (session, corpusKey, params) the verified pair
-  *     DataFrame is computed once and local-checkpointed; every later
-  *     consumer in the same application reuses the materialized blocks
-  *     (lineage is truncated on first materialization, so the upstream
-  *     banding/verify shuffles can be reaped while the compact pair set
-  *     lives on).
+  *   - in-process: per (session, corpusKey, params, columns) the
+  *     verified pair DataFrame is computed once and local-checkpointed;
+  *     every later consumer in the same application reuses the
+  *     materialized blocks (lineage is truncated on first
+  *     materialization, so the upstream banding/verify shuffles can be
+  *     reaped while the compact pair set lives on).
   *   - across processes (optional): set `SPARK_GRAFT_PAIR_CACHE=<dir>`
   *     (or pass `cacheDir`) and the pairs are also written to / read
-  *     from `<dir>/<md5(corpusKey|params)>/pairs.parquet` with a JSON
-  *     manifest. On a cluster this would be a table in the lakehouse
-  *     keyed by corpus snapshot id; here it is a directory.
+  *     from `<dir>/<md5(corpusKey|cols|params)>/pairs.parquet` with a
+  *     JSON manifest. On a cluster this would be a table in the
+  *     lakehouse keyed by corpus snapshot id; here it is a directory.
   *
   * Cache identity: `corpusKey` is the CALLER's name for the logical
   * corpus (data dir + any filter/gate applied — e.g. the quality-kept
-  * subset must use a different key than the raw table). The disk
-  * manifest additionally records the corpus row count and re-validates
-  * it on load — a cheap one-column scan that catches the common
-  * staleness case (data regenerated in place at a different size)
-  * without paying a content hash of 100 TB of text. A corpus EDITED at
-  * constant row count under an unchanged corpusKey is the caller's
-  * contract violation: clear the cache dir when the snapshot changes.
+  * subset must use a different key than the raw table). The text/id
+  * column names are part of the key automatically — two callers reading
+  * DIFFERENT columns of the same table under the same corpusKey get
+  * separate artifacts, not silently shared pairs. The disk manifest
+  * additionally records the corpus row count and re-validates it on
+  * load — a cheap one-column scan that catches the common staleness case
+  * (data regenerated in place at a different size) without paying a
+  * content hash of 100 TB of text. A corpus EDITED at constant row count
+  * under an unchanged corpusKey is the caller's contract violation:
+  * clear the cache dir when the snapshot changes. The disk cache assumes
+  * a SINGLE WRITER per key (a pipeline materializes each corpus
+  * snapshot's artifact once); concurrent readers are safe — the manifest
+  * is written via temp-file + atomic rename AFTER the parquet commit, so
+  * a reader either sees the complete artifact or no manifest at all.
+  *
+  * In-process entries are keyed on the SparkSession INSTANCE (reference
+  * identity — sessions don't define value equality) and evicted when the
+  * session's SparkContext ends, so a long-lived JVM cycling sessions
+  * cannot leak checkpointed frames or resurrect a frame bound to a dead
+  * session.
   *
   * Results are identical to calling [[Dedup.neardupPairs]] directly:
   * same auto bucket-strategy choice (fixed-cap vs adaptive refinement at
@@ -52,13 +66,17 @@ object PairGraph {
   final case class Params(bands: Int, rowsPerBand: Int, threshold: Double,
                           shingleN: Int, maxBucket: Int = 1000,
                           adaptiveMinDocs: Long = 100000L) {
-    def cacheKey(corpusKey: String): String =
-      s"$corpusKey|b=$bands|r=$rowsPerBand|t=$threshold|n=$shingleN|" +
-        s"cap=$maxBucket|amd=$adaptiveMinDocs"
+    def cacheKey(corpusKey: String, textCol: String, idCol: String): String =
+      s"$corpusKey|text=$textCol|id=$idCol|b=$bands|r=$rowsPerBand|" +
+        s"t=$threshold|n=$shingleN|cap=$maxBucket|amd=$adaptiveMinDocs"
   }
 
   private val inProcess =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  // sessions whose context already carries our eviction listener
+  private val listening =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
 
   /** Near-dup pairs (id_a, id_b, jaccard) of the corpus, through every
     * cache layer. First call computes (and persists, if a disk cache is
@@ -69,7 +87,8 @@ object PairGraph {
             cacheDir: Option[String] = sys.env.get("SPARK_GRAFT_PAIR_CACHE"))
   : DataFrame = {
     val sess = df.sparkSession
-    val key = (System.identityHashCode(sess).toString, p.cacheKey(corpusKey))
+    evictOnStop(sess)
+    val key = (sess, p.cacheKey(corpusKey, textCol, idCol))
     inProcess.getOrElseUpdate(key, {
       cacheDir match {
         case Some(root) => diskPairs(sess, df, textCol, idCol, corpusKey, p, root)
@@ -81,13 +100,29 @@ object PairGraph {
     })
   }
 
-  /** Drop every in-process entry (test isolation; sessions come and go). */
+  /** Drop every in-process entry (test isolation; bench harnesses that
+    * must time computation, not reuse). */
   def clearInProcess(): Unit = inProcess.clear()
+
+  /** Drop the in-process entries of one session — called by the
+    * application-end listener; exposed package-private so the spec can
+    * exercise eviction without stopping a shared test context. */
+  private[graft] def evictSession(sess: SparkSession): Unit = {
+    inProcess.keys.filter(_._1 eq sess).foreach(inProcess.remove)
+    listening.remove(sess); ()
+  }
+
+  private def evictOnStop(sess: SparkSession): Unit =
+    if (listening.add(sess))
+      sess.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
+          evictSession(sess)
+      })
 
   private def diskPairs(sess: SparkSession, df: DataFrame, textCol: String,
                         idCol: String, corpusKey: String, p: Params,
                         root: String): DataFrame = {
-    val keyStr = p.cacheKey(corpusKey)
+    val keyStr = p.cacheKey(corpusKey, textCol, idCol)
     val hash = java.security.MessageDigest.getInstance("MD5")
       .digest(keyStr.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val dir = new Path(root, hash)
@@ -113,11 +148,18 @@ object PairGraph {
         p.rowsPerBand, p.threshold, p.shingleN, p.maxBucket,
         p.adaptiveMinDocs, numDocs = Some(nDocs))
       pairs.write.mode("overwrite").parquet(dataPath.toString)
-      val out = fs.create(manifestPath, true)
+      // manifest LAST and atomically (temp + rename): its presence is the
+      // commit marker a concurrent reader keys on — never visible over a
+      // half-written artifact, never itself readable half-written
+      val tmpPath = new Path(dir, s".manifest.json.tmp-${java.util.UUID.randomUUID()}")
+      val out = fs.create(tmpPath, true)
       try out.write(
         (s"""{"key":${quote(keyStr)},"corpus_rows":$nDocs,""" +
           s""""created_ms":${System.currentTimeMillis()}}""").getBytes("UTF-8"))
       finally out.close()
+      fs.delete(manifestPath, false)
+      if (!fs.rename(tmpPath, manifestPath))
+        throw new java.io.IOException(s"pair-cache manifest rename failed: $tmpPath -> $manifestPath")
       sess.read.parquet(dataPath.toString)
     }
   }

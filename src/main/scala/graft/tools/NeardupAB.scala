@@ -68,6 +68,33 @@ object NeardupAB {
       (best, rows, last)
     }
 
+    // SPARK_GRAFT_AB_STAGES=1: decompose each arm — candidate count/time
+    // vs end-to-end — and the TRUE-jaccard decile histogram of a candidate
+    // sample. This is the data a verify pre-filter design needs: the
+    // premium only yields to a cheap filter if the candidate mass sits
+    // far below the threshold (discriminable), not just below it.
+    if (sys.env.get("SPARK_GRAFT_AB_STAGES").contains("1")) {
+      def cands(refineRows: Int): DataFrame =
+        graft.operators.Dedup.minhashCandidates(docs, "text", "doc_id",
+          p.bands, p.rowsPerBand, p.shingleN, p.maxBucket, refineRows)
+      for ((tag, rr) <- Seq(("capped", 0), ("refined", 8))) {
+        val t0 = System.nanoTime()
+        val n = cands(rr).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"tool":"NeardupAB_stages","arm":"$tag","candidates":$n,"cand_s":$sec%.1f}""")
+      }
+      // deterministic ~1/16 sample of refined candidates, verified with no
+      // threshold → where does the candidate mass sit vs t?
+      val sample = cands(8)
+        .where(pmod(xxhash64(col("id_a"), col("id_b")), lit(16)) === 0)
+      val hist = graft.operators.Dedup.verifyJaccard(docs, sample,
+          "text", "doc_id", threshold = 0.0, shingleN = p.shingleN)
+        .groupBy(least(floor(col("jaccard") * 10), lit(9)).as("decile"))
+        .count().orderBy("decile").collect()
+        .map(r => s""""${r.get(0)}":${r.getLong(1)}""").mkString("{", ",", "}")
+      println(s"""{"tool":"NeardupAB_stages","arm":"refined","sampled_true_j_deciles":$hist,"sample":"xxhash64(id_a,id_b)%16==0"}""")
+    }
+
     val (cs, cRows, capped) = time(arm(0))
     val (rs, rRows, refined) = time(arm(8))
     // refinement only splits flooded buckets it would otherwise DROP, so

@@ -45,6 +45,31 @@ class PairGraphSpec extends SparkSuite {
     assert(!(a eq d))
   }
 
+  test("cache identity includes the column names: same corpusKey over " +
+      "different text/id columns must NOT share pairs") {
+    PairGraph.clearInProcess()
+    val two = corpus().withColumn("alt_text",
+      concat(lit("prefix "), col("text")))
+    val a = PairGraph.pairs(two, "text", "doc_id", "test#cols", p, None)
+    val b = PairGraph.pairs(two, "alt_text", "doc_id", "test#cols", p, None)
+    assert(!(a eq b)) // different textCol → different artifact
+    // and the alt-column pairs really are the alt-column computation
+    val directAlt = Dedup.neardupPairs(two, "alt_text", "doc_id", p.bands,
+        p.rowsPerBand, p.threshold, p.shingleN, p.maxBucket, p.adaptiveMinDocs)
+      .collect().map(_.toSeq).toSet
+    assert(b.collect().map(_.toSeq).toSet == directAlt)
+  }
+
+  test("session eviction drops that session's entries (the listener path " +
+      "calls this on application end)") {
+    PairGraph.clearInProcess()
+    val a = PairGraph.pairs(corpus(), "text", "doc_id", "test#evict", p, None)
+    assert(PairGraph.pairs(corpus(), "text", "doc_id", "test#evict", p, None) eq a)
+    PairGraph.evictSession(spark)
+    val b = PairGraph.pairs(corpus(), "text", "doc_id", "test#evict", p, None)
+    assert(!(a eq b)) // recomputed: the evicted entry is gone
+  }
+
   test("disk cache: second process-equivalent read loads the parquet " +
       "artifact; a changed corpus row count invalidates it") {
     val root = tempDir("pairgraph")
