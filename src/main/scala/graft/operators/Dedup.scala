@@ -271,16 +271,85 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Bottom-k gram-sketch pre-filter between candidate generation and the
+    * exact-jaccard verify — kills the candidate mass a flooded-vocabulary
+    * corpus pours into verify before the expensive join.
+    *
+    * Why this exists (measured at sf10, 500k docs, d2 params —
+    * NeardupAB_stages r11): the adaptive plan generates 165M candidate
+    * pairs of which 99.1% have TRUE jaccard < 0.1 and only ~0.008% clear
+    * the 0.2 threshold; verify cost is proportional to candidates
+    * (~2.0× capped's 82M = the measured 2.05× arm cost ratio). The
+    * candidate mass sits FAR below the threshold, so a cheap estimator
+    * separates it.
+    *
+    * Why NOT main-signature agreement: the signature's Kirsch-
+    * Mitzenmacher rows collapse over small vocabularies (one gram
+    * minimizing both digest halves wins EVERY row — see
+    * [[graft.functions.NativeText.minhashRefineLongs]] scaladoc), and
+    * the flooded buckets that produce the junk candidates are exactly
+    * the collapse regime: junk pairs AGREE on most signature rows, so
+    * agreement counting cannot discriminate there.
+    *
+    * The sketch: the k smallest gram hashes per document — a prefix
+    * `slice` of the already-sorted [[gramHashSet]], no new hash family,
+    * one extra corpus-side gram pass. Keep a pair iff its sketches share
+    * at least `minShared` values (bounded by the smaller sketch, so an
+    * exact-dup pair of a TINY document — fewer distinct grams than
+    * `minShared` — is always kept: identical sets give shared ==
+    * min(k, |set|)). Shared bottom-k values of the UNION that lie in the
+    * intersection appear in both sketches, so the shared count
+    * stochastically dominates Binomial(k, j): the false-drop bound for a
+    * true pair at j = threshold = 0.2 with (k=32, minShared=3) is
+    * P[Binom(32, 0.2) < 3] ≈ 4.4%, falling to ~1e-10 by j = 0.6 — and
+    * exact duplicates (j = 1) are kept with probability 1. The payload
+    * is 32 longs vs the full gram set's ~hundreds, so the filter's two
+    * joins move ~¼ the bytes of the verify joins they spare.
+    *
+    * This is deliberately NOT applied in the no-flood/small-corpus
+    * regime ([[neardupPairs]] gates it with the adaptive switch): below
+    * the switch candidates are few, the premium does not exist, and the
+    * oracle-checked catalog entries stay bit-identical. */
+  def sketchPrefilter(df: DataFrame, candidates: DataFrame,
+                      textCol: String, idCol: String, shingleN: Int,
+                      k: Int = 32, minShared: Int = 3): DataFrame = {
+    val sk = df.select(col(idCol).as("id"),
+        slice(gramHashSet(col(textCol), shingleN), 1, k).as("sk"))
+      .hint("shuffle_hash")
+    candidates
+      .join(sk.withColumnRenamed("id", "id_a").withColumnRenamed("sk", "sk_a"), "id_a")
+      .join(sk.withColumnRenamed("id", "id_b").withColumnRenamed("sk", "sk_b"), "id_b")
+      .where(graft.functions.NativeTextColumns
+        .sortedIntersectSize(col("sk_a"), col("sk_b")) >=
+        least(lit(minShared), size(col("sk_a")), size(col("sk_b"))))
+      .select("id_a", "id_b")
+  }
+
+  /** Auto `minShared` for a sketch of size `k` at `threshold`: ~k·t/2 —
+    * half the expected shared count of a pair AT the threshold, keeping
+    * the false-drop tail small (4.4% at j = t for k=32, t=0.2) while
+    * killing the measured sub-0.1 mass. */
+  private[graft] def sketchMinShared(k: Int, threshold: Double): Int =
+    math.max(1, (k * threshold / 2).toInt)
+
   /** Full MinHash-LSH near-dedup: candidates → verify → pairs above
-    * threshold. */
+    * threshold. `prefilterK > 0` inserts [[sketchPrefilter]] between the
+    * stages (callers below the flood regime should leave it off — see
+    * [[neardupPairs]], which gates it with the plan choice). */
   def minhashNearDup(df: DataFrame, textCol: String, idCol: String,
                      bands: Int = 8, rowsPerBand: Int = 2,
                      threshold: Double = 0.7, shingleN: Int = 1,
-                     maxBucket: Int = 1000, refineRows: Int = 0): DataFrame =
-    verifyJaccard(df,
-      minhashCandidates(df, textCol, idCol, bands, rowsPerBand, shingleN,
-        maxBucket, refineRows),
-      textCol, idCol, threshold, shingleN)
+                     maxBucket: Int = 1000, refineRows: Int = 0,
+                     prefilterK: Int = 0): DataFrame = {
+    val cands = minhashCandidates(df, textCol, idCol, bands, rowsPerBand,
+      shingleN, maxBucket, refineRows)
+    val kept =
+      if (prefilterK > 0)
+        sketchPrefilter(df, cands, textCol, idCol, shingleN, prefilterK,
+          sketchMinShared(prefilterK, threshold))
+      else cands
+    verifyJaccard(df, kept, textCol, idCol, threshold, shingleN)
+  }
 
   /** Refinement depth for a corpus of `nDocs` documents: 0 (fixed-cap
     * buckets) below `adaptiveMinDocs`, 8 levels at or above it.
@@ -307,6 +376,15 @@ object Dedup {
     * whenever no bucket floods — every corpus below the switch point —
     * so the choice never changes small-corpus results.
     *
+    * The [[sketchPrefilter]] rides WITH the adaptive choice (and only
+    * it): above the switch the flooded-vocabulary candidate mass makes
+    * verify the dominant cost (measured 99.1% of 165M sf10 candidates
+    * below j=0.1), and the filter's false-drop tail (≤4.4% at exactly
+    * j=t, ~0 beyond j=0.5, exactly 0 for exact duplicates) is the price
+    * of not verifying them; below the switch the mass does not exist and
+    * output stays bit-identical to the capped plan. `prefilterK = 0`
+    * disables it in either regime.
+    *
     * @param numDocs corpus row count if the caller already knows it
     *        (skips the counting job — on a 100 TB corpus prefer passing
     *        catalog statistics rather than paying a count scan). */
@@ -314,10 +392,17 @@ object Dedup {
                    bands: Int = 8, rowsPerBand: Int = 2,
                    threshold: Double = 0.7, shingleN: Int = 1,
                    maxBucket: Int = 1000, adaptiveMinDocs: Long = 100000,
-                   numDocs: Option[Long] = None): DataFrame = {
+                   numDocs: Option[Long] = None,
+                   prefilterK: Int = 32): DataFrame = {
     val nDocs = numDocs.getOrElse(df.count())
+    val refine = neardupPlan(nDocs, adaptiveMinDocs)
+    // the sketch pre-filter rides WITH the adaptive plan choice: the
+    // junk-candidate mass it kills only exists once buckets flood (the
+    // refinement regime), and below the switch the capped plan's output
+    // must stay bit-identical to the oracle-checked small-corpus result
     minhashNearDup(df, textCol, idCol, bands, rowsPerBand, threshold,
-      shingleN, maxBucket, neardupPlan(nDocs, adaptiveMinDocs))
+      shingleN, maxBucket, refine,
+      prefilterK = if (refine > 0) prefilterK else 0)
   }
 
   /** Incremental near-dedup: which documents of an INCOMING batch are

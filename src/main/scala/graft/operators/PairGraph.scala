@@ -65,10 +65,12 @@ object PairGraph {
     * capped arm). */
   final case class Params(bands: Int, rowsPerBand: Int, threshold: Double,
                           shingleN: Int, maxBucket: Int = 1000,
-                          adaptiveMinDocs: Long = 100000L) {
+                          adaptiveMinDocs: Long = 100000L,
+                          prefilterK: Int = 32) {
     def cacheKey(corpusKey: String, textCol: String, idCol: String): String =
       s"$corpusKey|text=$textCol|id=$idCol|b=$bands|r=$rowsPerBand|" +
-        s"t=$threshold|n=$shingleN|cap=$maxBucket|amd=$adaptiveMinDocs"
+        s"t=$threshold|n=$shingleN|cap=$maxBucket|amd=$adaptiveMinDocs|" +
+        s"pf=$prefilterK"
   }
 
   private val inProcess =
@@ -94,7 +96,8 @@ object PairGraph {
         case Some(root) => diskPairs(sess, df, textCol, idCol, corpusKey, p, root)
         case None =>
           Dedup.neardupPairs(df, textCol, idCol, p.bands, p.rowsPerBand,
-              p.threshold, p.shingleN, p.maxBucket, p.adaptiveMinDocs)
+              p.threshold, p.shingleN, p.maxBucket, p.adaptiveMinDocs,
+              prefilterK = p.prefilterK)
             .localCheckpoint(false)
       }
     })
@@ -146,7 +149,7 @@ object PairGraph {
     cached.getOrElse {
       val pairs = Dedup.neardupPairs(df, textCol, idCol, p.bands,
         p.rowsPerBand, p.threshold, p.shingleN, p.maxBucket,
-        p.adaptiveMinDocs, numDocs = Some(nDocs))
+        p.adaptiveMinDocs, numDocs = Some(nDocs), prefilterK = p.prefilterK)
       pairs.write.mode("overwrite").parquet(dataPath.toString)
       // manifest LAST and atomically (temp + rename): its presence is the
       // commit marker a concurrent reader keys on — never visible over a

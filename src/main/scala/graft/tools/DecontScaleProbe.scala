@@ -15,11 +15,21 @@ import org.apache.spark.sql.functions._
   * |eval| constant across sf, e.g. %50 at sf0.1 vs %500 at sf1) can be
   * measured against the corpus-proportional catalog definition.
   *
+  * Arms per mod, selectable with SPARK_GRAFT_PROBE_ARMS (default
+  * "join,bloom,auto"): `join` = plain gram join (overlapAgainst), known
+  * superlinear in |eval|·|corpus| — EXCLUDE it at big-eval params;
+  * `bloom` = Bloom-reduced join (overlapAgainstBloom), the big-eval
+  * plan; `auto` = the production `overlap` entry, reporting which plan
+  * the postings budget selected. Equal-rows is asserted across every
+  * arm that ran.
+  *
   * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.tools.DecontScaleProbe [mod1,mod2,...]
   */
 object DecontScaleProbe {
   def main(args: Array[String]): Unit = {
     val mods = if (args.nonEmpty) args(0).split(",").map(_.toInt).toSeq else Seq(50, 500)
+    val arms = sys.env.getOrElse("SPARK_GRAFT_PROBE_ARMS", "join,bloom,auto")
+      .split(",").map(_.trim).toSet
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -48,20 +58,33 @@ object DecontScaleProbe {
       (math.min(t1 - t0, t2 - t1) / 1e9, rows)
     }
 
-    println(f"corpus=$total%d docs  ($sfDir)")
-    println(f"${"mod"}%6s ${"|eval|"}%8s ${"x9_sec"}%10s ${"x9b_sec"}%10s ${"flagged"}%8s")
+    println(f"corpus=$total%d docs  ($sfDir)  arms=${arms.mkString("+")}")
     mods.foreach { m =>
-      val evalN = docs.where(col("doc_id") % m === 0).count()
-      val (sec, rows) = time(graft.operators.Decontaminate.overlapAgainst(
-        corpus = docs.where(col("doc_id") % m =!= 0),
-        evalSet = docs.where(col("doc_id") % m === 0),
-        textCol = "text", idCol = "doc_id", shingleN = 2, threshold = 0.2))
-      val (bsec, brows) = time(graft.operators.Decontaminate.overlapAgainstBloom(
-        corpus = docs.where(col("doc_id") % m =!= 0),
-        evalSet = docs.where(col("doc_id") % m === 0),
-        textCol = "text", idCol = "doc_id", shingleN = 2, threshold = 0.2))
-      require(rows == brows, s"bloom reduction lost rows at mod=$m: $rows vs $brows")
-      println(f"$m%6d $evalN%8d $sec%10.3f $bsec%10.3f $rows%8d")
+      val corpusM = docs.where(col("doc_id") % m =!= 0)
+      val evalM = docs.where(col("doc_id") % m === 0)
+      val evalN = evalM.count()
+      val postings = {
+        val r = evalM.select(sum(size(
+          graft.operators.Dedup.gramHashSet(col("text"), 2)))).head()
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }
+      val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Long)]
+      if (arms("join"))
+        results("join") = time(graft.operators.Decontaminate.overlapAgainst(
+          corpusM, evalM, "text", "doc_id", shingleN = 2, threshold = 0.2))
+      if (arms("bloom"))
+        results("bloom") = time(graft.operators.Decontaminate.overlapAgainstBloom(
+          corpusM, evalM, "text", "doc_id", shingleN = 2, threshold = 0.2))
+      if (arms("auto"))
+        results("auto") = time(graft.operators.Decontaminate.overlap(
+          corpusM, evalM, "text", "doc_id", shingleN = 2, threshold = 0.2,
+          numEvalPostings = Some(postings)))
+      val counts = results.values.map(_._2).toSet
+      require(counts.size <= 1,
+        s"arms disagree at mod=$m: ${results.map { case (k, v) => s"$k=${v._2}" }.mkString(", ")}")
+      val autoPlan = if (postings <= 4000000L) "index" else "bloom"
+      val armJson = results.map { case (k, (s, _)) => f""""${k}_s":$s%.3f""" }.mkString(",")
+      println(f"""{"tool":"DecontScaleProbe","sf_dir":"$sfDir","mod":$m,"eval_docs":$evalN,"eval_postings":$postings,$armJson,"flagged":${counts.headOption.getOrElse(0L)},"auto_plan":"$autoPlan"}""")
     }
     spark.stop()
   }

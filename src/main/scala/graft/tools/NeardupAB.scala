@@ -103,6 +103,27 @@ object NeardupAB {
     require(lost == 0, s"refined plan lost $lost capped pairs — refinement must only ADD")
     println(f"""{"tool":"NeardupAB","sf_dir":"$sfDir","n_docs":$nDocs,"capped_s":$cs%.1f,"refined_s":$rs%.1f,"capped_pairs":$cRows,"refined_pairs":$rRows,"cost_ratio":${rs / cs}%.2f}""")
 
+    // third arm: refined + the bottom-k sketch pre-filter — the catalog's
+    // shipped adaptive configuration (neardupPairs routes through it above
+    // the switch). Reports the filtered cost ratio AND exactly what the
+    // filter costs in pairs: every lost pair's jaccard (must be
+    // borderline — the Binom(k,j) drop bound collapses by j≈0.5), and
+    // that no pair was ADDED (the filter only removes candidates).
+    def armF(): DataFrame =
+      graft.operators.Dedup.minhashNearDup(docs, "text", "doc_id",
+        p.bands, p.rowsPerBand, p.threshold, p.shingleN, p.maxBucket,
+        refineRows = 8, prefilterK = p.prefilterK)
+    val (fs, fRows, filtered) = time(armF())
+    val added = filtered.join(refined, Seq("id_a", "id_b"), "left_anti").count()
+    require(added == 0, s"pre-filter ADDED $added pairs — it may only remove")
+    val lostPairs = refined.join(filtered, Seq("id_a", "id_b"), "left_anti")
+    val (nLost, maxLostJ) = {
+      val r = lostPairs.agg(count(lit(1)), max(col("jaccard"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
+    }
+    println(f"""{"tool":"NeardupAB_prefilter","sf_dir":"$sfDir","n_docs":$nDocs,"prefilter_k":${p.prefilterK},"filtered_s":$fs%.1f,"filtered_pairs":$fRows,"pairs_lost":$nLost,"max_lost_jaccard":$maxLostJ%.4f,"cost_ratio_vs_capped":${fs / cs}%.2f,"cost_ratio_unfiltered":${rs / cs}%.2f}""")
+    filtered.unpersist()
+
     // ---- incremental (x14-shaped) arms: capped vs refined, like-for-like.
     // The d2 A/B cannot stand in for this one: the incremental candidate
     // join is asymmetric (new bands × history bands, per-side caps,
@@ -111,15 +132,17 @@ object NeardupAB {
     // flooded on combined occupancy, which can separate a cross-side
     // near-dup pair the capped plan kept. So this section reports both
     // arms' times and matched-doc counts; recall is ScaleCheck C7's job.
-    val history = docs.where(col("doc_id") % 2 === 0)
-    val incoming = docs.where(col("doc_id") % 2 === 1)
-    def incArm(refineRows: Int): DataFrame =
-      graft.operators.Dedup.incrementalNearDup(history, incoming,
-        "text", "doc_id", p.bands, p.rowsPerBand, p.threshold, p.shingleN,
-        p.maxBucket, refineRows = refineRows)
-    val (ics, icRows, _) = time(incArm(0))
-    val (irs, irRows, _) = time(incArm(8))
-    println(f"""{"tool":"NeardupAB_incremental","sf_dir":"$sfDir","n_docs":$nDocs,"capped_s":$ics%.1f,"refined_s":$irs%.1f,"capped_matched":$icRows,"refined_matched":$irRows,"cost_ratio":${irs / ics}%.2f}""")
+    if (!sys.env.get("SPARK_GRAFT_AB_INC").contains("0")) {
+      val history = docs.where(col("doc_id") % 2 === 0)
+      val incoming = docs.where(col("doc_id") % 2 === 1)
+      def incArm(refineRows: Int): DataFrame =
+        graft.operators.Dedup.incrementalNearDup(history, incoming,
+          "text", "doc_id", p.bands, p.rowsPerBand, p.threshold, p.shingleN,
+          p.maxBucket, refineRows = refineRows)
+      val (ics, icRows, _) = time(incArm(0))
+      val (irs, irRows, _) = time(incArm(8))
+      println(f"""{"tool":"NeardupAB_incremental","sf_dir":"$sfDir","n_docs":$nDocs,"capped_s":$ics%.1f,"refined_s":$irs%.1f,"capped_matched":$icRows,"refined_matched":$irRows,"cost_ratio":${irs / ics}%.2f}""")
+    }
     spark.stop()
   }
 }

@@ -211,10 +211,54 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(rows(Dedup.neardupPairs(corpus, "text", "doc_id",
       bands = 4, rowsPerBand = 2, threshold = 0.2, shingleN = 2)) == fixed)
     // auto FORCED adaptive (numDocs hint past the switch): same pairs on
-    // a corpus where nothing floods — the choice never changes results
+    // a corpus where nothing floods — the PLAN choice never changes
+    // results (prefilter off to isolate it; the filter is probabilistic
+    // for borderline-j pairs and is tested separately below)
     assert(rows(Dedup.neardupPairs(corpus, "text", "doc_id",
       bands = 4, rowsPerBand = 2, threshold = 0.2, shingleN = 2,
-      numDocs = Some(200000L))) == fixed)
+      numDocs = Some(200000L), prefilterK = 0)) == fixed)
+  }
+
+  test("sketch pre-filter: exact dups always kept (even tiny docs), " +
+      "disjoint docs dropped, output a candidate subset") {
+    val pf = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // exact dup of 1
+      (3L, "tiny doc"),                                      // ONE bigram
+      (4L, "tiny doc"),                                      // exact dup of 3
+      (5L, "completely different words nothing shared here at all"),
+      (6L, "unrelated vocabulary disjoint from every other document text")
+    ).toDF("doc_id", "text")
+    // candidate list constructed directly: the filter's contract is
+    // per-pair, independent of how candidates were generated
+    val cands = Seq((1L, 2L), (3L, 4L), (5L, 6L), (1L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.sketchPrefilter(pf, cands, "text", "doc_id",
+        shingleN = 2, k = 32, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact dups survive: identical sets share min(k, |set|) values — the
+    // tiny 1-bigram pair (3,4) is exactly the minShared>|set| guard
+    assert(kept.contains((1L, 2L)) && kept.contains((3L, 4L)))
+    // zero-overlap pairs cannot share a sketch value
+    assert(!kept.contains((5L, 6L)) && !kept.contains((1L, 5L)))
+  }
+
+  test("sketch pre-filter inside the auto entry: subset of unfiltered, " +
+      "every high-jaccard pair retained") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .where(length(TextFunctions.normalizeText(col("text"))) > 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val unfiltered = rows(Dedup.neardupPairs(corpus, "text", "doc_id",
+      bands = 4, rowsPerBand = 2, threshold = 0.2, shingleN = 2,
+      numDocs = Some(200000L), prefilterK = 0))
+    val filtered = rows(Dedup.neardupPairs(corpus, "text", "doc_id",
+      bands = 4, rowsPerBand = 2, threshold = 0.2, shingleN = 2,
+      numDocs = Some(200000L)))
+    assert(filtered.subsetOf(unfiltered)) // the filter only removes
+    // the Binom(k, j) drop bound is ~1e-10 by j = 0.6 — losing such a
+    // pair means the filter is broken, not unlucky
+    val high = unfiltered.filter(_._3 >= 0.5)
+    assert(high.subsetOf(filtered) && high.nonEmpty)
   }
 
   test("incremental refinement: cross-side flooded buckets split, matches recovered") {
