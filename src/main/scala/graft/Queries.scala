@@ -3136,6 +3136,33 @@ object Queries {
       .sortSmall("doc_id")
   }
 
+  /** X9d — decontamination through the CHUNKED broadcast-index plan
+    * ([[graft.operators.Decontaminate.overlapAgainstIndexChunked]]): the
+    * big-eval plan for flooded vocabularies, where the Bloom join's
+    * pruning is a no-op and the join formulation goes corpus-quadratic
+    * (this corpus's regime — measured hit rate ~1.0). The budget is set
+    * to a QUARTER of the eval set's postings so the oracle exercises the
+    * multi-chunk path at every scale factor: ~5 chunks, each a
+    * zero-shuffle corpus pass, winners merged with the join plan's exact
+    * comparator (rounded overlap desc, then smallest eval id). Output is
+    * bit-identical to x9/x9b/x9c — one oracle serves all four plans. */
+  def x9dDecontaminateChunked(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).where(length(normalizeText(col("text"))) > 0)
+    val evalSet = d.where(col("doc_id") % 50 === 0)
+    // the small-side sizing job the auto entry would also pay
+    val postings = {
+      val r = evalSet.select(
+        sum(size(graft.operators.Dedup.gramHashSet(col("text"), 2)))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    graft.operators.Decontaminate.overlapAgainstIndexChunked(
+        corpus = d.where(col("doc_id") % 50 =!= 0),
+        evalSet = evalSet,
+        textCol = "text", idCol = "doc_id", shingleN = 2, threshold = 0.2,
+        chunkPostings = math.max(1L, postings / 4))
+      .sortSmall("doc_id")
+  }
+
   /** X10 — sequence packing (concat-then-chunk, 512-token budget, per
     * source, ordered by doc_id): per-pack document counts and token sums. */
   def x10SequencePacking(s: SparkSession, dir: String): DataFrame =
@@ -4105,6 +4132,7 @@ object Queries {
     "x9_decontaminate" -> x9Decontaminate,
     "x9b_decontaminate_bloom" -> x9bDecontaminateBloom,
     "x9c_decontaminate_auto" -> x9cDecontaminateAuto,
+    "x9d_decontaminate_chunked" -> x9dDecontaminateChunked,
     "x10_sequence_packing" -> x10SequencePacking,
     "x11_repetition" -> x11Repetition,
     "x12_source_cap" -> x12SourceCap,
@@ -4206,6 +4234,7 @@ object Queries {
     "x9_decontaminate" -> x9Sql,
     "x9b_decontaminate_bloom" -> x9Sql,
     "x9c_decontaminate_auto" -> x9Sql,
+    "x9d_decontaminate_chunked" -> x9Sql,
     "x10_sequence_packing" -> x10Sql,
     "x11_repetition" -> x11Sql,
     "x12_source_cap" -> x12Sql,

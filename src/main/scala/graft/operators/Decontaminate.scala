@@ -63,10 +63,8 @@ object Decontaminate {
                           idCol: String, shingleN: Int, threshold: Double,
                           fpp: Double = 0.01,
                           expectedGrams: Long = -1L): DataFrame = {
-    def grams(df: DataFrame, as: String) =
-      df.select(col(idCol).as(as), Dedup.gramHashSet(col(textCol), shingleN).as("g"))
-    val eg = grams(evalSet, "eval_id")
-      .select(col("eval_id"), explode(col("g")).as("gram"))
+    val eg = evalSet.select(col(idCol).as("eval_id"),
+      explode(Dedup.gramHashSet(col(textCol), shingleN)).as("gram"))
     // ONE job over the small side builds the filter (insertion is
     // idempotent — no distinct exchange needed). Size it from the
     // caller's knowledge of the eval set when available: a sizing job is
@@ -83,7 +81,20 @@ object Decontaminate {
       if (expectedGrams > 0) expectedGrams
       else math.max(1000L,
         eg.agg(approx_count_distinct(col("gram"))).head().getLong(0))
-    val bloom = eg.stat.bloomFilter("gram", n, fpp)
+    bloomJoin(corpus, evalSet, textCol, idCol, shingleN, threshold,
+      eg.stat.bloomFilter("gram", n, fpp))
+  }
+
+  /** The Bloom-reduced inverted-index join with a caller-built filter —
+    * shared by [[overlapAgainstBloom]] and the [[overlap]] router (which
+    * has already built the filter to measure the corpus hit rate). */
+  private def bloomJoin(corpus: DataFrame, evalSet: DataFrame, textCol: String,
+                        idCol: String, shingleN: Int, threshold: Double,
+                        bloom: org.apache.spark.util.sketch.BloomFilter): DataFrame = {
+    def grams(df: DataFrame, as: String) =
+      df.select(col(idCol).as(as), Dedup.gramHashSet(col(textCol), shingleN).as("g"))
+    val eg = grams(evalSet, "eval_id")
+      .select(col("eval_id"), explode(col("g")).as("gram"))
     val cg = grams(corpus, "doc_id")
       .select(col("doc_id"), size(col("g")).as("n"), explode(col("g")).as("gram"))
       .where(graft.functions.BloomFilterColumns.mightContainLong(col("gram"), bloom))
@@ -138,7 +149,6 @@ object Decontaminate {
   def overlapAgainstIndex(corpus: DataFrame, evalSet: DataFrame, textCol: String,
                           idCol: String, shingleN: Int, threshold: Double,
                           postingsBudget: Long = 4000000L): DataFrame = {
-    import scala.jdk.CollectionConverters._
     if (postingsBudget >= 0) {
       // the budget lives HERE, not only in [[overlap]]: an unguarded
       // direct call would collect an unbounded eval set to the driver
@@ -153,6 +163,24 @@ object Decontaminate {
           "join for big eval sets")
     }
     val evalIdType = evalSet.schema(idCol).dataType
+    indexBest(corpus, evalSet, textCol, idCol, shingleN)
+      // cast back to the INPUT id type: the join formulations preserve
+      // it, so the auto entry's schema must not depend on which plan the
+      // postings budget selected (r9 ADVICE)
+      .select(col("doc_id"), col("eval_id").cast(evalIdType).as("eval_id"),
+        round(col("inter").cast("double") / col("n"), 4).as("overlap"))
+      .where(col("overlap") >= threshold)
+  }
+
+  /** The index plan's core: build the gram → eval-slot index from ONE
+    * eval chunk, scan the corpus once, emit the per-document argmax as
+    * (doc_id, eval_id: long, inter: long, n: long) with NO threshold —
+    * callers apply rounding/threshold ([[overlapAgainstIndex]]) or merge
+    * chunk winners first ([[overlapAgainstIndexChunked]]). */
+  private def indexBest(corpus: DataFrame, evalSet: DataFrame,
+                        textCol: String, idCol: String,
+                        shingleN: Int): DataFrame = {
+    import scala.jdk.CollectionConverters._
     val postings = evalSet
       .select(col(idCol).cast("long").as("eval_id"),
         explode(Dedup.gramHashSet(col(textCol), shingleN)).as("gram"))
@@ -183,29 +211,144 @@ object Decontaminate {
       .withColumn("best",
         graft.functions.OverlapIndexColumns.topEvalOverlap(col("g"), index))
       .where(col("best").isNotNull)
-      // cast back to the INPUT id type: the join formulations preserve
-      // it, so the auto entry's schema must not depend on which plan the
-      // postings budget selected (r9 ADVICE)
-      .select(col("doc_id"), col("best.eval_id").cast(evalIdType).as("eval_id"),
-        round(col("best.inter").cast("double") / size(col("g")), 4).as("overlap"))
+      .select(col("doc_id"), col("best.eval_id").as("eval_id"),
+        col("best.inter").as("inter"), size(col("g")).cast("long").as("n"))
+  }
+
+  /** [[overlapAgainstIndex]] for eval sets whose postings EXCEED one
+    * task's payload budget: split the eval set into contiguous-id chunks
+    * of ≤ `chunkPostings` postings each, run the zero-shuffle index pass
+    * once per chunk, and merge the per-chunk winners with exactly the
+    * join formulation's comparator — rounded overlap descending, then
+    * smallest eval id, computed in the same exact long arithmetic as
+    * [[graft.functions.TopEvalOverlap]] (⌊(2·inter·10⁴ + n) / 2n⌋, so a
+    * raw-intersection merge can never disagree with the window plan on
+    * pairs that round to the same 4-decimal overlap).
+    *
+    * Why this exists: [[overlap]]'s big-eval fallback was the Bloom join
+    * — but Bloom pruning buys nothing on a FLOODED vocabulary (every
+    * corpus gram is in the eval vocabulary: templated corpora, closed
+    * domains, tiny shingles), where the join formulation is quadratic in
+    * the corpus (the r9 sf10 kill). This plan's cost is instead
+    * ⌈postings/budget⌉ corpus scans, each zero-shuffle with a
+    * budget-bounded task payload — linear in the corpus at fixed eval
+    * size, flooded or not. At 100 TB: k passes over the corpus beat one
+    * pass that shuffles O(corpus grams) and materializes
+    * (corpus gram × eval posting) rows whenever the vocabulary is
+    * non-discriminative; when grams ARE discriminative the Bloom join
+    * wins — [[overlap]] routes between them on a MEASURED corpus sample
+    * hit rate, not an assumption.
+    *
+    * Argmax distributes over the chunk partition (each chunk's winner is
+    * maximal within its chunk under the same lexicographic order used in
+    * the merge), so the output is bit-identical to [[overlapAgainst]] —
+    * oracle-checked by the x9d catalog entry. Driver memory holds one
+    * (eval_id, gram-count) pair per eval document for chunk planning
+    * plus ONE chunk's index at a time; same integral-unique-id
+    * preconditions as [[overlapAgainstIndex]]. */
+  def overlapAgainstIndexChunked(corpus: DataFrame, evalSet: DataFrame,
+                                 textCol: String, idCol: String,
+                                 shingleN: Int, threshold: Double,
+                                 chunkPostings: Long = 4000000L): DataFrame = {
+    require(chunkPostings > 0, s"chunkPostings must be positive: $chunkPostings")
+    val evalIdType = evalSet.schema(idCol).dataType
+    // one job over the SMALL side: per-eval-doc gram counts, planned
+    // into contiguous id ranges driver-side (contiguous → each chunk is
+    // a BETWEEN predicate, pushed to the eval scan)
+    val counts = evalSet
+      .select(col(idCol).cast("long").as("eval_id"),
+        size(Dedup.gramHashSet(col(textCol), shingleN)).cast("long").as("ng"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val ranges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    var i = 0
+    while (i < counts.length) {
+      val lo = counts(i)._1
+      var acc = counts(i)._2 // a single doc above the budget gets its own chunk
+      var j = i
+      while (j + 1 < counts.length && acc + counts(j + 1)._2 <= chunkPostings) {
+        j += 1; acc += counts(j)._2
+      }
+      ranges += ((lo, counts(j)._1))
+      i = j + 1
+    }
+    if (ranges.length <= 1)
+      // one chunk (or empty eval set): the single-pass plan IS the
+      // answer — budget already proven met by the chunk planning above
+      return overlapAgainstIndex(corpus, evalSet, textCol, idCol, shingleN,
+        threshold, postingsBudget = -1L)
+    val winners = ranges.map { case (l, h) =>
+      indexBest(corpus,
+        evalSet.where(col(idCol).cast("long").between(l, h)),
+        textCol, idCol, shingleN)
+    }.reduce(_.union(_))
+    winners
+      // the SAME rounded value TopEvalOverlap maximizes, as exact long
+      // arithmetic (DIV, not double division)
+      .withColumn("rr", expr("(2 * inter * 10000 + n) DIV (2 * n)"))
+      // lexicographic struct max = highest rounded overlap, then
+      // smallest eval id (negated; ids are integral per the index-plan
+      // contract). inter/n ride along for the output row.
+      .groupBy("doc_id")
+      .agg(max(struct(col("rr"), (-col("eval_id")).as("nid"),
+        col("inter"), col("n"))).as("b"))
+      .select(col("doc_id"), (-col("b.nid")).cast(evalIdType).as("eval_id"),
+        round(col("b.inter").cast("double") / col("b.n"), 4).as("overlap"))
       .where(col("overlap") >= threshold)
   }
 
+
+  /** Fraction of a corpus gram SAMPLE that hits the eval set's Bloom
+    * filter — the router's floodedness measurement. `limit` short-
+    * circuits the scan (reads leading partitions only, never the whole
+    * corpus); the bias of a leading-partition sample is acceptable
+    * because this steers a COST choice between two exact plans, never
+    * correctness. ≈1.0 on a flooded vocabulary (every corpus gram in
+    * eval vocab — Bloom prunes nothing), ≈fpp on a disjoint one. */
+  private[graft] def corpusBloomHitRate(
+      corpus: DataFrame, textCol: String, shingleN: Int,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      sampleGrams: Int = 65536): Double = {
+    val r = corpus
+      .select(explode(Dedup.gramHashSet(col(textCol), shingleN)).as("gram"))
+      .limit(sampleGrams)
+      .agg(avg(when(graft.functions.BloomFilterColumns
+        .mightContainLong(col("gram"), bloom), 1d).otherwise(0d)))
+      .head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0) // empty corpus: moot choice
+  }
+
   /** Entry point with automatic plan choice (the d4c/neardupPairs
-    * pattern): the broadcast-index plan while the eval side's postings
-    * fit a task payload, the Bloom-reduced inverted-index join beyond.
+    * pattern). While the eval side's postings fit a task payload
+    * (`indexMaxPostings`), the zero-shuffle broadcast-index plan — no
+    * further questions. Beyond it, the plan is chosen by MEASUREMENT,
+    * not assumption: build the eval Bloom filter, probe a corpus gram
+    * sample against it, and route on the hit rate —
+    *
+    *   - hit rate < `bloomMaxHitRate`: discriminative vocabulary — the
+    *     Bloom-reduced inverted-index join; map-side pruning drops
+    *     (1 − hitRate) of the corpus gram shuffle, the classic shape.
+    *   - hit rate ≥ `bloomMaxHitRate`: FLOODED vocabulary — Bloom
+    *     pruning is a no-op and the join formulation goes corpus-
+    *     quadratic (the r9 sf10 kill: every corpus gram matches eval
+    *     postings, so the join materializes ~|corpus docs|·|eval docs|
+    *     pair rows). Route to [[overlapAgainstIndexChunked]]:
+    *     ⌈postings/budget⌉ zero-shuffle corpus passes, linear in the
+    *     corpus regardless of vocabulary shape.
+    *
     * `numEvalPostings` lets callers pass catalog statistics instead of
     * paying the sizing aggregation (one job over the SMALL side only —
-    * never the corpus).
+    * never the corpus; the hit-rate probe reads one corpus task's worth
+    * of leading rows, also never a full scan).
     *
     * The default budget (4M postings ≈ ~64 MB of index) is a task
-    * payload bound, not a correctness bound: both plans are exact.
+    * payload bound, not a correctness bound: all three plans are exact.
     * Precondition either way: ids unique per side and (for the index
-    * plan) integral — see [[overlapAgainstIndex]]. */
+    * plans) integral — see [[overlapAgainstIndex]]. */
   def overlap(corpus: DataFrame, evalSet: DataFrame, textCol: String,
               idCol: String, shingleN: Int, threshold: Double,
               indexMaxPostings: Long = 4000000L,
-              numEvalPostings: Option[Long] = None): DataFrame = {
+              numEvalPostings: Option[Long] = None,
+              bloomMaxHitRate: Double = 0.5): DataFrame = {
     val n = numEvalPostings.getOrElse {
       val r = evalSet.select(
         sum(size(Dedup.gramHashSet(col(textCol), shingleN)))).head()
@@ -216,7 +359,18 @@ object Decontaminate {
       // (it would repeat the same sizing aggregation)
       overlapAgainstIndex(corpus, evalSet, textCol, idCol, shingleN, threshold,
         postingsBudget = -1L)
-    else
-      overlapAgainstBloom(corpus, evalSet, textCol, idCol, shingleN, threshold)
+    else {
+      val eg = evalSet.select(
+        explode(Dedup.gramHashSet(col(textCol), shingleN)).as("gram"))
+      val distinctGrams = math.max(1000L,
+        eg.agg(approx_count_distinct(col("gram"))).head().getLong(0))
+      val bloom = eg.stat.bloomFilter("gram", distinctGrams, 0.01)
+      if (corpusBloomHitRate(corpus, textCol, shingleN, bloom) >= bloomMaxHitRate)
+        overlapAgainstIndexChunked(corpus, evalSet, textCol, idCol, shingleN,
+          threshold, chunkPostings = indexMaxPostings)
+      else
+        // the filter this router built IS the join's filter — no rebuild
+        bloomJoin(corpus, evalSet, textCol, idCol, shingleN, threshold, bloom)
+    }
   }
 }

@@ -18,10 +18,15 @@ import org.apache.spark.sql.functions._
   * Arms per mod, selectable with SPARK_GRAFT_PROBE_ARMS (default
   * "join,bloom,auto"): `join` = plain gram join (overlapAgainst), known
   * superlinear in |eval|·|corpus| — EXCLUDE it at big-eval params;
-  * `bloom` = Bloom-reduced join (overlapAgainstBloom), the big-eval
-  * plan; `auto` = the production `overlap` entry, reporting which plan
-  * the postings budget selected. Equal-rows is asserted across every
-  * arm that ran.
+  * `bloom` = Bloom-reduced join (overlapAgainstBloom) — on THIS corpus's
+  * flooded ~900-bigram vocabulary the filter prunes nothing and the arm
+  * degenerates to the quadratic join (the r11 probe kill), so exclude it
+  * here too and read its regime from the hit-rate line instead;
+  * `chunked` = the chunked broadcast-index plan at the production 4M
+  * budget; `auto` = the production `overlap` entry (hit-rate routed for
+  * big evals). Equal-rows is asserted across every arm that ran; each
+  * mod line also reports the measured corpus-sample Bloom hit rate the
+  * router sees.
   *
   * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.tools.DecontScaleProbe [mod1,mod2,...]
   */
@@ -75,6 +80,10 @@ object DecontScaleProbe {
       if (arms("bloom"))
         results("bloom") = time(graft.operators.Decontaminate.overlapAgainstBloom(
           corpusM, evalM, "text", "doc_id", shingleN = 2, threshold = 0.2))
+      if (arms("chunked"))
+        results("chunked") = time(
+          graft.operators.Decontaminate.overlapAgainstIndexChunked(
+            corpusM, evalM, "text", "doc_id", shingleN = 2, threshold = 0.2))
       if (arms("auto"))
         results("auto") = time(graft.operators.Decontaminate.overlap(
           corpusM, evalM, "text", "doc_id", shingleN = 2, threshold = 0.2,
@@ -82,9 +91,21 @@ object DecontScaleProbe {
       val counts = results.values.map(_._2).toSet
       require(counts.size <= 1,
         s"arms disagree at mod=$m: ${results.map { case (k, v) => s"$k=${v._2}" }.mkString(", ")}")
-      val autoPlan = if (postings <= 4000000L) "index" else "bloom"
+      // the router's own measurement, reported so the auto arm's plan
+      // choice is readable from the log
+      val hitRate = {
+        val eg = evalM.select(explode(
+          graft.operators.Dedup.gramHashSet(col("text"), 2)).as("gram"))
+        val n = math.max(1000L,
+          eg.agg(approx_count_distinct(col("gram"))).head().getLong(0))
+        graft.operators.Decontaminate.corpusBloomHitRate(
+          corpusM, "text", 2, eg.stat.bloomFilter("gram", n, 0.01))
+      }
+      val autoPlan =
+        if (postings <= 4000000L) "index"
+        else if (hitRate >= 0.5) "chunked" else "bloom"
       val armJson = results.map { case (k, (s, _)) => f""""${k}_s":$s%.3f""" }.mkString(",")
-      println(f"""{"tool":"DecontScaleProbe","sf_dir":"$sfDir","mod":$m,"eval_docs":$evalN,"eval_postings":$postings,$armJson,"flagged":${counts.headOption.getOrElse(0L)},"auto_plan":"$autoPlan"}""")
+      println(f"""{"tool":"DecontScaleProbe","sf_dir":"$sfDir","mod":$m,"eval_docs":$evalN,"eval_postings":$postings,$armJson,"flagged":${counts.headOption.getOrElse(0L)},"hit_rate":$hitRate%.4f,"auto_plan":"$autoPlan"}""")
     }
     spark.stop()
   }

@@ -84,22 +84,101 @@ class CurationSpec extends SparkSuite {
     assert(!indexed.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
-  test("decontamination auto entry: postings budget picks index vs bloom-" +
-      "join plan; both produce the join formulation's exact result") {
+  test("decontamination auto entry: postings budget picks the index plan " +
+      "small, the hit-rate router beyond it; every route exact") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val (corpus, evalSet) =
       (d.where(col("doc_id") % 10 =!= 0), d.where(col("doc_id") % 10 === 0))
     val exact = Decontaminate.overlapAgainst(
       corpus, evalSet, "text", "doc_id", 2, 0.1).collect().map(_.toSeq).toSet
     val viaIndex = Decontaminate.overlap(corpus, evalSet, "text", "doc_id", 2, 0.1)
-    val viaBloom = Decontaminate.overlap(corpus, evalSet, "text", "doc_id", 2, 0.1,
-      indexMaxPostings = 1L) // force the fallback arm
+    // big-eval + flooded vocabulary (this corpus shares its whole bigram
+    // vocabulary): the router must NOT pick bloom — it measures hit rate
+    // ~1.0 and takes the chunked index path
+    val viaChunked = Decontaminate.overlap(corpus, evalSet, "text", "doc_id",
+      2, 0.1, indexMaxPostings = 1L)
+    // big-eval with the bloom route forced (impossible hit-rate bar) —
+    // the discriminative-vocabulary arm, still exact
+    val viaBloom = Decontaminate.overlap(corpus, evalSet, "text", "doc_id", 2,
+      0.1, indexMaxPostings = 1L, bloomMaxHitRate = 1.01)
     assert(viaIndex.queryExecution.executedPlan.toString
       .contains("graft_top_eval_overlap"))
+    assert(viaChunked.queryExecution.executedPlan.toString
+      .contains("graft_top_eval_overlap"))
+    assert(!viaChunked.queryExecution.executedPlan.toString
+      .contains("graft_bloom_might_contain"))
     assert(viaBloom.queryExecution.executedPlan.toString
       .contains("graft_bloom_might_contain"))
     assert(viaIndex.collect().map(_.toSeq).toSet == exact)
+    assert(viaChunked.collect().map(_.toSeq).toSet == exact)
     assert(viaBloom.collect().map(_.toSeq).toSet == exact)
+  }
+
+  test("chunked index decontamination: multi-chunk winners merge bit-" +
+      "identically to the exact join on real data") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val (corpus, evalSet) =
+      (d.where(col("doc_id") % 10 =!= 0), d.where(col("doc_id") % 10 === 0))
+    val postings = evalSet.select(
+      sum(size(graft.operators.Dedup.gramHashSet(col("text"), 2)))).head().getLong(0)
+    val exact = Decontaminate.overlapAgainst(
+      corpus, evalSet, "text", "doc_id", 2, 0.1).collect().map(_.toSeq).toSet
+    // quarter-budget → ~5 chunks; the x9d catalog entry's construction
+    val chunked = Decontaminate.overlapAgainstIndexChunked(corpus, evalSet,
+      "text", "doc_id", 2, 0.1, chunkPostings = math.max(1L, postings / 4))
+    assert(chunked.collect().map(_.toSeq).toSet == exact)
+    // schema parity with the join formulations (the overlap contract)
+    assert(chunked.schema("eval_id").dataType ==
+      Decontaminate.overlapAgainst(corpus, evalSet, "text", "doc_id", 2, 0.1)
+        .schema("eval_id").dataType)
+  }
+
+  test("chunked index decontamination: cross-chunk ties break to the " +
+      "smallest eval id; higher rounded overlap in a later chunk wins") {
+    // chunkPostings=1 → every eval doc is its own chunk, so every
+    // comparison below crosses a chunk boundary
+    val evalSet = Seq(
+      (10L, "one two three"),          // chunk 1
+      (20L, "one two three"),          // chunk 2 — identical: tie with 10
+      (30L, "one two five seven")      // chunk 3 — covers doc 2 fully
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "one two four"),   // inter 1/2 vs both 10 and 20 → tie → 10
+      (2L, "one two five")    // vs 30: 2/2 = 1.0 beats 10/20's 1/2
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.overlapAgainstIndexChunked(corpus, evalSet,
+        "text", "doc_id", shingleN = 2, threshold = 0.1, chunkPostings = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 10L, 0.5), (2L, 30L, 1.0)))
+    // same answers as the window-formulation join, bit for bit
+    val exact = Decontaminate.overlapAgainst(corpus, evalSet,
+        "text", "doc_id", shingleN = 2, threshold = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == exact)
+  }
+
+  test("hit-rate router measurement: flooded vocabulary reads ~1, " +
+      "disjoint reads ~fpp — and the disjoint route is bloom naturally") {
+    import graft.operators.Dedup
+    val evalSet = Seq((10L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val eg = evalSet.select(explode(
+      Dedup.gramHashSet(col("text"), 2)).as("gram"))
+    val bloom = eg.stat.bloomFilter("gram", 1000L, 0.01)
+    val flooded = Seq((1L, "alpha beta gamma"), (2L, "gamma delta epsilon"))
+      .toDF("doc_id", "text") // every corpus bigram is an eval bigram
+    val disjoint = Seq((1L, "wholly different words entirely"),
+      (2L, "nothing shared with that eval document"))
+      .toDF("doc_id", "text")
+    assert(Decontaminate.corpusBloomHitRate(flooded, "text", 2, bloom) == 1.0)
+    assert(Decontaminate.corpusBloomHitRate(disjoint, "text", 2, bloom) < 0.5)
+    // end-to-end: a big-eval call over the disjoint corpus routes to the
+    // bloom join without any forcing — the measured rate is low
+    val routed = Decontaminate.overlap(disjoint, evalSet, "text", "doc_id",
+      2, 0.1, indexMaxPostings = 1L)
+    assert(routed.queryExecution.executedPlan.toString
+      .contains("graft_bloom_might_contain"))
+    assert(routed.count() == 0) // nothing shared → nothing flagged
   }
 
   test("index decontamination: direct calls enforce the postings budget, " +
