@@ -59,6 +59,13 @@ object ScaleCheck {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // one long session runs eight disk-heavy checks back to back;
+      // shuffle files of finished checks are only deleted when their
+      // RDDs are GC'd, and at sf10 the accumulated spill exceeds the
+      // box (two C7 no-space deaths, r11). Periodic GC lets the
+      // ContextCleaner reclaim each check's shuffles while the next
+      // one runs.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
