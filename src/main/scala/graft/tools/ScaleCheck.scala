@@ -146,17 +146,17 @@ object ScaleCheck {
     // at this corpus size since r8) — the capped arm of the frontier
     // report must therefore be constructed explicitly with refineRows=0,
     // or "capped recall" would silently measure the adaptive plan twice
-    val d2 = run("d2_minhash_neardup").cache()
+    var d2 = run("d2_minhash_neardup").cache()
     // the capped arm is defined by the SAME shared parameter constant the
     // catalog runs (Queries.D2Params) — if the catalog's d2 definition
     // changes, this frontier report follows it instead of silently
     // measuring a stale configuration (r9 ADVICE)
     val p = graft.Queries.D2Params
-    val capped = graft.operators.Dedup.minhashNearDup(
+    var capped = graft.operators.Dedup.minhashNearDup(
       actual.where(length(graft.functions.TextFunctions.normalizeText(col("text"))) > 0),
       "text", "doc_id", p.bands, p.rowsPerBand, p.threshold, p.shingleN,
       p.maxBucket, refineRows = 0).cache()
-    val d2b = run("d2b_neardup_adaptive").cache()
+    var d2b = run("d2b_neardup_adaptive").cache()
     val d2n = d2.count()
     val cappedN = capped.count()
     val d2bn = d2b.count()
@@ -178,10 +178,18 @@ object ScaleCheck {
         f"auto_near_recall=$nearRecallA%.4f ($foundNearA/$nPlantedNear) " +
         f"capped_exact_recall=$exactRecall%.4f ($foundExact/$nPlantedExact) " +
         f"capped_near_recall=$nearRecall%.4f ($foundNear/$nPlantedNear)")
-    capped.unpersist()
+    // drop every reference a finished check held: an sf10 run spills
+    // ~70 GB across C2-C7 and shuffle files are only deleted once their
+    // RDDs are unreachable AND a GC has run (two no-space deaths at C7,
+    // r11 — main-scope vals pinned every check's lineage to the end).
+    // The explicit gc() makes the ContextCleaner's reclaim prompt
+    // instead of waiting on the periodic interval.
+    capped.unpersist(); capped = null
+    d2b.unpersist(); d2b = null
+    System.gc()
 
     // C4 — d8 clusters agree with d2 pairs
-    val d8 = run("d8_neardup_clusters").cache()
+    var d8 = run("d8_neardup_clusters").cache()
     val labels = d8.select(col("doc_id"), col("cluster_id"))
     val splitPairs = d2
       .join(labels.select(col("doc_id").as("id_a"), col("cluster_id").as("c_a")), "id_a")
@@ -193,6 +201,8 @@ object ScaleCheck {
     check("C4_d8_cluster_consistency",
       splitPairs == 0 && badLabel == 0 && d8n == nDocs && d8dup == 0,
       s"split_pairs=$splitPairs label_gt_id=$badLabel rows=$d8n dup_rows=$d8dup")
+    d2.unpersist(); d2 = null
+    System.gc()
 
     // C5 — d10 manifest
     val d10 = run("d10_dedup_apply").cache()
@@ -201,11 +211,14 @@ object ScaleCheck {
     val absorbed = d10.agg(sum("n_docs")).head().getLong(0)
     check("C5_d10_manifest", survivors == clusters && absorbed == nDocs,
       s"survivors=$survivors clusters=$clusters absorbed_sum=$absorbed n=$nDocs")
+    d8.unpersist(); d8 = null; d10.unpersist()
+    System.gc()
 
     // C6 — prefix-filtered jaccard never overstates the true jaccard
     val d4b = run("d4b_jaccard_prefix")
     val overstated = trueJaccard(d4b).where(col("jaccard") > col("true_j") + 5e-5).count()
     check("C6_d4b_lower_bound", overstated == 0, s"overstated=$overstated")
+    System.gc()
 
     // C7 — incremental dedup recall (x14): history = even ids, incoming =
     // odd ids, and every planted pair is (id−1, id), so a planted pair
@@ -227,7 +240,7 @@ object ScaleCheck {
       f"exact_recall=$x14E%.4f ($x14Ef/$x14En) near_recall=$x14N%.4f ($x14Nf/$x14Nn)")
     x14.unpersist()
 
-    regen.unpersist(); d2.unpersist(); d2b.unpersist(); d8.unpersist(); d10.unpersist()
+    regen.unpersist()
     val ok = failures.isEmpty
     println(s"""{"scalecheck":"${if (ok) "PASS" else "FAIL"}","sf_dir":"$sfDir","n_docs":$nDocs,"failed":${failures.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
     spark.stop()
