@@ -60,8 +60,17 @@ object ProductMerge {
   def merge(products: DataFrame, sourceOrder: Seq[String] = PluginOrder,
             dedupPerProduct: Boolean = true, dedupGlobal: Boolean = false,
             preReduce: Boolean = true): DataFrame = {
+    // The empty-id drop is fenced with Opaque: product_id is usually a
+    // DERIVED column (EP1: md5/concat over the brand/model cascades), and
+    // letting Catalyst push this predicate below the upstream union
+    // substitutes the full cascade into the filter per source branch —
+    // measured 47K/113K/48K-char conditions whose generated processNext()
+    // passes the JVM 64 KB method limit, killing whole-stage codegen for
+    // the entire merge stage AND double-evaluating the cascade per row.
+    // On materialized inputs (parquet) the fence costs nothing: a
+    // length(regexp_replace(...)) predicate is not scan-pushable anyway.
     val exploded = products
-      .where(length(normalizeId(col("product_id"))) > 0)
+      .where(graft.functions.Opaque(length(normalizeId(col("product_id"))) > 0))
       .select(normalizeId(col("product_id")).as("product_id"),
         col("brand"), col("model"), col("product_name"), col("category"),
         col("specifications"), col("sources"), col("created_at"),

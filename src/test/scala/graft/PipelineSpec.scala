@@ -86,6 +86,34 @@ class PipelineSpec extends SparkSuite {
     assert(math.abs(stats.getDouble(2) - prices.sum / prices.length) < 1e-9)
   }
 
+  test("EP1 merge stage stays inside whole-stage codegen (64 KB method limit)") {
+    // Regression pin for the Opaque pushdown fence (ProductMerge): without
+    // it, Catalyst substitutes the transform cascades into the pushed
+    // empty-id filter per union branch (47K/113K/48K-char conditions), the
+    // generated processNext() passes the JVM 64 KB method limit, and Spark
+    // silently de-optimizes the merge stage to interpreted execution. With
+    // fallback disabled, that de-optimization becomes a hard failure this
+    // test would catch.
+    val raw = tempDir("marketeye_cg_raw")
+    write(raw, "avito_ads.json", avitoJson)
+    write(raw, "jumia_products.json", jumiaJson)
+    write(raw, "electroplanet_data.json", electroJson)
+    val cfg = MarketEyePipeline.Config(rawDir = raw, outDir = tempDir("marketeye_cg_out"),
+      runTs = "20260101_120000")
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val unified = cfg.sourceOrder
+        .map(s => MarketEyePipeline.extract(spark, cfg, s)).reduce(_ unionByName _)
+      val merged = graft.operators.ProductMerge.merge(unified, cfg.sourceOrder,
+        dedupPerProduct = true, dedupGlobal = true)
+      assert(merged.count() == 4) // throws InternalCompilerException if any stage >64 KB
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+      case None => spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
   test("A3 golden replay: exact statistics.json string on a 30-offer fixture") {
     // 30 Avito records over 10 products, every price 1000 (exact in
     // double, so the average is order-insensitive), unique urls so no
