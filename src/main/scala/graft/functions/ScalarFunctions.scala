@@ -242,10 +242,11 @@ object ScalarFunctions {
       val cleaned = trim(regexp_replace(stripped, "\\s+", " "))
       when(length(cleaned) > 1, cleaned)
     }
-    // fallback: ' '.join(w for w in title.split()[:3] if len(w)>2 and not w.isdigit())
-    val words = slice(filter(split(trim(t0), "\\s+"), w => w =!= ""), 1, 3)
-    val meaningful = filter(words, w => length(w) > 2 && !w.rlike("^[0-9]+$"))
-    val fromWords = nullif(array_join(meaningful, " "), lit(""))
+    // fallback: ' '.join(w for w in title.split()[:3] if len(w)>2 and not
+    // w.isdigit()) — native one-pass expression: the filter() HOF
+    // formulation is CodegenFallback and dropped the model Project out of
+    // whole-stage codegen (see ModelWordFallback scaladoc)
+    val fromWords = ModelWordFallback(t0)
     coalesce((fromField +: cascade) ++ Seq(fromWords, lit("Unknown")): _*)
   }
 

@@ -58,6 +58,17 @@ object CodegenProbe {
 
     val srcs = cfg.sourceOrder.map(s => s -> MarketEyePipeline.extract(spark, cfg, s)).toMap
     srcs.foreach { case (n, df) => probe(s"extract_$n")(df) }
+    // name every CodegenFallback expression per source (what kicks a
+    // projection out of whole-stage codegen)
+    srcs.foreach { case (n, df) =>
+      val fb = df.queryExecution.executedPlan.flatMap(_.expressions.flatMap(_.collect {
+        case e: org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback => e
+      })).map(e => e.getClass.getSimpleName).groupBy(identity).map { case (k, v) => s"$k x${v.size}" }
+      System.err.println(s"[cgprobe] fallback_$n: ${fb.mkString(", ")}")
+    }
+    System.err.println("[cgprobe] jumia plan:\n" +
+      srcs("Jumia").queryExecution.executedPlan.treeString.linesIterator
+        .map(_.take(110)).mkString("\n"))
     val unified = srcs.values.reduce(_ unionByName _)
     probe("unified")(unified)
     probe("merged")(ProductMerge.merge(unified, cfg.sourceOrder, true, true));

@@ -166,28 +166,17 @@ object Transforms {
     val screenRegex = when(scrG =!= "", concat(scrG, lit("\"")))
     // dict overrides: the reference iterates the dict with an if/elif
     // chain, so the LAST matching entry wins and each entry hits at most
-    // one branch in chain order
-    val entries = map_entries(coalesce(col("specs"), map().cast("map<string,string>")))
-    def entryVal(e: Column): Column = coalesce(e.getField("value").cast("string"), lit(""))
-    def rawRam(e: Column): Column =
-      lower(e.getField("key")).contains("ram") && entryVal(e) =!= ""
-    def rawSto(e: Column): Column = {
-      val k = lower(e.getField("key"))
-      k.contains("stockage") || (k.contains("storage") && entryVal(e) =!= "")
-    }
-    def rawScr(e: Column): Column = {
-      val k = lower(e.getField("key"))
-      k.contains("écran") || (k.contains("screen") && entryVal(e) =!= "")
-    }
-    def lastEntry(pred: Column => Column): Column =
-      try_element_at(filter(entries, pred), lit(-1))
-    val ramE = lastEntry(e => rawRam(e))
-    val stoE = lastEntry(e => !rawRam(e) && rawSto(e))
-    val scrE = lastEntry(e => !rawRam(e) && !rawSto(e) && rawScr(e))
+    // one branch in chain order — one-pass native pick (JumiaSpecPick
+    // scaladoc: the filter()+try_element_at HOF formulation is
+    // CodegenFallback and dropped this whole Project out of codegen)
+    val pick = graft.functions.JumiaSpecPick(col("specs"), dagMode = false)
     val specs = specsMap(
-      "storage" -> when(stoE.isNotNull, entryVal(stoE)).otherwise(storageRegex),
-      "ram" -> when(ramE.isNotNull, entryVal(ramE)).otherwise(ramRegex),
-      "screen_size" -> when(scrE.isNotNull, entryVal(scrE)).otherwise(screenRegex))
+      "storage" -> when(pick.getField("sto_matched"),
+        coalesce(pick.getField("sto_value"), lit(""))).otherwise(storageRegex),
+      "ram" -> when(pick.getField("ram_matched"),
+        coalesce(pick.getField("ram_value"), lit(""))).otherwise(ramRegex),
+      "screen_size" -> when(pick.getField("scr_matched"),
+        coalesce(pick.getField("scr_value"), lit(""))).otherwise(screenRegex))
     val off = offer("Jumia",
       price = cleanPrice(col("price")),
       originalPrice = cleanPrice(col("old_price")),
@@ -215,23 +204,13 @@ object Transforms {
       .withColumn("__graft_model", extractModelJumiaDag(col("title"), col("__graft_brand")))
     val brand = col("__graft_brand")
     val model = col("__graft_model")
-    val entries = map_entries(coalesce(col("specs"), map().cast("map<string,string>")))
-    def truthy(e: Column): Column =
-      e.getField("value").isNotNull && e.getField("value") =!= ""
-    def rawRam(e: Column): Column =
-      lower(e.getField("key")).contains("ram") && truthy(e)
-    def rawSto(e: Column): Column = {
-      val k = lower(e.getField("key"))
-      k.contains("stockage") || (k.contains("storage") && truthy(e))
-    }
-    def lastEntry(pred: Column => Column): Column =
-      try_element_at(filter(entries, pred), lit(-1))
-    val ramE = lastEntry(e => rawRam(e))
-    val stoE = lastEntry(e => !rawRam(e) && rawSto(e))
+    // same if/elif chain as the plugin path minus the screen slot — see
+    // JumiaSpecPick scaladoc for why this is a native one-pass expression
+    val pick = graft.functions.JumiaSpecPick(col("specs"), dagMode = true)
     val specs = specsMap(
-      "ram" -> when(ramE.isNotNull, ramE.getField("value").cast("string")),
-      "storage" -> when(stoE.isNotNull,
-        coalesce(stoE.getField("value").cast("string"), lit("None"))))
+      "ram" -> when(pick.getField("ram_matched"), pick.getField("ram_value")),
+      "storage" -> when(pick.getField("sto_matched"),
+        coalesce(pick.getField("sto_value"), lit("None"))))
     val off = offer("Jumia",
       price = cleanPrice(col("price")),
       originalPrice = lit(null).cast("double"),
