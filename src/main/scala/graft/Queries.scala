@@ -370,9 +370,9 @@ object Queries {
       try_element_at(col("specifications"), lit("color")).as("spec_color"),
       concat_ws(",", col("sources")).as("sources_csv"),
       size(col("offers")).cast("long").as("n_offers"),
-      aggregate(transform(col("offers"), o => o.getField("price").cast("decimal(18,2)")),
-        lit(0).cast("decimal(28,2)"), (acc, p) => (acc + p).cast("decimal(28,2)"))
-        .cast("double").as("sum_price"),
+      // native decimal-exact sum (OfferPriceSum scaladoc) — the
+      // aggregate/transform HOF spelling ran this projection interpreted
+      graft.functions.OfferPriceSum(col("offers")).as("sum_price"),
       element_at(col("offers"), 1).getField("url").as("first_url"),
       col("created_at"), col("last_updated"))
       .sortSmall("product_id")
@@ -2108,11 +2108,15 @@ object Queries {
        |FROM surv s JOIN documents d ON d.doc_id = s.cluster_id
        |ORDER BY doc_id""".stripMargin
 
-  /** D3 — portable 16-bit SimHash signatures. */
+  /** D3 — portable 16-bit SimHash signatures (native single-pass
+    * expression; bit-identical to the Dedup.simhash16 column formulation
+    * the oracle mirrors — one tokenizer pass and one md5 per distinct
+    * token instead of 16 interpreted aggregate() walks per row). */
   def d3Simhash(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .where(length(normalizeText(col("text"))) > 0)
-      .select(col("doc_id"), Dedup.simhash16(col("text")).as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.SimHash16.simhash16Native(col("text")).as("simhash"))
       .sortSmall("doc_id")
 
   val d3Sql: String = {

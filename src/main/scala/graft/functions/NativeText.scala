@@ -307,6 +307,48 @@ case class GramHashes(child: Expression, shingleN: Int) extends UnaryExpression 
   override protected def withNewChildInternal(c: Expression): GramHashes = copy(child = c)
 }
 
+/** LSH band keys of a minhash signature: array<string> of `bands`
+  * entries, entry b = the band's `rowsPerBand` signature values joined
+  * with '|' — byte-identical to
+  * `transform(sequence(0,bands-1), b => concat_ws("|", transform(
+  *   slice(sig, b*rpb+1, rpb), _.cast("string"))))`,
+  * which is TWO nested higher-order functions (CodegenFallback) executed
+  * per corpus row in the banding map stage — the single hottest
+  * non-native spot left in candidate generation (r11 audit). One pass,
+  * one StringBuilder per band, inside whole-stage codegen. */
+case class BandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_band_keys"
+
+  def keys(sig: ArrayData): ArrayData = {
+    val out = new Array[Any](bands)
+    var b = 0
+    while (b < bands) {
+      val sb = new java.lang.StringBuilder(rowsPerBand * 8)
+      var r = 0
+      while (r < rowsPerBand) {
+        if (r > 0) sb.append('|')
+        sb.append(sig.getLong(b * rowsPerBand + r))
+        r += 1
+      }
+      out(b) = UTF8String.fromString(sb.toString)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    keys(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bandKeys", this, classOf[BandKeys].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.keys($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BandKeys = copy(child = c)
+}
+
 /** array<struct<term:string,tf:long>> of per-document term frequencies —
   * see [[NativeText.termCounts]]. */
 case class TermCounts(child: Expression) extends UnaryExpression {
@@ -363,10 +405,14 @@ case class MinHashRefine(child: Expression, numRows: Int, shingleN: Int)
 /** All ordered (a < b) pairs of a pre-sorted array, as
   * array<struct<id_a,id_b>> — the compiled twin of the nested-transform
   * pair explosion (which allocates an interpreted slice per element).
-  * Runs post-aggregation on bucket rows (not in the scan hot path), so
-  * CodegenFallback is fine here. */
+  * Runs post-aggregation on bucket rows, but emits the CANDIDATE PAIR
+  * volume (165M structs at sf10), and as a CodegenFallback it dragged
+  * its whole Project — and the fused explode above it — out of
+  * whole-stage codegen (r11 catalog audit: d2b/d4/d4b/d4c all carried
+  * an interpreted Project for it). doGenCode is one reference-object
+  * call, same pattern as its siblings. */
 case class SortedPairs(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   private def elemType: DataType =
     child.dataType.asInstanceOf[ArrayType].elementType
   override def dataType: DataType = ArrayType(StructType(Seq(
@@ -374,8 +420,10 @@ case class SortedPairs(child: Expression)
     StructField("id_b", elemType, nullable = false))), containsNull = false)
   override def prettyName: String = "graft_sorted_pairs"
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    pairs(input.asInstanceOf[ArrayData])
+
+  def pairs(arr: ArrayData): ArrayData = {
     val et = elemType
     val k = arr.numElements()
     val out = new Array[Any](k * (k - 1) / 2)
@@ -392,6 +440,11 @@ case class SortedPairs(child: Expression)
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sortedPairs", this, classOf[SortedPairs].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.pairs($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): SortedPairs = copy(child = c)
@@ -430,4 +483,6 @@ object NativeTextColumns {
     GraftBridge.column(TermCounts(GraftBridge.expression(c)))
   def sortedPairs(c: Column): Column =
     GraftBridge.column(SortedPairs(GraftBridge.expression(c)))
+  def bandKeys(c: Column, bands: Int, rowsPerBand: Int): Column =
+    GraftBridge.column(BandKeys(GraftBridge.expression(c), bands, rowsPerBand))
 }

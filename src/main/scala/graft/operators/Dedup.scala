@@ -101,10 +101,10 @@ object Dedup {
         graft.functions.NativeTextColumns
           .minhashSignature(col(textCol), bands * rowsPerBand, shingleN).as("sig"))
       .select(col("doc"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => concat_ws("|", transform(
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-            v => v.cast("string"))))
+        // native single-pass banding (BandKeys scaladoc) — the nested
+        // transform/concat_ws/slice spelling ran interpreted per doc row
+        graft.functions.NativeTextColumns.bandKeys(
+          col("sig"), bands, rowsPerBand)
       ).as(Seq("band", "key")))
 
   /** Adaptive LSH bucket refinement: a bucket larger than `maxBucket` has
@@ -856,16 +856,18 @@ object Dedup {
         ceil(lit(threshold - 1e-4) * col("sz") - lit(1e-9)).cast("int"))
       .withColumn("plen", size(col("by_rarity")) - col("alpha") + lit(1))
     val docs = if (reliable) docs0.checkpoint(false) else docs0.localCheckpoint(false)
+    // by_rarity.gram = GetArrayStructFields (native, codegen'd) — the
+    // transform(_, s => s.getField(...)) spelling is a higher-order
+    // function (CodegenFallback) and dragged this Project out of codegen
     val index = docs.where(col("plen") > 0)
       .select(col("id"), col("blk"),
-        explode(slice(transform(col("by_rarity"), s => s.getField("gram")),
-          lit(1), col("plen"))).as("gram"))
+        explode(slice(col("by_rarity.gram"), lit(1), col("plen"))).as("gram"))
     val cands = pairsFromGroups(index, Seq("blk", "gram"), "id", maxDf).distinct()
     // verify on the capped value-sorted hash sets (same SHUFFLE_HASH
     // rationale as verifyJaccard: the set table is O(corpus))
     val vsets = docs
       .select(col("id"),
-        sort_array(transform(col("by_rarity"), s => s.getField("gram"))).as("toks"),
+        sort_array(col("by_rarity.gram")).as("toks"),
         col("sz"))
       .hint("shuffle_hash")
     cands

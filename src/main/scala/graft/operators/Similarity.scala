@@ -234,10 +234,13 @@ object Similarity {
         struct((-cosine(col(vecCol), array(cvec.map(lit): _*))).as("negcos"),
           lit(cid).as("cid"))
       }
+      // sort_array (native SortArray) not array_sort (lambda-comparator
+      // HOF, CodegenFallback) — identical order on non-null struct
+      // elements; pr.cid = GetArrayStructFields, not a transform() lambda
       val q = broadcast(queries
         .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-          slice(array_sort(array(probes: _*)), 1, nprobe).as("pr"))
-        .withColumn("centroid", explode(transform(col("pr"), p => p.getField("cid"))))
+          slice(sort_array(array(probes: _*)), 1, nprobe).as("pr"))
+        .withColumn("centroid", explode(col("pr.cid")))
         .drop("pr"))
       // each corpus vector is assigned to exactly ONE centroid and the
       // query probes nprobe DISTINCT centroids, so a (query, neighbor)

@@ -457,6 +457,38 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(viaSql.getLong(1) == both.find(_.getLong(0) == 1L).get.getLong(1))
   }
 
+  test("native BandKeys expression: equals the nested-transform banding") {
+    val bands = 4; val rpb = 3
+    val sigs = docs.select(col("doc_id"),
+      graft.functions.NativeTextColumns
+        .minhashSignature(col("text"), bands * rpb, 1).as("sig"))
+    val both = sigs.select(col("doc_id"),
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws("|", transform(
+          slice(col("sig"), b * rpb + 1, lit(rpb)), v => v.cast("string")))).as("hof"),
+      graft.functions.NativeTextColumns.bandKeys(col("sig"), bands, rpb).as("native"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2), s"doc ${r.get(0)}")
+    }
+  }
+
+  test("native SimHash16 expression: equals the column formulation (incl. null text)") {
+    val both = docs.select(col("doc_id"),
+      Dedup.simhash16(col("text")).as("hof"),
+      graft.functions.SimHash16.simhash16Native(col("text")).as("native"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2), s"doc ${r.getLong(0)}"))
+    // null text → 0L on both formulations (the coalesce in the wrapper)
+    val nulls = Seq((1L, null: String)).toDF("doc_id", "text")
+      .select(Dedup.simhash16(col("text")).as("hof"),
+        graft.functions.SimHash16.simhash16Native(col("text")).as("native"))
+      .collect()(0)
+    assert(nulls.getLong(0) == 0L && nulls.getLong(1) == 0L)
+  }
+
   test("LSH ANN recall: d6-style query finds most of the exact d5 top-k") {
     val rnd = new scala.util.Random(11)
     val corpus = (0L to 199L).map(i => (i, Array.fill(16)(rnd.nextFloat()))).toDF("vec_id", "embedding")

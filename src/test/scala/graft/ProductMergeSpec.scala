@@ -94,4 +94,40 @@ class ProductMergeSpec extends SparkSuite {
     val shuffles = "Exchange".r.findAllIn(plan).size
     assert(shuffles <= 1, s"expected <=1 shuffle, got $shuffles in:\n$plan")
   }
+
+  test("native OfferPriceSum: equals the aggregate/transform decimal formulation") {
+    import org.apache.spark.sql.functions.{aggregate, transform, col, lit}
+    val df = mkDf(Seq(
+      product("p_1", "B", "N", Map(), "Avito",
+        Seq(("Avito", 12.345, "u1", "t"), ("Jumia", 0.005, "u2", "t"))),
+      product("p_2", "B", "N", Map(), "Avito",
+        Seq(("Avito", 1e9 + 0.115, "u3", "t"))),
+      product("p_3", "B", "N", Map(), "Avito", Seq())))
+    def bothCols(d: DataFrame) = d.select(col("product_id"),
+      aggregate(transform(col("offers"), o => o.getField("price").cast("decimal(18,2)")),
+        lit(0).cast("decimal(28,2)"), (acc, p) => (acc + p).cast("decimal(28,2)"))
+        .cast("double").as("hof"),
+      graft.functions.OfferPriceSum(col("offers")).as("native"))
+    def assertAgree(rows: Array[Row]): Unit = rows.foreach { r =>
+      assert(r.isNullAt(1) == r.isNullAt(2), s"${r.getString(0)} null mismatch")
+      if (!r.isNullAt(1))
+        assert(r.getDouble(1) == r.getDouble(2), s"${r.getString(0)}: ${r.getDouble(1)} vs ${r.getDouble(2)}")
+    }
+    // through the merge path (explode drops the offer-less p_3 — the
+    // fold only emits products that have at least one offer)
+    val merged = bothCols(
+      ProductMerge.merge(df, dedupPerProduct = false, dedupGlobal = false)).collect()
+    assert(merged.length == 2)
+    assertAgree(merged)
+    // raw frame: empty array → 0.0 on both, null price → null on both
+    val withNullPrice = mkDf(Seq(
+      product("p_4", "B", "N", Map(), "Avito",
+        Seq(("Avito", 5.0, "u", "t"))))).withColumn("offers",
+      transform(col("offers"), o => o.withField("price", lit(null).cast("double"))))
+    val raw = bothCols(df).collect() ++ bothCols(withNullPrice).collect()
+    assert(raw.length == 4)
+    assertAgree(raw)
+    assert(raw.find(_.getString(0) == "p_3").exists(r => r.getDouble(2) == 0.0))
+    assert(raw.find(_.getString(0) == "p_4").exists(_.isNullAt(2)))
+  }
 }
