@@ -2669,6 +2669,37 @@ object Queries {
       |FROM events WHERE event_type = 'purchase'
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** ST8 — streaming near-dup INGESTION GATE: d2's MinHash-LSH candidate
+    * generation runs through the real micro-batch engine
+    * ([[graft.streaming.DocStream.neardupCandidates]] — band-keyed
+    * `flatMapGroupsWithState`, bounded per-bucket state), documents
+    * arriving as a file stream; the accumulated candidate pairs are then
+    * exact-verified in batch, same split as st3/st6 (streaming does the
+    * stateful detection, the compact verified surface is computed over
+    * the sink). Below the bucket cap — every oracle scale — the
+    * accumulated candidate set is arrival-order independent and equals
+    * the batch plan's, so the oracle is d2's own SQL twin end-to-end. */
+  def st8StreamingNeardup(s: SparkSession, dir: String): DataFrame = {
+    val schema = t(s, dir, "documents").schema
+    val ss = streamSession(s, 4)
+    val p = D2Params
+    val stream = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      .where(length(normalizeText(col("text"))) > 0)
+    val cands = graft.streaming.DocStream.neardupCandidates(stream,
+      "text", "doc_id", p.bands, p.rowsPerBand, p.shingleN, p.maxBucket)
+    val name = s"st8_neardup_${stQueryId.incrementAndGet()}"
+    val q = cands.toDF().writeStream.outputMode("update").format("memory")
+      .queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    val d = ss.read.parquet(s"$dir/documents.parquet")
+      .where(length(normalizeText(col("text"))) > 0)
+    Dedup.verifyJaccard(d, ss.table(name).distinct(), "text", "doc_id",
+        p.threshold, p.shingleN)
+      .sortSmall("id_a", "id_b")
+  }
+
   /** E1 — as-of (point-in-time) join: each click picks up the most recent
     * purchase at-or-before it for the same user, via
     * [[graft.operators.TemporalJoin.asOf]] — a tagged union + ONE window
@@ -4163,6 +4194,7 @@ object Queries {
     "m3_image_resize" -> m3ImageResize,
     "s10_json_props" -> s10JsonProps,
     "st7_price_envelope" -> st7PriceEnvelope,
+    "st8_streaming_neardup" -> st8StreamingNeardup,
     "e3_band_join" -> e3BandJoin,
     "m4_frame_sample" -> m4FrameSample,
     "w2_retention_cohorts" -> w2RetentionCohorts
@@ -4265,6 +4297,9 @@ object Queries {
     "m3_image_resize" -> m3Sql,
     "s10_json_props" -> s10Sql,
     "st7_price_envelope" -> st7Sql,
+    // the streaming gate's accumulated pairs equal the batch candidate
+    // set below the bucket cap, so d2's SQL twin verifies st8 end-to-end
+    "st8_streaming_neardup" -> d2Sql,
     "e3_band_join" -> e3Sql,
     "m4_frame_sample" -> m4Sql,
     "w2_retention_cohorts" -> w2Sql

@@ -95,7 +95,7 @@ object Dedup {
   /** (doc, band, key) LSH band keys of every document — the minhash
     * signature is ONE native expression (compiled single pass over the
     * text, inside whole-stage codegen), banded map-side. */
-  private def bandedKeys(df: DataFrame, textCol: String, idCol: String,
+  private[graft] def bandedKeys(df: DataFrame, textCol: String, idCol: String,
                          bands: Int, rowsPerBand: Int, shingleN: Int): DataFrame =
     df.select(col(idCol).as("doc"),
         graft.functions.NativeTextColumns

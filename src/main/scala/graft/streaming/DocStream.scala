@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming document-ingestion operators: the dedup family's detection
+  * step re-expressed over Structured Streaming, for pipelines that gate
+  * documents AT INGESTION instead of re-scanning the corpus per snapshot.
+  */
+object DocStream {
+
+  /** One exploded LSH-banded row of an arriving document — the streaming
+    * twin of the rows `Dedup.bandedKeys` produces in batch. */
+  case class BandedDoc(doc: Long, band: Int, key: String)
+
+  /** An emitted near-dup candidate pair, `id_a < id_b` — the same shape
+    * `Dedup.minhashCandidates` emits, so the batch verifier
+    * (`Dedup.verifyJaccard`) consumes either interchangeably. */
+  case class CandPair(id_a: Long, id_b: Long)
+
+  /** Per-bucket state: member doc ids in arrival order, deduplicated,
+    * frozen at `maxBucket` entries. A bounded `List[Long]` per live
+    * (band, key) group — the state store holds at most
+    * `bands × distinct band keys × maxBucket` longs, independent of how
+    * many documents have streamed through. */
+  case class BucketState(ids: List[Long])
+
+  /** Streaming MinHash-LSH near-duplicate CANDIDATE generation — the
+    * ingestion-time twin of [[graft.operators.Dedup.minhashCandidates]]
+    * (same `MinHashSignature`/`BandKeys` native banding, same
+    * (id_a, id_b) output contract). Each arriving document is banded
+    * map-side and grouped by (band, key); a `flatMapGroupsWithState`
+    * bucket holds the ids already seen in that bucket and emits a pair
+    * for every (seen, new) and in-batch (new, new) collision, exactly
+    * once per bucket over the stream's lifetime (an id already in state
+    * never re-pairs, so re-ingesting a document is a no-op). Pairs
+    * colliding in several bands are emitted once per band — run
+    * `.distinct()` (or feed [[graft.operators.Dedup.verifyJaccard]],
+    * whose join dedups nothing but whose output is identical for
+    * duplicate candidates fed through `distinct`) before verification,
+    * same as the batch plan does.
+    *
+    * Cap semantics differ from batch BY DESIGN: batch drops a bucket
+    * that exceeds `maxBucket` wholesale (it sees the full corpus and can
+    * refuse the quadratic bucket up front), but an ingestion gate cannot
+    * un-emit pairs it already shipped, so a bucket FREEZES at
+    * `maxBucket` members — later arrivals in that bucket are neither
+    * paired nor stored. Below the cap — every oracle scale — the
+    * accumulated pair set is arrival-order independent and equals the
+    * batch candidate set, which is what the st8 catalog entry's DuckDB
+    * twin checks end-to-end. Per-arrival work is bounded by
+    * `maxBucket` emitted pairs per band, and state by `maxBucket` longs
+    * per live bucket; at 100 TB the same knob that bounds the batch
+    * plan's quadratic bucket bounds the stream's state and fan-out.
+    * Long-running ingestion over an unbounded key space should add a
+    * state TTL (timeout on bucket idleness) — near-dup detection against
+    * the FULL history is exactly the regime where state must persist, so
+    * the default keeps buckets alive and bounded rather than expiring
+    * them. */
+  def neardupCandidates(docs: DataFrame, textCol: String, idCol: String,
+                        bands: Int, rowsPerBand: Int, shingleN: Int,
+                        maxBucket: Int = 1000): Dataset[CandPair] = {
+    import docs.sparkSession.implicits._
+    val banded = graft.operators.Dedup
+      .bandedKeys(docs, textCol, idCol, bands, rowsPerBand, shingleN)
+      .as[BandedDoc]
+    banded
+      .groupByKey(r => (r.band, r.key))
+      .flatMapGroupsWithState[BucketState, CandPair](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, String), rows: Iterator[BandedDoc],
+         state: GroupState[BucketState]) =>
+          val seen = state.getOption.map(_.ids).getOrElse(Nil)
+          val seenSet = seen.toSet
+          // micro-batch delivery order is arbitrary — sort the batch's
+          // fresh ids so in-batch emission order (and the frozen-bucket
+          // membership, once the cap engages) is deterministic
+          val fresh = rows.map(_.doc).toSeq.distinct
+            .filterNot(seenSet).sorted
+          val out = Seq.newBuilder[CandPair]
+          var acc = seen
+          var n = seen.size
+          for (d <- fresh if n < maxBucket) {
+            for (o <- acc)
+              out += (if (o < d) CandPair(o, d) else CandPair(d, o))
+            acc = d :: acc
+            n += 1
+          }
+          if (n > seen.size) state.update(BucketState(acc))
+          out.result().iterator
+      }
+  }
+}

@@ -255,6 +255,63 @@ class StreamingSpec extends SparkSuite {
     assert(got == (1L to 10L), s"got $got")
   }
 
+  test("streaming near-dup gate: accumulated pairs equal the batch " +
+      "candidate set across controlled micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      1L -> "spark shuffle join plan over the partition key",
+      2L -> "spark shuffle join plan over the partition key",   // exact dup of 1
+      3L -> "spark shuffle join plan over a partition key",     // near dup
+      4L -> "customer order line value table scan",
+      5L -> "customer order line value table scan",              // exact dup of 4
+      6L -> "stream batch node sort vector column",
+      7L -> "spark shuffle join plan over the partition key",   // late dup of 1/2
+      8L -> "stream batch node sort vector column hash")        // near dup of 6
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val cands = graft.streaming.DocStream.neardupCandidates(
+      df, "text", "doc_id", bands = 4, rowsPerBand = 2, shingleN = 2)
+    val q = cands.toDF().writeStream.outputMode("update").format("memory")
+      .queryName("st8spec").start()
+    mem.addData(docs.take(4): _*); q.processAllAvailable()
+    mem.addData(docs.slice(4, 6): _*); q.processAllAvailable()
+    mem.addData(docs.drop(6): _*); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("st8spec")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.operators.Dedup.minhashCandidates(
+        docs.toDF("doc_id", "text"), "text", "doc_id",
+        bands = 4, rowsPerBand = 2, shingleN = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch, s"stream $got vs batch $batch")
+    assert(got.nonEmpty)                  // the fixture must exercise pairing
+    assert(got.forall(p => p._1 < p._2))  // ordered pairs only
+  }
+
+  test("streaming near-dup gate: re-ingesting a seen doc id emits nothing; " +
+      "a frozen bucket stops pairing at the cap") {
+    implicit val sqlCtx = spark.sqlContext
+    val text = "identical text shared by every arriving document"
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    // cap = 2: the third identical doc finds its buckets frozen
+    val cands = graft.streaming.DocStream.neardupCandidates(
+      df, "text", "doc_id", bands = 4, rowsPerBand = 2, shingleN = 2,
+      maxBucket = 2)
+    val q = cands.toDF().writeStream.outputMode("update").format("memory")
+      .queryName("st8cap").start()
+    mem.addData(1L -> text, 2L -> text); q.processAllAvailable()
+    val afterTwo = spark.table("st8cap").distinct().count()
+    assert(afterTwo == 1, s"expected the (1,2) pair only, got $afterTwo")
+    mem.addData(2L -> text); q.processAllAvailable()   // re-ingestion: no-op
+    assert(spark.table("st8cap").distinct().count() == 1)
+    mem.addData(3L -> text); q.processAllAvailable()   // bucket frozen at 2
+    q.stop()
+    val fin = spark.table("st8cap").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fin == Set((1L, 2L)), s"frozen bucket must not pair doc 3: $fin")
+  }
+
   test("streaming file source ingests scrape drops incrementally") {
     val raw = tempDir("stream_raw")
     java.nio.file.Files.write(java.nio.file.Paths.get(raw, "drop1.json"),
