@@ -72,26 +72,30 @@ object StreamBench {
       val tsb = events.agg(min(tsSec).cast("long"), max(tsSec).cast("long"))
         .collect()(0)
       val (tsLo, tsHi) = (tsb.getLong(0), tsb.getLong(1))
+      // st8 streams DOCUMENTS (the near-dup ingestion gate), not events
+      lazy val documents = spark.read.parquet(s"$sfDir/documents.parquet")
       def chunkPred(shape: String, i: Int) = shape match {
         case "st6" =>
           val span = tsHi - tsLo + 1
           val lo = tsLo + span * i / nBatches
           val hi = tsLo + span * (i + 1) / nBatches
           tsSec >= lo && tsSec < hi
+        case "st8" => pmod(col("doc_id"), lit(nBatches)) === i
         case _ => pmod(col("event_id"), lit(nBatches)) === i
       }
 
       def timeShape(shape: String): (Double, Seq[Double]) = {
+        val src = if (shape == "st8") documents else events
         // stage this shape's chunks (deterministic assignment, untimed)
         (0 until nBatches).foreach { i =>
-          events.where(chunkPred(shape, i))
+          src.where(chunkPred(shape, i))
             .coalesce(1).write.parquet(base.resolve(s"stage_${shape}_$i").toString)
         }
         val watched = base.resolve(s"in_$shape")
         Files.createDirectory(watched)
         val ss = spark.newSession()
         ss.conf.set("spark.sql.shuffle.partitions", 4)
-        def stream = ss.readStream.schema(schema).parquet(watched.toString)
+        def stream = ss.readStream.schema(src.schema).parquet(watched.toString)
         val (df, mode) = shape match {
           case "st2" =>
             val sec = Queries.tsEpochSec(schema)
@@ -117,6 +121,17 @@ object StreamBench {
                 col("p_ts") >= col("c_ts") &&
                 col("p_ts") <= col("c_ts") + expr("interval 30 minutes")),
               "append")
+          case "st8" =>
+            // the near-dup ingestion gate per-batch: each chunk of
+            // documents pairs against the accumulated band-bucket state
+            // — the cost a long-running ingestion stream pays per drop,
+            // vs the lifecycle floor the catalog st8 number carries
+            val p = Queries.D2Params
+            (graft.streaming.DocStream.neardupCandidates(
+              stream.where(length(graft.functions.TextFunctions
+                .normalizeText(col("text"))) > 0),
+              "text", "doc_id", p.bands, p.rowsPerBand, p.shingleN,
+              p.maxBucket).toDF(), "update")
           case _ =>
             (graft.streaming.EventStream.dedupKeys(
               stream.select((col("event_id") % 1000).as("k")), "k"), "append")
@@ -148,7 +163,7 @@ object StreamBench {
           median)
       }
 
-      val shapes = Seq("st2", "st3", "st6").map(s => s -> fragment(s))
+      val shapes = Seq("st2", "st3", "st6", "st8").map(s => s -> fragment(s))
       (shapes.map(_._2._1).mkString("{", ",", "}"),
         shapes.map { case (s, (_, m)) => s -> m }.toMap)
     } finally rmTree(base)
