@@ -2681,22 +2681,33 @@ object Queries {
     * the batch plan's, so the oracle is d2's own SQL twin end-to-end. */
   def st8StreamingNeardup(s: SparkSession, dir: String): DataFrame = {
     val schema = t(s, dir, "documents").schema
-    val ss = streamSession(s, 4)
+    // unlike the event streams' tiny keyed state (4 partitions keep
+    // state-store overhead off their numbers), the gate's banded state
+    // and pair fan-out are corpus-proportional — size state partitions
+    // to the cluster like any corpus-scale shuffle (measured at sf1:
+    // 4 partitions serialize candidate generation onto 4 tasks)
+    val ss = streamSession(s,
+      math.max(4, s.sparkContext.defaultParallelism / 2))
     val p = D2Params
     val stream = ss.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(dir)
       .where(length(normalizeText(col("text"))) > 0)
     val cands = graft.streaming.DocStream.neardupCandidates(stream,
       "text", "doc_id", p.bands, p.rowsPerBand, p.shingleN, p.maxBucket)
-    val name = s"st8_neardup_${stQueryId.incrementAndGet()}"
-    val q = cands.toDF().writeStream.outputMode("update").format("memory")
-      .queryName(name).start()
+    // DISTRIBUTED candidate sink (append-mode parquet), like the batch
+    // plan's candidate→verify pipeline: a memory sink would collect the
+    // corpus-proportional candidate stream onto the driver (measured
+    // 1.2 GiB at 50k docs → maxResultSize abort)
+    val base = java.nio.file.Files.createTempDirectory("graft-st8")
+    val q = cands.toDF().writeStream.outputMode("append").format("parquet")
+      .option("path", s"$base/cands")
+      .option("checkpointLocation", s"$base/ckpt").start()
     q.processAllAvailable()
     q.stop()
     val d = ss.read.parquet(s"$dir/documents.parquet")
       .where(length(normalizeText(col("text"))) > 0)
-    Dedup.verifyJaccard(d, ss.table(name).distinct(), "text", "doc_id",
-        p.threshold, p.shingleN)
+    Dedup.verifyJaccard(d, ss.read.parquet(s"$base/cands").distinct(),
+        "text", "doc_id", p.threshold, p.shingleN)
       .sortSmall("id_a", "id_b")
   }
 

@@ -271,7 +271,7 @@ class StreamingSpec extends SparkSuite {
     val df = mem.toDF().toDF("doc_id", "text")
     val cands = graft.streaming.DocStream.neardupCandidates(
       df, "text", "doc_id", bands = 4, rowsPerBand = 2, shingleN = 2)
-    val q = cands.toDF().writeStream.outputMode("update").format("memory")
+    val q = cands.toDF().writeStream.outputMode("append").format("memory")
       .queryName("st8spec").start()
     mem.addData(docs.take(4): _*); q.processAllAvailable()
     mem.addData(docs.slice(4, 6): _*); q.processAllAvailable()
@@ -298,7 +298,7 @@ class StreamingSpec extends SparkSuite {
     val cands = graft.streaming.DocStream.neardupCandidates(
       df, "text", "doc_id", bands = 4, rowsPerBand = 2, shingleN = 2,
       maxBucket = 2)
-    val q = cands.toDF().writeStream.outputMode("update").format("memory")
+    val q = cands.toDF().writeStream.outputMode("append").format("memory")
       .queryName("st8cap").start()
     mem.addData(1L -> text, 2L -> text); q.processAllAvailable()
     val afterTwo = spark.table("st8cap").distinct().count()
