@@ -312,6 +312,49 @@ class StreamingSpec extends SparkSuite {
     assert(fin == Set((1L, 2L)), s"frozen bucket must not pair doc 3: $fin")
   }
 
+  test("property: streaming near-dup gate equals batch candidates over " +
+      "random corpora and random batch boundaries") {
+    // Random small-vocabulary corpora (so band collisions actually
+    // happen), random doc count, random number of micro-batches with
+    // random cut points: however the stream is chopped, the accumulated
+    // distinct pair set must equal the batch plan's candidate set —
+    // the arrival-order-independence claim st8's oracle relies on.
+    implicit val sqlCtx = spark.sqlContext
+    import org.scalacheck.Gen
+    val vocab = Vector("spark", "join", "plan", "scan", "key", "row")
+    val docGen = for {
+      n <- Gen.chooseNum(2, 6)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    for (round <- 1 to 4) {
+      val nDocs = 10 + round * 7
+      val docs = (1 to nDocs).map(i =>
+        i.toLong -> docGen.sample.getOrElse("spark join"))
+      val nCuts = Gen.chooseNum(1, 5).sample.getOrElse(3)
+      val cutPts = (Seq(0, nDocs) ++
+        Gen.listOfN(nCuts, Gen.chooseNum(1, nDocs - 1)).sample
+          .getOrElse(Nil)).distinct.sorted
+      val mem = MemoryStream[(Long, String)]
+      val df = mem.toDF().toDF("doc_id", "text")
+      val cands = graft.streaming.DocStream.neardupCandidates(
+        df, "text", "doc_id", bands = 4, rowsPerBand = 2, shingleN = 2)
+      val q = cands.toDF().writeStream.outputMode("append").format("memory")
+        .queryName(s"st8prop$round").start()
+      cutPts.zip(cutPts.tail).foreach { case (a, b) =>
+        mem.addData(docs.slice(a, b): _*); q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table(s"st8prop$round")
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.operators.Dedup.minhashCandidates(
+          docs.toDF("doc_id", "text"), "text", "doc_id",
+          bands = 4, rowsPerBand = 2, shingleN = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == batch,
+        s"round $round (cuts $cutPts): stream $got vs batch $batch")
+    }
+  }
+
   test("streaming file source ingests scrape drops incrementally") {
     val raw = tempDir("stream_raw")
     java.nio.file.Files.write(java.nio.file.Paths.get(raw, "drop1.json"),
