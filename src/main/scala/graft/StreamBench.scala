@@ -131,7 +131,7 @@ object StreamBench {
               stream.where(length(graft.functions.TextFunctions
                 .normalizeText(col("text"))) > 0),
               "text", "doc_id", p.bands, p.rowsPerBand, p.shingleN,
-              p.maxBucket).toDF(), "update")
+              p.maxBucket).toDF(), "append")
           case _ =>
             (graft.streaming.EventStream.dedupKeys(
               stream.select((col("event_id") % 1000).as("k")), "k"), "append")
