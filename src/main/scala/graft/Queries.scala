@@ -2603,12 +2603,16 @@ object Queries {
       col("c_user") === col("p_user") &&
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("interval 30 minutes"))
-    val name = s"st6_ssjoin_${stQueryId.incrementAndGet()}"
-    val q = joined.writeStream.outputMode("append").format("memory")
-      .queryName(name).start()
+    // DISTRIBUTED sink for the joined pair set (the memory sink would
+    // collect the events-proportional join output onto the driver —
+    // the st8 lesson applied to the other corpus-sized stream output)
+    val base = java.nio.file.Files.createTempDirectory("graft-st6")
+    val q = joined.writeStream.outputMode("append").format("parquet")
+      .option("path", s"$base/pairs")
+      .option("checkpointLocation", s"$base/ckpt").start()
     q.processAllAvailable()
     q.stop()
-    ss.table(name).agg(
+    ss.read.parquet(s"$base/pairs").agg(
       count(lit(1)).as("n_pairs"),
       countDistinct(col("c_user")).as("n_users"),
       sum(col("c_id")).cast("long").as("click_id_sum"),
