@@ -433,22 +433,75 @@ object Dedup {
                          textCol: String, idCol: String,
                          bands: Int, rowsPerBand: Int,
                          threshold: Double, shingleN: Int = 1,
-                         maxBucket: Int = 1000, refineRows: Int = 0): DataFrame = {
+                         maxBucket: Int = 1000, refineRows: Int = 0): DataFrame =
+    incrementalNearDupIndexed(
+      historyBandIndex(history, textCol, idCol, bands, rowsPerBand, shingleN),
+      historyGramSets(history, textCol, idCol, shingleN),
+      history.select(col(idCol).as("id"), col(textCol)),
+      incoming, textCol, idCol, bands, rowsPerBand, threshold, shingleN,
+      maxBucket, refineRows)
+
+  /** The history side's LSH band index, `(id, band, key)` — the
+    * materialize-once artifact of an incremental-dedup pipeline. A daily
+    * batch deduped against a 100 TB history must not re-scan and re-band
+    * the history per batch: this table (and [[historyGramSets]]) is a
+    * pure function of (corpus snapshot, banding params), so a pipeline
+    * computes it when the history snapshot changes, persists it
+    * (parquet; bucketed by `band, key` on a real cluster so the
+    * candidate join needs no history-side shuffle), and feeds it to
+    * [[incrementalNearDupIndexed]] — each batch then pays O(incoming)
+    * banding plus the joins, never O(history) recompute. */
+  def historyBandIndex(history: DataFrame, textCol: String, idCol: String,
+                       bands: Int, rowsPerBand: Int,
+                       shingleN: Int): DataFrame =
+    bandedKeys(history, textCol, idCol, bands, rowsPerBand, shingleN)
+      .select(col("doc").as("id"), col("band"), col("key"))
+
+  /** The history side's distinct-gram-hash sets, `(id, toks)` — the
+    * verify-stage companion artifact to [[historyBandIndex]] (persist
+    * bucketed by `id` so the verify join's history side needs no
+    * shuffle). */
+  def historyGramSets(history: DataFrame, textCol: String, idCol: String,
+                      shingleN: Int): DataFrame =
+    history.select(col(idCol).as("id"),
+      gramHashSet(col(textCol), shingleN).as("toks"))
+
+  /** [[incrementalNearDup]] consuming PRECOMPUTED history-side tables —
+    * the batch-time operator of the artifact split above. `historyIndex`
+    * and `historySets` come from [[historyBandIndex]]/[[historyGramSets]]
+    * (directly, or read back from their persisted form — output is
+    * identical either way, proven in DedupSimilaritySpec).
+    * `historyTexts` `(id, <textCol>)` is consulted ONLY by adaptive
+    * refinement, and only for documents in flooded buckets (the split
+    * re-hashes their texts with the salted refinement family); the
+    * fixed-cap plan never touches it. */
+  def incrementalNearDupIndexed(historyIndex: DataFrame,
+                                historySets: DataFrame,
+                                historyTexts: DataFrame,
+                                incoming: DataFrame,
+                                textCol: String, idCol: String,
+                                bands: Int, rowsPerBand: Int,
+                                threshold: Double, shingleN: Int = 1,
+                                maxBucket: Int = 1000,
+                                refineRows: Int = 0): DataFrame = {
     // side-qualified doc key: the two id spaces may overlap (a re-ingested
     // document exists in both), so refinement and bucket splits key on
     // struct(side, id), never the bare id
-    def sideBanded(df: DataFrame, tag: String) =
-      bandedKeys(df, textCol, idCol, bands, rowsPerBand, shingleN)
-        .select(struct(lit(tag).as("side"), col("doc").as("id")).as("doc"),
-          col("band"), col("key"))
-    val banded0 = sideBanded(incoming, "n").unionByName(sideBanded(history, "h"))
+    def tagged(banded: DataFrame, tag: String) =
+      banded.select(struct(lit(tag).as("side"), col("doc").as("id")).as("doc"),
+        col("band"), col("key"))
+    val banded0 = tagged(
+        bandedKeys(incoming, textCol, idCol, bands, rowsPerBand, shingleN), "n")
+      .unionByName(tagged(
+        historyIndex.withColumnRenamed("id", "doc"), "h"))
     val banded =
       if (refineRows > 0) {
         def sideTexts(df: DataFrame, tag: String) =
           df.select(struct(lit(tag).as("side"), col(idCol).as("id")).as("doc"),
             col(textCol))
         refineBuckets(banded0,
-          sideTexts(incoming, "n").unionByName(sideTexts(history, "h")),
+          sideTexts(incoming, "n").unionByName(
+            sideTexts(historyTexts.withColumnRenamed("id", idCol), "h")),
           textCol, shingleN, maxBucket, refineRows)
       } else banded0
     def capped(tag: String) = {
@@ -466,12 +519,12 @@ object Dedup {
     // id legitimately exists in both batch and history — and a unioned
     // table would fan the join out and score a new doc against the wrong
     // side's text. Side-qualified joins make id collisions harmless.
-    def sets(df: DataFrame, idAs: String, toksAs: String) =
-      df.select(col(idCol).as(idAs), gramHashSet(col(textCol), shingleN).as(toksAs))
-        .hint("shuffle_hash")
     val scored = cands
-      .join(sets(incoming, "id_a", "toks_a"), "id_a")
-      .join(sets(history, "id_b", "toks_b"), "id_b")
+      .join(incoming.select(col(idCol).as("id_a"),
+          gramHashSet(col(textCol), shingleN).as("toks_a"))
+        .hint("shuffle_hash"), "id_a")
+      .join(historySets.select(col("id").as("id_b"), col("toks").as("toks_b"))
+        .hint("shuffle_hash"), "id_b")
       .withColumn("inter", graft.functions.NativeTextColumns
         .sortedIntersectSize(col("toks_a"), col("toks_b")))
       .withColumn("uni", size(col("toks_a")) + size(col("toks_b")) - col("inter"))

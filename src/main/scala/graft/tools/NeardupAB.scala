@@ -142,6 +142,26 @@ object NeardupAB {
       val (ics, icRows, _) = time(incArm(0))
       val (irs, irRows, _) = time(incArm(8))
       println(f"""{"tool":"NeardupAB_incremental","sf_dir":"$sfDir","n_docs":$nDocs,"capped_s":$ics%.1f,"refined_s":$irs%.1f,"capped_matched":$icRows,"refined_matched":$irRows,"cost_ratio":${irs / ics}%.2f}""")
+
+      // indexed arm: the history band-index + gram-set ARTIFACT is built
+      // and materialized UNTIMED (it is computed once per history
+      // snapshot, not per batch), then the batch-side operator is timed
+      // consuming it — the per-batch cost an incremental pipeline
+      // actually pays after persisting the history index.
+      val idx = graft.operators.Dedup.historyBandIndex(history,
+        "text", "doc_id", p.bands, p.rowsPerBand, p.shingleN)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hsets = graft.operators.Dedup.historyGramSets(history,
+        "text", "doc_id", p.shingleN)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      idx.count(); hsets.count()
+      val htexts = history.select(col("doc_id").as("id"), col("text"))
+      def incIndexed(): DataFrame =
+        graft.operators.Dedup.incrementalNearDupIndexed(idx, hsets, htexts,
+          incoming, "text", "doc_id", p.bands, p.rowsPerBand, p.threshold,
+          p.shingleN, p.maxBucket, refineRows = 8)
+      val (ixs, ixRows, _) = time(incIndexed())
+      println(f"""{"tool":"NeardupAB_incremental_indexed","sf_dir":"$sfDir","n_docs":$nDocs,"indexed_batch_s":$ixs%.1f,"indexed_matched":$ixRows,"vs_refined_direct":${ixs / irs}%.2f}""")
     }
     spark.stop()
   }

@@ -295,6 +295,46 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(capped.size < truth.size, "cap never flooded — test corpus too small")
   }
 
+  test("history band-index artifact: indexed incremental equals direct, " +
+      "including through a parquet round-trip and under refinement") {
+    // the materialize-once split: historyBandIndex/historyGramSets are a
+    // pure function of (history, params), so feeding them precomputed —
+    // or read back from disk, the pipeline's actual shape — must give
+    // bit-identical output to the direct entry on the same fixture
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "epsilon")
+    val subsets = vocab.combinations(3).toSeq
+    val all = subsets.zipWithIndex.flatMap { case (ws, si) =>
+      (0 until 4).map(c => ((si * 4 + c).toLong, ws.mkString(" ")))
+    }
+    val hist = all.filter(_._1 % 4 < 2).toDF("doc_id", "text")
+    val incoming = all.filter(_._1 % 4 >= 2).toDF("doc_id", "text")
+    def direct(refine: Int) = Dedup.incrementalNearDup(hist, incoming,
+        "text", "doc_id", bands = 1, rowsPerBand = 1, threshold = 0.99,
+        shingleN = 1, maxBucket = 3, refineRows = refine)
+      .collect().map(_.toSeq).toSet
+    val idx = Dedup.historyBandIndex(hist, "text", "doc_id",
+      bands = 1, rowsPerBand = 1, shingleN = 1)
+    val sets = Dedup.historyGramSets(hist, "text", "doc_id", shingleN = 1)
+    val texts = hist.select(col("doc_id").as("id"), col("text"))
+    def indexed(i: org.apache.spark.sql.DataFrame,
+                s: org.apache.spark.sql.DataFrame,
+                t: org.apache.spark.sql.DataFrame, refine: Int) =
+      Dedup.incrementalNearDupIndexed(i, s, t, incoming, "text", "doc_id",
+        bands = 1, rowsPerBand = 1, threshold = 0.99, shingleN = 1,
+        maxBucket = 3, refineRows = refine)
+      .collect().map(_.toSeq).toSet
+    assert(indexed(idx, sets, texts, 0) == direct(0))
+    assert(indexed(idx, sets, texts, 6) == direct(6))
+    // disk round-trip: the artifact's persisted form feeds the same op
+    val base = tempDir("histidx")
+    idx.write.parquet(s"$base/index")
+    sets.write.parquet(s"$base/sets")
+    texts.write.parquet(s"$base/texts")
+    assert(indexed(spark.read.parquet(s"$base/index"),
+      spark.read.parquet(s"$base/sets"),
+      spark.read.parquet(s"$base/texts"), 6) == direct(6))
+  }
+
   test("incrementalPairs auto entry: both arms agree below the switch; hint forces adaptive") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .where(length(TextFunctions.normalizeText(col("text"))) > 0)
