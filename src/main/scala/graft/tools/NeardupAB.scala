@@ -95,6 +95,9 @@ object NeardupAB {
       println(s"""{"tool":"NeardupAB_stages","arm":"refined","sampled_true_j_deciles":$hist,"sample":"xxhash64(id_a,id_b)%16==0"}""")
     }
 
+    // SPARK_GRAFT_AB_SELF=0 skips the self-dedup arms (re-running only
+    // the incremental section after a partial run)
+    if (!sys.env.get("SPARK_GRAFT_AB_SELF").contains("0")) {
     val (cs, cRows, capped) = time(arm(0))
     val (rs, rRows, refined) = time(arm(8))
     // refinement only splits flooded buckets it would otherwise DROP, so
@@ -122,7 +125,13 @@ object NeardupAB {
       (r.getLong(0), if (r.isNullAt(1)) 0.0 else r.getDouble(1))
     }
     println(f"""{"tool":"NeardupAB_prefilter","sf_dir":"$sfDir","n_docs":$nDocs,"prefilter_k":${p.prefilterK},"filtered_s":$fs%.1f,"filtered_pairs":$fRows,"pairs_lost":$nLost,"max_lost_jaccard":$maxLostJ%.4f,"cost_ratio_vs_capped":${fs / cs}%.2f,"cost_ratio_unfiltered":${rs / cs}%.2f}""")
-    filtered.unpersist()
+    // drop every self-arm's cached plan and nudge the ContextCleaner:
+    // their tens-of-GB shuffle spill is only reclaimed once the RDDs are
+    // GC'd, and holding three arms' spill through the incremental arms
+    // filled the disk on a 500k-doc run (the ScaleCheck lesson, here)
+    filtered.unpersist(); capped.unpersist(); refined.unpersist()
+    }
+    System.gc()
 
     // ---- incremental (x14-shaped) arms: capped vs refined, like-for-like.
     // The d2 A/B cannot stand in for this one: the incremental candidate
