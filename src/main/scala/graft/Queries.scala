@@ -2441,6 +2441,31 @@ object Queries {
 
   private val stQueryId = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Temp sink dirs for the streaming catalog queries (st6's pair sink,
+    * st8's candidate sink), deleted by ONE JVM shutdown hook. They can't
+    * be deleted inline — the returned DataFrame reads the sink lazily,
+    * so the verification driver consumes it after the query function
+    * returns — and st8's candidate sink is corpus-proportional (~1.2 GiB
+    * at 50k docs), so leaking one per catalog/bench run exhausts /tmp
+    * across repeated runs (r11 ADVICE). */
+  private val tempSinkDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
+  private lazy val tempSinkHookInstalled: Boolean = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete(); ()
+      }
+      tempSinkDirs.forEach(rm(_))
+    }))
+    true
+  }
+  private def tempSinkDir(prefix: String): java.nio.file.Path = {
+    require(tempSinkHookInstalled)
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempSinkDirs.add(p.toFile)
+    p
+  }
+
   /** ST2 — the SAME hourly aggregation as st1, executed through the real
     * Structured Streaming engine (file source → incremental aggregation →
     * memory sink, complete mode) and hash-matched against the identical
@@ -2606,13 +2631,16 @@ object Queries {
     // DISTRIBUTED sink for the joined pair set (the memory sink would
     // collect the events-proportional join output onto the driver —
     // the st8 lesson applied to the other corpus-sized stream output)
-    val base = java.nio.file.Files.createTempDirectory("graft-st6")
+    val base = tempSinkDir("graft-st6")
     val q = joined.writeStream.outputMode("append").format("parquet")
       .option("path", s"$base/pairs")
       .option("checkpointLocation", s"$base/ckpt").start()
     q.processAllAvailable()
     q.stop()
-    ss.read.parquet(s"$base/pairs").agg(
+    // explicit schema: a zero-pair run leaves the sink with no parquet
+    // footers to infer from — the read must still yield an empty,
+    // schema-bearing frame, like the memory sink did (r11 ADVICE)
+    ss.read.schema(joined.schema).parquet(s"$base/pairs").agg(
       count(lit(1)).as("n_pairs"),
       countDistinct(col("c_user")).as("n_users"),
       sum(col("c_id")).cast("long").as("click_id_sum"),
@@ -2702,15 +2730,19 @@ object Queries {
     // plan's candidate→verify pipeline: a memory sink would collect the
     // corpus-proportional candidate stream onto the driver (measured
     // 1.2 GiB at 50k docs → maxResultSize abort)
-    val base = java.nio.file.Files.createTempDirectory("graft-st8")
-    val q = cands.toDF().writeStream.outputMode("append").format("parquet")
+    val base = tempSinkDir("graft-st8")
+    val candsDf = cands.toDF()
+    val q = candsDf.writeStream.outputMode("append").format("parquet")
       .option("path", s"$base/cands")
       .option("checkpointLocation", s"$base/ckpt").start()
     q.processAllAvailable()
     q.stop()
     val d = ss.read.parquet(s"$dir/documents.parquet")
       .where(length(normalizeText(col("text"))) > 0)
-    Dedup.verifyJaccard(d, ss.read.parquet(s"$base/cands").distinct(),
+    // explicit schema: a zero-candidate corpus must read back as an
+    // empty frame, not an inference failure (r11 ADVICE)
+    Dedup.verifyJaccard(d,
+        ss.read.schema(candsDf.schema).parquet(s"$base/cands").distinct(),
         "text", "doc_id", p.threshold, p.shingleN)
       .sortSmall("id_a", "id_b")
   }
@@ -3427,7 +3459,15 @@ object Queries {
     val evalSet = docs(s, dir)
       .where(length(normalizeText(col("text"))) > 0 && col("doc_id") % 50 === 0)
     val corpus = surv.where(col("doc_id") % 50 =!= 0)
-    val contaminated = graft.operators.Decontaminate.overlapAgainst(
+    // through the ROUTER, not the plain gram join: the eval slice is 2%
+    // of the corpus with a flooded bigram vocabulary — exactly the regime
+    // where the join formulation is corpus-quadratic (the r11 router
+    // finding). At oracle scale the postings fit one task payload and the
+    // router picks the zero-shuffle index plan; at sf10 it measures the
+    // corpus-sample bloom hit rate (~1.0 here) and picks the chunked
+    // linear plan. All plans are output-identical, so the composed
+    // oracle is unchanged.
+    val contaminated = graft.operators.Decontaminate.overlap(
       corpus, evalSet, "text", "doc_id", shingleN = 2, threshold = 0.2)
     val clean = corpus.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
     // 4. pack what remains, per source, ordered by doc_id

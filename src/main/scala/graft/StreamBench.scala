@@ -94,7 +94,18 @@ object StreamBench {
         val watched = base.resolve(s"in_$shape")
         Files.createDirectory(watched)
         val ss = spark.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", 4)
+        // state-partition sizing matches the catalog queries': the event
+        // shapes keep tiny keyed state (4 stores keep state-store
+        // maintenance off their numbers), but st8's banded state and
+        // candidate fan-out are corpus-proportional — 4 partitions
+        // serialize its candidate generation onto 4 tasks (measured
+        // 40.2→14.4 s at sf1), so its steady-state numbers must be taken
+        // in the cluster-sized config the catalog query actually uses
+        // (r11 ADVICE).
+        ss.conf.set("spark.sql.shuffle.partitions",
+          if (shape == "st8")
+            math.max(4, spark.sparkContext.defaultParallelism / 2)
+          else 4)
         def stream = ss.readStream.schema(src.schema).parquet(watched.toString)
         val (df, mode) = shape match {
           case "st2" =>

@@ -73,8 +73,25 @@ object PairGraph {
         s"pf=$prefilterK"
   }
 
+  /** Memo cell: TrieMap.getOrElseUpdate has putIfAbsent semantics (the
+    * first INSERTED cell wins) but may evaluate the by-name default in
+    * several concurrent first callers. Storing an unforced lazy cell and
+    * forcing it AFTER insertion makes the expensive pairs computation
+    * exactly-once: losers discard their (never-forced) cell and force
+    * the winner's. Without this, two concurrent first callers each ran
+    * the full candidate+verify pipeline and the loser's localCheckpoint
+    * leaked until GC (r11 verdict item 6). */
+  private final class Memo(thunk: () => DataFrame) {
+    lazy val value: DataFrame = { computeCount.incrementAndGet(); thunk() }
+  }
+
+  /** Test probe: number of artifact computations that actually ran (vs
+    * served from the in-process map) — asserted by PairGraphSpec's
+    * concurrent-first-call test. */
+  private[graft] val computeCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private val inProcess =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Memo]
   // sessions whose context already carries our eviction listener
   private val listening =
     java.util.Collections.newSetFromMap(
@@ -91,7 +108,7 @@ object PairGraph {
     val sess = df.sparkSession
     evictOnStop(sess)
     val key = (sess, p.cacheKey(corpusKey, textCol, idCol))
-    inProcess.getOrElseUpdate(key, {
+    inProcess.getOrElseUpdate(key, new Memo(() => {
       cacheDir match {
         case Some(root) => diskPairs(sess, df, textCol, idCol, corpusKey, p, root)
         case None =>
@@ -100,7 +117,7 @@ object PairGraph {
               prefilterK = p.prefilterK)
             .localCheckpoint(false)
       }
-    })
+    })).value
   }
 
   /** Drop every in-process entry (test isolation; bench harnesses that

@@ -60,6 +60,29 @@ class PairGraphSpec extends SparkSuite {
     assert(b.collect().map(_.toSeq).toSet == directAlt)
   }
 
+  test("concurrent first callers compute the artifact exactly once and " +
+      "receive the identical frame (memo cell, not getOrElseUpdate races)") {
+    PairGraph.clearInProcess()
+    val before = PairGraph.computeCount.get()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val gate = new java.util.concurrent.CyclicBarrier(2)
+      val fs = (1 to 2).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[AnyRef] {
+          def call(): AnyRef = {
+            gate.await() // maximize the chance both hit the empty map
+            PairGraph.pairs(corpus(), "text", "doc_id",
+              "test#concurrent", p, None)
+          }
+        })
+      }
+      val Seq(a, b) = fs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(a eq b, "both first callers must get the winner's frame")
+      assert(PairGraph.computeCount.get() - before == 1,
+        "the pairs pipeline must run exactly once under a concurrent first call")
+    } finally pool.shutdownNow()
+  }
+
   test("session eviction drops that session's entries (the listener path " +
       "calls this on application end)") {
     PairGraph.clearInProcess()

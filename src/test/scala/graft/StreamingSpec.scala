@@ -321,19 +321,27 @@ class StreamingSpec extends SparkSuite {
     // the arrival-order-independence claim st8's oracle relies on.
     implicit val sqlCtx = spark.sqlContext
     import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
     val vocab = Vector("spark", "join", "plan", "scan", "key", "row")
     val docGen = for {
       n <- Gen.chooseNum(2, 6)
       ws <- Gen.listOfN(n, Gen.oneOf(vocab))
     } yield ws.mkString(" ")
+    // fixed seed, derived per round/draw: every CI run exercises the
+    // SAME corpora and cut points, and a failure names its (seed, round)
+    // so the fixture replays exactly (unseeded Gen.sample made failing
+    // rounds unreproducible — r11 ADVICE)
+    val baseSeed = 0x12c0ffeeL
+    val gp = Gen.Parameters.default
     for (round <- 1 to 4) {
+      val rs = Seed(baseSeed).reseed(round.toLong)
       val nDocs = 10 + round * 7
       val docs = (1 to nDocs).map(i =>
-        i.toLong -> docGen.sample.getOrElse("spark join"))
-      val nCuts = Gen.chooseNum(1, 5).sample.getOrElse(3)
+        i.toLong -> docGen.pureApply(gp, rs.reseed(i.toLong)))
+      val nCuts = Gen.chooseNum(1, 5).pureApply(gp, rs.reseed(-1L))
       val cutPts = (Seq(0, nDocs) ++
-        Gen.listOfN(nCuts, Gen.chooseNum(1, nDocs - 1)).sample
-          .getOrElse(Nil)).distinct.sorted
+        Gen.listOfN(nCuts, Gen.chooseNum(1, nDocs - 1))
+          .pureApply(gp, rs.reseed(-2L))).distinct.sorted
       val mem = MemoryStream[(Long, String)]
       val df = mem.toDF().toDF("doc_id", "text")
       val cands = graft.streaming.DocStream.neardupCandidates(
@@ -351,7 +359,7 @@ class StreamingSpec extends SparkSuite {
           bands = 4, rowsPerBand = 2, shingleN = 2)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == batch,
-        s"round $round (cuts $cutPts): stream $got vs batch $batch")
+        s"round $round (seed $baseSeed, cuts $cutPts): stream $got vs batch $batch")
     }
   }
 
