@@ -3421,44 +3421,9 @@ object Queries {
     * decontamination anti-join drops some). Composition adds no new
     * shuffle beyond the stages' own. */
   def x13CurationPipeline(s: SparkSession, dir: String): DataFrame = {
-    val d = t(s, dir, "documents")
-    // 1. quality gate — same TextStats-derived predicate as x7 (keep =
-    // no drop reason fires; n_tok ≥ 10 also guards the ratio divisions)
-    val st = graft.functions.TextStats.textStats(coalesce(col("text"), lit("")))
-    val g = d.select(col("doc_id"), col("source"), col("text"), st.as("st"))
-    val mwl = col("st.tok_chars").cast("double") / col("st.n_tok")
-    val stopR = col("st.stop_all").cast("double") / col("st.n_tok")
-    val punctR = col("st.punct").cast("double") / col("st.chars")
-    // LAZY checkpoint: the gated corpus has FIVE downstream consumers
-    // (band keys, verify gram sets, the CC seed, the survivor join, and
-    // through it decontamination + packing) with different prunings, so
-    // exchange reuse never kicks in and the TextStats gate chain would
-    // re-scan the full corpus per consumer. Materialized once on the
-    // first job; on a cluster this would be a reliable checkpoint.
-    val kept = g.where(col("st.n_tok") >= 10 && col("st.n_tok") <= 5000 &&
-        mwl >= 2.0 && mwl <= 12.0 && stopR >= 0.05 && punctR <= 0.2)
-      .select("doc_id", "source", "text")
-      .localCheckpoint(false)
-    // 2. near-dedup: MinHash pairs over the kept set (the fixture has no
-    // EXACT dups, so a fingerprint stage would be a provable no-op),
-    // clustered, one canonical min-id survivor per cluster. The pair
-    // graph is an artifact too, but under its OWN corpus key: the
-    // quality gate changes the corpus, so these pairs are NOT the d2
-    // family's (bucket occupancy, and thus candidates, legitimately
-    // differ between the gated and ungated corpus).
-    val pairs = graft.operators.PairGraph.pairs(kept, "text", "doc_id",
-      corpusKey = s"$dir#documents#x13kept", D2Params)
-    val labels = graft.operators.Dedup.connectedComponents(
-      kept.select(col("doc_id").as("id")), pairs)
-    val surv = kept.join(
-      labels.where(col("id") === col("cluster_id")).select(col("id").as("doc_id")),
-      "doc_id")
-    // 3. decontamination: drop survivors overlapping the eval slice
-    // (doc_id % 50 == 0, x9's rule — eval membership is external, so it
-    // is NOT subject to the quality/dedup stages)
-    val evalSet = docs(s, dir)
-      .where(length(normalizeText(col("text"))) > 0 && col("doc_id") % 50 === 0)
-    val corpus = surv.where(col("doc_id") % 50 =!= 0)
+    val kept = x13Kept(s, dir)
+    val surv = x13Survivors(dir, kept)
+    val (corpus, evalSet) = x13DecontInputs(s, dir, surv)
     // through the ROUTER, not the plain gram join: the eval slice is 2%
     // of the corpus with a flooded bigram vocabulary — exactly the regime
     // where the join formulation is corpus-quadratic (the r11 router
@@ -3470,13 +3435,67 @@ object Queries {
     val contaminated = graft.operators.Decontaminate.overlap(
       corpus, evalSet, "text", "doc_id", shingleN = 2, threshold = 0.2)
     val clean = corpus.join(contaminated.select("doc_id"), Seq("doc_id"), "left_anti")
-    // 4. pack what remains, per source, ordered by doc_id
+    x13Pack(clean)
+  }
+
+  /** x13 stage 1 — quality gate: same TextStats-derived predicate as x7
+    * (keep = no drop reason fires; n_tok ≥ 10 also guards the ratio
+    * divisions). LAZY checkpoint: the gated corpus has FIVE downstream
+    * consumers (band keys, verify gram sets, the CC seed, the survivor
+    * join, and through it decontamination + packing) with different
+    * prunings, so exchange reuse never kicks in and the TextStats gate
+    * chain would re-scan the full corpus per consumer. Materialized once
+    * on the first job; on a cluster this would be a reliable checkpoint.
+    * Stage-split (x13Kept/x13Survivors/x13DecontInputs/x13Pack) so the
+    * sf10 stage-decomposition probe times the REAL stages, not a copy. */
+  private[graft] def x13Kept(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val st = graft.functions.TextStats.textStats(coalesce(col("text"), lit("")))
+    val g = d.select(col("doc_id"), col("source"), col("text"), st.as("st"))
+    val mwl = col("st.tok_chars").cast("double") / col("st.n_tok")
+    val stopR = col("st.stop_all").cast("double") / col("st.n_tok")
+    val punctR = col("st.punct").cast("double") / col("st.chars")
+    g.where(col("st.n_tok") >= 10 && col("st.n_tok") <= 5000 &&
+        mwl >= 2.0 && mwl <= 12.0 && stopR >= 0.05 && punctR <= 0.2)
+      .select("doc_id", "source", "text")
+      .localCheckpoint(false)
+  }
+
+  /** x13 stage 2 — near-dedup: MinHash pairs over the kept set (the
+    * fixture has no EXACT dups, so a fingerprint stage would be a
+    * provable no-op), clustered, one canonical min-id survivor per
+    * cluster. The pair graph is an artifact too, but under its OWN
+    * corpus key: the quality gate changes the corpus, so these pairs are
+    * NOT the d2 family's (bucket occupancy, and thus candidates,
+    * legitimately differ between the gated and ungated corpus). */
+  private[graft] def x13Survivors(dir: String, kept: DataFrame): DataFrame = {
+    val pairs = graft.operators.PairGraph.pairs(kept, "text", "doc_id",
+      corpusKey = s"$dir#documents#x13kept", D2Params)
+    val labels = graft.operators.Dedup.connectedComponents(
+      kept.select(col("doc_id").as("id")), pairs)
+    kept.join(
+      labels.where(col("id") === col("cluster_id")).select(col("id").as("doc_id")),
+      "doc_id")
+  }
+
+  /** x13 stage 3 inputs — decontamination sides: the eval slice
+    * (doc_id % 50 == 0, x9's rule — eval membership is external, so it
+    * is NOT subject to the quality/dedup stages) and the survivor corpus
+    * with the eval ids excluded. */
+  private[graft] def x13DecontInputs(s: SparkSession, dir: String,
+                                     surv: DataFrame): (DataFrame, DataFrame) = {
+    val evalSet = docs(s, dir)
+      .where(length(normalizeText(col("text"))) > 0 && col("doc_id") % 50 === 0)
+    (surv.where(col("doc_id") % 50 =!= 0), evalSet)
+  }
+
+  /** x13 stage 4 — pack what remains, per source, ordered by doc_id. */
+  private[graft] def x13Pack(clean: DataFrame): DataFrame =
     graft.operators.Packing.assignPacks(clean, "source", "doc_id",
         bpeTokenCount(col("text")), budget = 512)
       .groupBy("source", "pack_id")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("tok_sum"))
       .sortSmall("source", "pack_id")
-  }
 
   val x13Sql: String = {
     val allStops = sqlList(TextFunctions.StopwordsEn ++ TextFunctions.StopwordsFr ++ TextFunctions.StopwordsEs)

@@ -174,7 +174,14 @@ object StreamBench {
           median)
       }
 
-      val shapes = Seq("st2", "st3", "st6", "st8").map(s => s -> fragment(s))
+      // SPARK_GRAFT_STREAM_SHAPES=st8 runs a subset (the heavy sf10
+      // design-regime runs measure one shape at many batches; staging
+      // chunks for the unmeasured shapes would dominate the run)
+      val wanted = sys.env.get("SPARK_GRAFT_STREAM_SHAPES")
+        .map(_.split(",").map(_.trim).toSet)
+        .getOrElse(Set("st2", "st3", "st6", "st8"))
+      val shapes = Seq("st2", "st3", "st6", "st8").filter(wanted)
+        .map(s => s -> fragment(s))
       (shapes.map(_._2._1).mkString("{", ",", "}"),
         shapes.map { case (s, (_, m)) => s -> m }.toMap)
     } finally rmTree(base)

@@ -172,6 +172,67 @@ object NeardupAB {
       val (ixs, ixRows, _) = time(incIndexed())
       println(f"""{"tool":"NeardupAB_incremental_indexed","sf_dir":"$sfDir","n_docs":$nDocs,"indexed_batch_s":$ixs%.1f,"indexed_matched":$ixRows,"vs_refined_direct":${ixs / irs}%.2f}""")
     }
+    System.gc()
+
+    // ---- design-ratio amortization arm (SPARK_GRAFT_AB_BATCHES=k): the
+    // regime the history band-index artifact exists for. The 50/50 arm
+    // above prices ONE batch at parity scale; a production ingestion
+    // pipeline instead holds a large history (90% of the corpus here)
+    // and lands SMALL consecutive batches (the remaining 10%, split into
+    // k contiguous-id batches). Per batch we time:
+    //   direct  — incrementalNearDup(refined), which re-bands and
+    //             re-grams the full history side every batch;
+    //   indexed — incrementalNearDupIndexed consuming ONE prebuilt
+    //             persisted history index+gram-set artifact, whose build
+    //             is timed once and amortizes across the k batches.
+    // Matched-id counts are asserted equal per batch (the identity the
+    // DedupSpec proves at fixture scale, re-checked at this ratio).
+    sys.env.get("SPARK_GRAFT_AB_BATCHES").flatMap(_.toIntOption).foreach { k =>
+      val history = docs.where(col("doc_id") % 10 =!= 9)
+      val nHist = history.count()
+      def batchOf(i: Int) = docs.where(col("doc_id") % 10 === 9 &&
+        col("doc_id") >= nDocs.toLong * i / k &&
+        col("doc_id") < nDocs.toLong * (i + 1) / k)
+      def timeOnce(df: => DataFrame): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val d = df.cache()
+        val n = d.count()
+        val s = (System.nanoTime() - t0) / 1e9
+        d.unpersist()
+        (s, n)
+      }
+      // artifact build: timed, once — this is the cost the amortization
+      // claim must carry, not hide
+      val tb0 = System.nanoTime()
+      val idx = graft.operators.Dedup.historyBandIndex(history,
+          "text", "doc_id", p.bands, p.rowsPerBand, p.shingleN)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hsets = graft.operators.Dedup.historyGramSets(history,
+          "text", "doc_id", p.shingleN)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      idx.count(); hsets.count()
+      val buildS = (System.nanoTime() - tb0) / 1e9
+      val htexts = history.select(col("doc_id").as("id"), col("text"))
+      var directTot = 0.0
+      var indexedTot = 0.0
+      for (i <- 0 until k) {
+        val b = batchOf(i).cache()
+        val nb = b.count()
+        val (ds, dn) = timeOnce(graft.operators.Dedup.incrementalNearDup(
+          history, b, "text", "doc_id", p.bands, p.rowsPerBand, p.threshold,
+          p.shingleN, p.maxBucket, refineRows = 8))
+        val (is, in) = timeOnce(graft.operators.Dedup.incrementalNearDupIndexed(
+          idx, hsets, htexts, b, "text", "doc_id", p.bands, p.rowsPerBand,
+          p.threshold, p.shingleN, p.maxBucket, refineRows = 8))
+        require(dn == in,
+          s"batch $i: indexed matched $in docs vs direct $dn — must be identical")
+        directTot += ds; indexedTot += is
+        println(f"""{"tool":"NeardupAB_batches","batch":$i,"batch_docs":$nb,"direct_s":$ds%.1f,"indexed_s":$is%.1f,"matched":$dn}""")
+        b.unpersist()
+      }
+      idx.unpersist(); hsets.unpersist()
+      println(f"""{"tool":"NeardupAB_batches_total","sf_dir":"$sfDir","n_docs":$nDocs,"history_docs":$nHist,"k":$k,"index_build_s":$buildS%.1f,"direct_total_s":$directTot%.1f,"indexed_total_s":$indexedTot%.1f,"indexed_plus_build_s":${buildS + indexedTot}%.1f,"amortized_ratio":${(buildS + indexedTot) / directTot}%.2f,"per_batch_ratio":${indexedTot / directTot}%.2f}""")
+    }
     spark.stop()
   }
 }

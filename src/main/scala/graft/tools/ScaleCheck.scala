@@ -239,6 +239,105 @@ object ScaleCheck {
     check("C7_x14_incremental_recall", x14E >= 0.95,
       f"exact_recall=$x14E%.4f ($x14Ef/$x14En) near_recall=$x14N%.4f ($x14Nf/$x14Nn)")
     x14.unpersist()
+    System.gc()
+
+    // C8 — the streaming ingestion gate (st8) at scale: run the REAL
+    // micro-batch engine over the corpus in ascending-id chunks and pin
+    // the accumulated candidate set to its batch REPLAY. The gate's
+    // freeze-at-cap contract (DocStream scaladoc) means "all pairs among
+    // the first maxBucket arrivals of each (band, key) bucket"; with
+    // id-ordered arrival (ascending chunks, in-batch ids sorted by the
+    // gate) that is exactly "pairs within the maxBucket SMALLEST ids per
+    // bucket" — computable in batch as a rank window over the banded
+    // keys. Asserted:
+    //   (a) gate candidate set == the rank-window replay, exactly;
+    //   (b) gate ⊇ the capped batch arm's candidates (an under-cap
+    //       bucket emits identically; an over-cap bucket is dropped
+    //       wholesale by batch but only FROZEN by the gate) — so the
+    //       gate's verified pair count sits at or above the capped
+    //       arm's, with the adaptive arm's count reported as the upper
+    //       frontier (observed 8,904 ≤ 10,652 ≤ 12,446 at 500k docs,
+    //       r11 — promoted from a BENCH_NOTES observation to a check).
+    {
+      val nonblank = actual.where(
+        length(graft.functions.TextFunctions.normalizeText(col("text"))) > 0)
+      val base = java.nio.file.Files.createTempDirectory("graft-c8")
+      def rmTree(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rmTree); f.delete(); ()
+      }
+      try {
+        val watched = base.resolve("in")
+        java.nio.file.Files.createDirectory(watched)
+        val nChunks = 10
+        (0 until nChunks).foreach { i =>
+          nonblank.where(col("doc_id") >= nDocs * i / nChunks &&
+              col("doc_id") < nDocs * (i + 1) / nChunks)
+            .coalesce(1).write.parquet(base.resolve(s"stage_$i").toString)
+        }
+        val ss = spark.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions",
+          math.max(4, spark.sparkContext.defaultParallelism / 2))
+        val stream = ss.readStream.schema(actual.schema)
+          .parquet(watched.toString)
+          .where(length(graft.functions.TextFunctions
+            .normalizeText(col("text"))) > 0)
+        val cands = graft.streaming.DocStream.neardupCandidates(stream,
+          "text", "doc_id", p.bands, p.rowsPerBand, p.shingleN, p.maxBucket)
+        val candsDf = cands.toDF()
+        val q = candsDf.writeStream.outputMode("append").format("parquet")
+          .option("path", s"$base/cands")
+          .option("checkpointLocation", s"$base/ckpt").start()
+        (0 until nChunks).foreach { i =>
+          val stage = base.resolve(s"stage_$i").toFile
+          stage.listFiles().filter(_.getName.startsWith("part-"))
+            .zipWithIndex.foreach { case (f, j) =>
+              java.nio.file.Files.move(f.toPath,
+                watched.resolve(s"c$i-$j-${f.getName}"))
+            }
+          q.processAllAvailable()
+        }
+        q.stop()
+        val gate = ss.read.schema(candsDf.schema).parquet(s"$base/cands")
+          .distinct().persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        val gateN = gate.count()
+        // (a) the rank-window replay of freeze-at-cap membership
+        val banded = graft.operators.Dedup.bandedKeys(nonblank,
+          "text", "doc_id", p.bands, p.rowsPerBand, p.shingleN)
+        val member = banded.withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("band", "key").orderBy("doc")))
+          .where(col("rn") <= p.maxBucket)
+        val expected = member.groupBy("band", "key")
+          .agg(sort_array(collect_list(col("doc"))).as("ids"))
+          .where(size(col("ids")) > 1)
+          .repartition(spark.sparkContext.defaultParallelism)
+          .select(explode(
+            graft.functions.NativeTextColumns.sortedPairs(col("ids"))).as("pr"))
+          .select(col("pr.id_a"), col("pr.id_b")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        val expectedN = expected.count()
+        val gateExtra = gate.join(expected, Seq("id_a", "id_b"), "left_anti").count()
+        val gateMissing = expected.join(gate, Seq("id_a", "id_b"), "left_anti").count()
+        // (b) superset of the capped batch arm's candidates
+        val cappedCands = graft.operators.Dedup.minhashCandidates(nonblank,
+          "text", "doc_id", p.bands, p.rowsPerBand, p.shingleN, p.maxBucket,
+          refineRows = 0)
+        val cappedLost = cappedCands.join(gate, Seq("id_a", "id_b"), "left_anti").count()
+        expected.unpersist()
+        // the gate's verified surface, against the batch frontier counts
+        val gateVerified = graft.operators.Dedup.verifyJaccard(nonblank,
+          gate, "text", "doc_id", p.threshold, p.shingleN).count()
+        gate.unpersist()
+        check("C8_st8_freeze_at_cap",
+          gateExtra == 0 && gateMissing == 0 && cappedLost == 0 &&
+            gateVerified >= cappedN,
+          s"gate_cands=$gateN replay_cands=$expectedN gate_extra=$gateExtra " +
+            s"gate_missing=$gateMissing capped_cands_lost=$cappedLost " +
+            s"gate_verified=$gateVerified capped_verified=$cappedN " +
+            s"adaptive_verified=$d2bn")
+      } finally rmTree(base.toFile)
+    }
+    System.gc()
 
     regen.unpersist()
     val ok = failures.isEmpty

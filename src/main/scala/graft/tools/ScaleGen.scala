@@ -63,10 +63,18 @@ object ScaleGen extends Serializable {
   // regenerate the corpus and its planted dup structure without reading
   // the parquet it is auditing. These ARE the generator (main calls them).
 
-  /** The base token sequence seeded at `seedId` (before dup planting). */
-  def docTokens(seedId: Long): Array[String] = {
+  /** The base token sequence seeded at `seedId` (before dup planting).
+    * `wide = true` draws each token from a 50k-word synthetic vocabulary
+    * instead of the driver's 31 words — same length distribution and
+    * planted-dup structure, but DISCRIMINATIVE n-grams: two unrelated
+    * documents almost never share a bigram, so an eval set's gram
+    * vocabulary does NOT flood the corpus (the regime where the Bloom-
+    * reduced decontamination join is the right plan — the router branch
+    * the base corpus can never exercise; r11 verdict item 4). */
+  def docTokens(seedId: Long, wide: Boolean = false): Array[String] = {
     val r = rngFor(7, seedId)
-    Array.fill(10 + r.nextInt(91))(Vocab(r.nextInt(Vocab.length)))
+    if (wide) Array.fill(10 + r.nextInt(91))("w" + r.nextInt(50000))
+    else Array.fill(10 + r.nextInt(91))(Vocab(r.nextInt(Vocab.length)))
   }
 
   /** 0 = fresh text, 1 = planted exact dup of id−1, 2 = planted near dup
@@ -77,17 +85,21 @@ object ScaleGen extends Serializable {
     if (id > 0 && roll < 16) 1 else if (id > 0 && roll < 216) 2 else 0
   }
 
-  /** The full documents row for `id`: (doc_id, text, lang, source, n_chars). */
-  def docRow(id: Long): (Long, String, String, String, Long) = {
+  /** The full documents row for `id`: (doc_id, text, lang, source, n_chars).
+    * The `wide` flag switches the token source (see [[docTokens]]); dup
+    * planting, lang/source draws and the length distribution are shared,
+    * so a wide corpus has the same planted structure at the same ids. */
+  def docRow(id: Long, wide: Boolean = false): (Long, String, String, String, Long) = {
     val r = rngFor(8, id)
     val roll = r.nextInt(10000)
     val toks =
-      if (id > 0 && roll < 16) docTokens(id - 1) // exact dup of previous
+      if (id > 0 && roll < 16) docTokens(id - 1, wide) // exact dup of previous
       else if (id > 0 && roll < 216) { // near dup: one token swapped
-        val t = docTokens(id - 1).clone()
-        t(r.nextInt(t.length)) = Vocab(r.nextInt(Vocab.length))
+        val t = docTokens(id - 1, wide).clone()
+        t(r.nextInt(t.length)) =
+          if (wide) "w" + r.nextInt(50000) else Vocab(r.nextInt(Vocab.length))
         t
-      } else docTokens(id)
+      } else docTokens(id, wide)
     val lang = {
       val p = rngFor(9, id).nextInt(1000)
       if (p < 412) "en" else if (p < 562) "zh" else if (p < 712) "es"
@@ -106,6 +118,10 @@ object ScaleGen extends Serializable {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     def wanted(name: String): Boolean = only.forall(_.contains(name))
+    // SPARK_GRAFT_DOC_VOCAB=wide: documents draw from the 50k-word
+    // discriminative vocabulary (decontamination-router fixtures); the
+    // default replicates the driver's 31-word flooded vocabulary
+    val wideVocab = sys.env.get("SPARK_GRAFT_DOC_VOCAB").contains("wide")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .appName("graft-scalegen")
@@ -213,8 +229,9 @@ object ScaleGen extends Serializable {
     // and ~0.16% exact dup — the adjacent-id seed keeps families intact
     // at every sf without cross-family contamination. Row generation
     // lives in [[docRow]] so ScaleCheck replays the identical corpus.
-    if (wanted("documents")) write(spark.range(0, nDocs, 1, par).map(id => docRow(id))
-      .toDF("doc_id", "text", "lang", "source", "n_chars"), "documents")
+    if (wanted("documents")) write(
+      spark.range(0, nDocs, 1, par).map(id => docRow(id, wideVocab))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"), "documents")
 
     // embeddings: 10 labeled Gaussian clusters in dim 64 (center scale
     // ~0.3, noise 0.1, matching sf0.1 magnitudes); ~2% planted near-dups
