@@ -53,14 +53,26 @@ object DecontScaleProbe {
       .cache()
     val total = docs.count()
 
+    // SPARK_GRAFT_PROBE_PASSES=1: single cold execution per arm (count
+    // doubles as the timed run). The flooded big-eval arms rebuild a
+    // multi-million-posting driver index per execution — warm+min-of-2
+    // triples an already ~hour-scale measurement for a plan whose
+    // interesting property is its ORDER of growth, not a ±10% floor.
+    val singlePass = sys.env.get("SPARK_GRAFT_PROBE_PASSES").contains("1")
     def time(df: => DataFrame): (Double, Long) = {
-      val rows = df.count() // warm (janino + shuffle files)
-      val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      val t1 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      val t2 = System.nanoTime()
-      (math.min(t1 - t0, t2 - t1) / 1e9, rows)
+      if (singlePass) {
+        val t0 = System.nanoTime()
+        val rows = df.count()
+        ((System.nanoTime() - t0) / 1e9, rows)
+      } else {
+        val rows = df.count() // warm (janino + shuffle files)
+        val t0 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val t1 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val t2 = System.nanoTime()
+        (math.min(t1 - t0, t2 - t1) / 1e9, rows)
+      }
     }
 
     println(f"corpus=$total%d docs  ($sfDir)  arms=${arms.mkString("+")}")
