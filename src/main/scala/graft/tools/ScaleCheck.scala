@@ -146,7 +146,14 @@ object ScaleCheck {
     // at this corpus size since r8) — the capped arm of the frontier
     // report must therefore be constructed explicitly with refineRows=0,
     // or "capped recall" would silently measure the adaptive plan twice
-    var d2 = run("d2_minhash_neardup").cache()
+    // each arm is EAGERLY local-checkpointed (the verified pair set is
+    // tiny) and its upstream shuffles GC-nudged before the next arm
+    // computes: with lazy caches all three adaptive-scale arms' shuffle
+    // files were alive at once, and on this environment's ~78 GB free
+    // disk that is a no-space death inside C2 (two such deaths r12 —
+    // the r11 between-CHECKS reclaim lesson, applied between ARMS)
+    var d2 = run("d2_minhash_neardup").localCheckpoint(true)
+    System.gc()
     // the capped arm is defined by the SAME shared parameter constant the
     // catalog runs (Queries.D2Params) — if the catalog's d2 definition
     // changes, this frontier report follows it instead of silently
@@ -155,8 +162,10 @@ object ScaleCheck {
     var capped = graft.operators.Dedup.minhashNearDup(
       actual.where(length(graft.functions.TextFunctions.normalizeText(col("text"))) > 0),
       "text", "doc_id", p.bands, p.rowsPerBand, p.threshold, p.shingleN,
-      p.maxBucket, refineRows = 0).cache()
-    var d2b = run("d2b_neardup_adaptive").cache()
+      p.maxBucket, refineRows = 0).localCheckpoint(true)
+    System.gc()
+    var d2b = run("d2b_neardup_adaptive").localCheckpoint(true)
+    System.gc()
     val d2n = d2.count()
     val cappedN = capped.count()
     val d2bn = d2b.count()
