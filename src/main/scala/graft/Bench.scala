@@ -128,7 +128,8 @@ object Bench {
         // ADVICE). Cleared between timed queries unless the caller asks
         // for pipeline mode explicitly; either way the mode rides in the
         // output JSON.
-        if (!pairShared) graft.operators.PairGraph.clearInProcess()
+        if (!pairShared) { graft.operators.PairGraph.clearInProcess()
+          graft.operators.GroupStats.clearInProcess() }
         // Outside the timed window: drop the query's lineage so the
         // ContextCleaner can reap its shuffle files and localCheckpoint
         // blocks. Shuffle files live until their ShuffleDependency is
@@ -176,7 +177,8 @@ object Bench {
       names.foreach(n => try force(n) catch { case NonFatal(_) => () })
     // the warmup pass populated the pair-graph cache; timed passes must
     // start from the declared posture
-    if (!pairShared) graft.operators.PairGraph.clearInProcess()
+    if (!pairShared) { graft.operators.PairGraph.clearInProcess()
+      graft.operators.GroupStats.clearInProcess() }
     val pass1 = names.map(n => n -> timed(n)).toMap
     val results = names.map { n =>
       val a = pass1(n)

@@ -48,7 +48,8 @@ object BenchOne {
         fn(spark, sfDir).explain("formatted")
       val rows = fn(spark, sfDir).count()
       (1 to repeats).foreach { i =>
-        if (!pairShared) graft.operators.PairGraph.clearInProcess()
+        if (!pairShared) { graft.operators.PairGraph.clearInProcess()
+          graft.operators.GroupStats.clearInProcess() }
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         println(f"[bench-one] $name run$i ${(System.nanoTime() - t0) / 1e9}%.3f s  rows=$rows")

@@ -132,6 +132,30 @@ object StreamBench {
                 col("p_ts") >= col("c_ts") &&
                 col("p_ts") <= col("c_ts") + expr("interval 30 minutes")),
               "append")
+          case "st5" =>
+            // stream-static enrichment: the dim is re-broadcast per
+            // micro-batch — the per-batch price of keeping reference
+            // data fresh, the catalog st5 shape exactly
+            val dim = ss.read.parquet(s"$sfDir/customer.parquet")
+              .select(col("c_custkey"), col("c_mktsegment"))
+            (stream.join(broadcast(dim), col("user_id") === col("c_custkey"))
+              .groupBy("c_mktsegment", "event_type")
+              .agg(count(lit(1)).as("n"),
+                sum(floor(col("value") * 100)).cast("long").as("cents")),
+              "complete")
+          case "st7" =>
+            // arbitrary stateful fold: one envelope struct per user key,
+            // state GROWS with distinct keys seen (no watermark eviction
+            // by design — the envelope is a running total) — the shape
+            // whose steady state could degrade with accumulated keys
+            val sec = Queries.tsEpochSec(schema)
+            import ss.implicits._
+            (graft.streaming.EventStream.priceEnvelope(
+              stream.where(col("event_type") === "purchase")
+                .select(col("user_id").cast("string").as("product_id"),
+                  col("value").as("price"), timestamp_seconds(sec).as("ts"))
+                .as[graft.streaming.EventStream.PriceEvent]).toDF(),
+              "update")
           case "st8" =>
             // the near-dup ingestion gate per-batch: each chunk of
             // documents pairs against the accumulated band-bucket state
@@ -176,11 +200,19 @@ object StreamBench {
 
       // SPARK_GRAFT_STREAM_SHAPES=st8 runs a subset (the heavy sf10
       // design-regime runs measure one shape at many batches; staging
-      // chunks for the unmeasured shapes would dominate the run)
+      // chunks for the unmeasured shapes would dominate the run).
+      // Unknown names fail FAST: a typo ('st-8') would otherwise filter
+      // every shape out and emit an empty-but-successful-looking bench
+      // record (r12 ADVICE).
+      val known = Seq("st2", "st3", "st5", "st6", "st7", "st8")
       val wanted = sys.env.get("SPARK_GRAFT_STREAM_SHAPES")
-        .map(_.split(",").map(_.trim).toSet)
-        .getOrElse(Set("st2", "st3", "st6", "st8"))
-      val shapes = Seq("st2", "st3", "st6", "st8").filter(wanted)
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(known.toSet)
+      val unknown = wanted -- known.toSet
+      require(unknown.isEmpty && wanted.nonEmpty,
+        s"SPARK_GRAFT_STREAM_SHAPES: unknown shape(s) ${unknown.mkString(",")}; " +
+          s"valid: ${known.mkString(",")}")
+      val shapes = known.filter(wanted)
         .map(s => s -> fragment(s))
       (shapes.map(_._2._1).mkString("{", ",", "}"),
         shapes.map { case (s, (_, m)) => s -> m }.toMap)

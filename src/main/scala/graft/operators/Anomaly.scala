@@ -46,8 +46,8 @@ object Anomaly {
     * rows with any null key null-safe-join the few null-pattern groups.
     * The union is row-for-row the EqualNullSafe result: a non-null-keyed
     * row can't match a null-pattern group under `<=>` and vice versa. */
-  private def joinBackNullSafe(rows: DataFrame, stats: DataFrame,
-                               keys: Seq[String]): DataFrame = {
+  private[graft] def joinBackNullSafe(rows: DataFrame, stats: DataFrame,
+                                      keys: Seq[String]): DataFrame = {
     val renamed = keys.foldLeft(stats)((d, k) => d.withColumnRenamed(k, "__g_" + k))
     val gCols = keys.map(k => col("__g_" + k))
     val eqCond = keys.map(k => col(k) === col("__g_" + k)).reduce(_ && _)
@@ -59,19 +59,46 @@ object Anomaly {
     main.unionByName(nullKeyed).drop(keys.map("__g_" + _): _*)
   }
 
-  /** Adds deterministic per-group stats columns (n, mean, std) over the
-    * given keys. std is sample std (ddof=1), computed from exact decimal
-    * sums — matches pandas .std() per the reference artifacts (SURVEY.md
-    * §2.8 Z2). Formulated as groupBy + join-back rather than a window:
-    * identical values (the sums are order-insensitive), but the agg
-    * partially aggregates map-side instead of sorting every offer row
-    * within its hash partition. */
-  def withGroupStats(df: DataFrame, keys: Seq[String], priceCol: String): DataFrame = {
+  /** The family's MOMENT aggregate alone (n, exact decimal sums of p and
+    * p²) — one hash-agg pass, map-side combinable. */
+  def momentStats(df: DataFrame, keys: Seq[String], priceCol: String): DataFrame = {
     val p = col(priceCol)
-    val stats = df.groupBy(keys.map(col): _*)
+    df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_offers"),
         sum(dec(p)).cast("double").as("s1x"),
         sum(dec(p) * dec(p)).cast("double").as("s2x"))
+  }
+
+  /** The FUSED per-group stats table the whole anomaly family consumes —
+    * moments (n, Σp, Σp² as exact decimals), extrema, and exact quartiles
+    * (q1/median/q3) in ONE aggregation pass over the offers. The
+    * reference's two committed anomaly runs (the 18:42 z-score and 20:19
+    * IQR artifacts) consumed one shared stats table; at 100 TB the
+    * corpus-wide group aggregation is the family's whole cost, so it must
+    * be paid once, not once per rule (z-score, IQR, group report, top-K
+    * deviation all diverge only AFTER this table). Quartiles are exact
+    * (per-group value buffers — what the IQR rule pays anyway); the
+    * moments ride along at negligible cost. Values are identical to the
+    * per-consumer aggregates this fuses: same aggregate functions, same
+    * decimal casts, order-insensitive. */
+  def fullStats(df: DataFrame, keys: Seq[String], priceCol: String): DataFrame = {
+    val p = col(priceCol)
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_offers"),
+        sum(dec(p)).cast("double").as("s1x"),
+        sum(dec(p) * dec(p)).cast("double").as("s2x"),
+        min(p).as("min_p"),
+        max(p).as("max_p"),
+        percentile(p, lit(0.25)).as("q1"),
+        median(p).as("med"),
+        percentile(p, lit(0.75)).as("q3"))
+  }
+
+  /** Join a moments-bearing stats frame (n_offers/s1x/s2x over `keys`,
+    * e.g. [[momentStats]] or a [[fullStats]] projection) back onto the
+    * rows and derive mean / sample-std (ddof=1) — matches pandas .std()
+    * per the reference artifacts (SURVEY.md §2.8 Z2). */
+  def withStatsFrom(df: DataFrame, stats: DataFrame, keys: Seq[String]): DataFrame =
     joinBackNullSafe(df, stats, keys)
       .withColumn("market_mean", col("s1x") / col("n_offers"))
       .withColumn("market_std",
@@ -79,7 +106,16 @@ object Anomaly {
           sqrt((col("s2x") - col("s1x") * col("s1x") / col("n_offers")) / (col("n_offers") - 1)))
           .otherwise(lit(null).cast("double")))
       .drop("s1x", "s2x")
-  }
+
+  /** Adds deterministic per-group stats columns (n, mean, std) over the
+    * given keys. Formulated as groupBy + join-back rather than a window:
+    * identical values (the sums are order-insensitive), but the agg
+    * partially aggregates map-side instead of sorting every offer row
+    * within its hash partition. Standalone form — family pipelines that
+    * run more than one rule should compute [[fullStats]] once and use
+    * [[withStatsFrom]]. */
+  def withGroupStats(df: DataFrame, keys: Seq[String], priceCol: String): DataFrame =
+    withStatsFrom(df, momentStats(df, keys, priceCol), keys)
 
   /** Per-offer anomaly metrics given group stats columns present. */
   def withMetrics(df: DataFrame, priceCol: String): DataFrame = {
@@ -92,20 +128,46 @@ object Anomaly {
         when(p > col("market_mean"), lit("trop_haut")).otherwise(lit("trop_bas")))
   }
 
-  /** Z-score rule (the 18:42 reference run): flag |p−μ| > k·σ within
-    * groups of at least minGroupSize. */
-  def zScoreAnomalies(offers: DataFrame, keys: Seq[String], priceCol: String,
-                      k: Double = 2.0, minGroupSize: Int = 3): DataFrame = {
-    val stats = withMetrics(withGroupStats(offers, keys, priceCol), priceCol)
-    stats.where(col("n_offers") >= minGroupSize && col("z_score") > k)
+  /** Z-score rule (the 18:42 reference run) from a precomputed stats
+    * frame (a [[fullStats]]/[[momentStats]] table — the shared family
+    * artifact): flag |p−μ| > k·σ within groups of at least minGroupSize.
+    * Only the moment columns are joined back, so the flagged frame's
+    * schema does not depend on which stats form fed it. */
+  def zScoreAnomaliesFrom(offers: DataFrame, stats: DataFrame,
+                          keys: Seq[String], priceCol: String,
+                          k: Double, minGroupSize: Int): DataFrame = {
+    val moments = stats.select((keys ++ Seq("n_offers", "s1x", "s2x")).map(col): _*)
+    withMetrics(withStatsFrom(offers, moments, keys), priceCol)
+      .where(col("n_offers") >= minGroupSize && col("z_score") > k)
   }
 
-  /** IQR-fence rule (box-plot criterion consistent with the 20:19 run):
-    * flag p outside [q1 − k·iqr, q3 + k·iqr]. Quartiles need a group agg
-    * (no window percentile) — computed once per group and joined back.
-    * The join strategy is left to AQE: group cardinality is unbounded at
+  /** Z-score rule, standalone form (computes its own moment aggregate). */
+  def zScoreAnomalies(offers: DataFrame, keys: Seq[String], priceCol: String,
+                      k: Double = 2.0, minGroupSize: Int = 3): DataFrame =
+    zScoreAnomaliesFrom(offers, momentStats(offers, keys, priceCol),
+      keys, priceCol, k, minGroupSize)
+
+  /** IQR-fence rule (box-plot criterion consistent with the 20:19 run)
+    * from a precomputed quantile-bearing stats frame ([[fullStats]]):
+    * flag p outside [q1 − k·iqr, q3 + k·iqr]. Group-size filter and fence
+    * arithmetic run on the small stats side BEFORE the join-back. The
+    * join strategy is left to AQE: group cardinality is unbounded at
     * scale (brand×model grows with the corpus), so a forced broadcast
     * would OOM where a runtime-chosen shuffle join degrades gracefully. */
+  def iqrAnomaliesFrom(offers: DataFrame, stats: DataFrame,
+                       keys: Seq[String], priceCol: String,
+                       k: Double, minGroupSize: Int): DataFrame = {
+    val p = col(priceCol)
+    val q = stats.select((keys ++ Seq("n_offers", "q1", "q3")).map(col): _*)
+      .where(col("n_offers") >= minGroupSize)
+      .withColumn("iqr", col("q3") - col("q1"))
+      .withColumn("lo", col("q1") - lit(k) * col("iqr"))
+      .withColumn("hi", col("q3") + lit(k) * col("iqr"))
+    joinBackNullSafe(offers, q, keys)
+      .where(p < col("lo") || p > col("hi"))
+  }
+
+  /** IQR-fence rule, standalone form (computes its own quartile agg). */
   def iqrAnomalies(offers: DataFrame, keys: Seq[String], priceCol: String,
                    k: Double = 1.5, minGroupSize: Int = 3): DataFrame = {
     val p = col(priceCol)
@@ -113,12 +175,7 @@ object Anomaly {
       .agg(count(lit(1)).as("n_offers"),
         percentile(p, lit(0.25)).as("q1"),
         percentile(p, lit(0.75)).as("q3"))
-      .where(col("n_offers") >= minGroupSize)
-      .withColumn("iqr", col("q3") - col("q1"))
-      .withColumn("lo", col("q1") - lit(k) * col("iqr"))
-      .withColumn("hi", col("q3") + lit(k) * col("iqr"))
-    joinBackNullSafe(offers, q, keys)
-      .where(p < col("lo") || p > col("hi"))
+    iqrAnomaliesFrom(offers, q, keys, priceCol, k, minGroupSize)
   }
 
   /** Z5 — run-level summary of a flagged-anomaly frame (one row).

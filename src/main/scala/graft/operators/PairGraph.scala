@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The near-duplicate PAIR GRAPH as a materialize-once artifact.
@@ -73,29 +72,17 @@ object PairGraph {
         s"pf=$prefilterK"
   }
 
-  /** Memo cell: TrieMap.getOrElseUpdate has putIfAbsent semantics (the
-    * first INSERTED cell wins) but may evaluate the by-name default in
-    * several concurrent first callers. Storing an unforced lazy cell and
-    * forcing it AFTER insertion makes the expensive pairs computation
-    * exactly-once: losers discard their (never-forced) cell and force
-    * the winner's. Without this, two concurrent first callers each ran
-    * the full candidate+verify pipeline and the loser's localCheckpoint
-    * leaked until GC (r11 verdict item 6). */
-  private final class Memo(thunk: () => DataFrame) {
-    lazy val value: DataFrame = { computeCount.incrementAndGet(); thunk() }
-  }
+  /** The in-process layer: exactly-once concurrent computation, poisoned-
+    * cell eviction on failure, session-scoped eviction — see [[FrameMemo]]
+    * (shared with the anomaly family's [[GroupStats]] artifact). */
+  private val memo = new FrameMemo
 
-  /** Test probe: number of artifact computations that actually ran (vs
-    * served from the in-process map) — asserted by PairGraphSpec's
-    * concurrent-first-call test. */
-  private[graft] val computeCount = new java.util.concurrent.atomic.AtomicInteger(0)
-
-  private val inProcess =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Memo]
-  // sessions whose context already carries our eviction listener
-  private val listening =
-    java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+  /** Test probe: number of artifact computations that ran TO COMPLETION
+    * (vs served from the in-process map) — failed thunks don't count,
+    * matching the eviction-on-failure contract. Asserted by
+    * PairGraphSpec's concurrent-first-call test. */
+  private[graft] def computeCount: java.util.concurrent.atomic.AtomicInteger =
+    memo.computeCount
 
   /** Near-dup pairs (id_a, id_b, jaccard) of the corpus, through every
     * cache layer. First call computes (and persists, if a disk cache is
@@ -106,9 +93,7 @@ object PairGraph {
             cacheDir: Option[String] = sys.env.get("SPARK_GRAFT_PAIR_CACHE"))
   : DataFrame = {
     val sess = df.sparkSession
-    evictOnStop(sess)
-    val key = (sess, p.cacheKey(corpusKey, textCol, idCol))
-    inProcess.getOrElseUpdate(key, new Memo(() => {
+    memo.getOrCompute(sess, p.cacheKey(corpusKey, textCol, idCol)) {
       cacheDir match {
         case Some(root) => diskPairs(sess, df, textCol, idCol, corpusKey, p, root)
         case None =>
@@ -117,27 +102,18 @@ object PairGraph {
               prefilterK = p.prefilterK)
             .localCheckpoint(false)
       }
-    })).value
+    }
   }
 
   /** Drop every in-process entry (test isolation; bench harnesses that
     * must time computation, not reuse). */
-  def clearInProcess(): Unit = inProcess.clear()
+  def clearInProcess(): Unit = memo.clear()
 
-  /** Drop the in-process entries of one session — called by the
-    * application-end listener; exposed package-private so the spec can
-    * exercise eviction without stopping a shared test context. */
-  private[graft] def evictSession(sess: SparkSession): Unit = {
-    inProcess.keys.filter(_._1 eq sess).foreach(inProcess.remove)
-    listening.remove(sess); ()
-  }
-
-  private def evictOnStop(sess: SparkSession): Unit =
-    if (listening.add(sess))
-      sess.sparkContext.addSparkListener(new SparkListener {
-        override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
-          evictSession(sess)
-      })
+  /** Drop the in-process entries of one session — exposed package-private
+    * so the spec can exercise eviction without stopping a shared test
+    * context. */
+  private[graft] def evictSession(sess: SparkSession): Unit =
+    memo.evictSession(sess)
 
   private def diskPairs(sess: SparkSession, df: DataFrame, textCol: String,
                         idCol: String, corpusKey: String, p: Params,

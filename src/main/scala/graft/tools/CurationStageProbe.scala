@@ -43,6 +43,7 @@ object CurationStageProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.operators.PairGraph.clearInProcess()
+    graft.operators.GroupStats.clearInProcess()
     graft.Queries.prewarmTables(spark, sfDir)
 
     def timed[A](f: => A): (Double, A) = {
@@ -107,9 +108,16 @@ object CurationStageProbe {
     if (cleanRouted != null) cleanRouted.unpersist()
 
     val fields = out.map { case (k, v) => f""""$k":$v%.1f""" }.mkString(",")
-    val totalRouted = out.getOrElse("gate_s", 0.0) + out.getOrElse("neardedup_s", 0.0) +
-      out.getOrElse("decont_routed_s", 0.0) + out.getOrElse("pack_s", 0.0)
-    println(f"""{"tool":"CurationStageProbe","sf_dir":"$sfDir","kept_docs":$nKept,"survivor_docs":$nSurv,"eval_docs":$nEval,$fields,"total_routed_s":$totalRouted%.1f}""")
+    // total_routed_s only exists when the routed arm actually ran — a
+    // join-only run would otherwise sum missing stage keys into a
+    // misleading near-zero total (r12 ADVICE)
+    val totalField =
+      if (arms("routed")) {
+        val t = out.getOrElse("gate_s", 0.0) + out.getOrElse("neardedup_s", 0.0) +
+          out.getOrElse("decont_routed_s", 0.0) + out.getOrElse("pack_s", 0.0)
+        f""","total_routed_s":$t%.1f"""
+      } else ""
+    println(f"""{"tool":"CurationStageProbe","sf_dir":"$sfDir","kept_docs":$nKept,"survivor_docs":$nSurv,"eval_docs":$nEval,$fields$totalField}""")
     spark.stop()
   }
 }

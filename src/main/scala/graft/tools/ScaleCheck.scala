@@ -44,7 +44,15 @@ import org.apache.spark.sql.functions._
   * Prints one JSON line per check plus a final summary; exits nonzero on
   * any hard failure.
   *
-  * Usage: runMain graft.tools.ScaleCheck <sfDir>
+  * Vocabulary: set SPARK_GRAFT_DOC_VOCAB=wide when the dir under test was
+  * generated with ScaleGen's 50k-word discriminative vocabulary — the C0
+  * replay and the planted-pair regeneration must draw from the same token
+  * source as the corpus, or C0 fails with a checksum mismatch that looks
+  * like data corruption (r12 ADVICE). The wide run exercises the SAME
+  * C0–C8 invariants on the other bucket-occupancy regime: discriminative
+  * n-grams spread band buckets thin where the 31-word corpus floods them,
+  * which is exactly the regime split the cap/refinement trade depends on
+  * (the r12 verdict's C9 ask).
   */
 object ScaleCheck {
   def main(args: Array[String]): Unit = {
@@ -70,15 +78,19 @@ object ScaleCheck {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
+    // the corpus' vocabulary mode — must match how the dir was generated
+    val wide = sys.env.get("SPARK_GRAFT_DOC_VOCAB").contains("wide")
+    val vocab = if (wide) "wide" else "flooded"
+
     val failures = scala.collection.mutable.ListBuffer.empty[String]
     def check(name: String, ok: Boolean, detail: String): Unit = {
-      println(s"""{"check":"$name","pass":$ok,"detail":"$detail"}""")
+      println(s"""{"check":"$name","pass":$ok,"vocab":"$vocab","detail":"$detail"}""")
       if (!ok) failures += name
     }
 
     val actual = spark.read.parquet(s"$sfDir/documents.parquet")
     val nDocs = actual.count()
-    val regen = spark.range(0, nDocs, 1, 64).map(id => ScaleGen.docRow(id))
+    val regen = spark.range(0, nDocs, 1, 64).map(id => ScaleGen.docRow(id, wide))
       .toDF("doc_id", "text", "lang", "source", "n_chars").cache()
 
     // C0 — the corpus under test is exactly the replayed corpus
@@ -350,7 +362,7 @@ object ScaleCheck {
 
     regen.unpersist()
     val ok = failures.isEmpty
-    println(s"""{"scalecheck":"${if (ok) "PASS" else "FAIL"}","sf_dir":"$sfDir","n_docs":$nDocs,"failed":${failures.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
+    println(s"""{"scalecheck":"${if (ok) "PASS" else "FAIL"}","sf_dir":"$sfDir","vocab":"$vocab","n_docs":$nDocs,"failed":${failures.map("\"" + _ + "\"").mkString("[", ",", "]")}}""")
     spark.stop()
     if (!ok) sys.exit(1)
   }

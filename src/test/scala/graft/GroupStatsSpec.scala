@@ -1,0 +1,109 @@
+package graft
+
+import graft.operators.{Anomaly, FrameMemo, GroupStats}
+import org.apache.spark.sql.functions._
+
+/** The anomaly family's materialize-once stats artifact: identity with
+  * the standalone per-rule aggregates, in-process reuse (z3/z5 share one
+  * flagged frame), and the shared memo's failure semantics. */
+class GroupStatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // includes a null-keyed group (join-backs must be null-safe) and a
+  // group below the min size
+  private def offers() = Seq(
+    (Some("a"), 100.0), (Some("a"), 200.0), (Some("a"), 300.0), (Some("a"), 600.0),
+    (Some("b"), 10.0), (Some("b"), 20.0),
+    (Option.empty[String], 5.0), (None, 6.0), (None, 7.0), (None, 500.0)
+  ).toDF("k", "price")
+
+  test("fullStats carries the same values the standalone aggregates compute") {
+    val full = Anomaly.fullStats(offers(), Seq("k"), "price")
+    // moments vs the moment-only agg
+    val moments = Anomaly.momentStats(offers(), Seq("k"), "price")
+      .collect().map(r => r.getAs[String]("k") ->
+        (r.getAs[Long]("n_offers"), r.getAs[Double]("s1x"), r.getAs[Double]("s2x"))).toMap
+    full.collect().foreach { r =>
+      val (n, s1, s2) = moments(r.getAs[String]("k"))
+      assert(r.getAs[Long]("n_offers") == n)
+      assert(r.getAs[Double]("s1x") == s1 && r.getAs[Double]("s2x") == s2)
+    }
+    // quartiles vs the standalone percentile agg
+    val q = offers().groupBy("k").agg(
+        percentile(col("price"), lit(0.25)).as("q1"),
+        median(col("price")).as("med"),
+        percentile(col("price"), lit(0.75)).as("q3"))
+      .collect().map(r => r.getAs[String]("k") ->
+        (r.getAs[Double]("q1"), r.getAs[Double]("med"), r.getAs[Double]("q3"))).toMap
+    full.collect().foreach { r =>
+      val (q1, med, q3) = q(r.getAs[String]("k"))
+      assert(r.getAs[Double]("q1") == q1 && r.getAs[Double]("med") == med &&
+        r.getAs[Double]("q3") == q3)
+    }
+  }
+
+  test("every family consumer over the artifact equals its standalone form") {
+    GroupStats.clearInProcess()
+    val df = offers()
+    val stats = GroupStats.table(df, Seq("k"), "price", "test#offers")
+
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect().map(_.toSeq).toSet
+
+    // z-score rule (and the null group survives the null-safe join-back)
+    val zArt = Anomaly.zScoreAnomaliesFrom(df, stats, Seq("k"), "price", 1.0, 3)
+    val zStd = Anomaly.zScoreAnomalies(df, Seq("k"), "price", 1.0, 3)
+    assert(rows(zArt) == rows(zStd) && zArt.count() > 0)
+    assert(zArt.where(col("k").isNull).count() ==
+      zStd.where(col("k").isNull).count())
+
+    // IQR rule
+    val iArt = Anomaly.iqrAnomaliesFrom(df, stats, Seq("k"), "price", 1.5, 3)
+    val iStd = Anomaly.iqrAnomalies(df, Seq("k"), "price", 1.5, 3)
+    assert(rows(iArt.select("k", "price")) == rows(iStd.select("k", "price")))
+
+    // moments join-back (t4's path) equals withGroupStats
+    val mArt = Anomaly.withStatsFrom(df,
+      stats.select("k", "n_offers", "s1x", "s2x"), Seq("k"))
+    val mStd = Anomaly.withGroupStats(df, Seq("k"), "price")
+    assert(rows(mArt.select("k", "price", "market_mean", "market_std")) ==
+      rows(mStd.select("k", "price", "market_mean", "market_std")))
+  }
+
+  test("memo: the stats table and the flagged frame compute exactly once " +
+      "(z3 and z5 share both the stats pass and the join-back)") {
+    GroupStats.clearInProcess()
+    val before = GroupStats.computeCount.get()
+    val t1 = GroupStats.table(offers(), Seq("k"), "price", "test#memo")
+    val t2 = GroupStats.table(offers(), Seq("k"), "price", "test#memo")
+    assert(t1 eq t2)
+    assert(GroupStats.computeCount.get() - before == 1)
+    val f1 = GroupStats.flaggedZScore(offers(), Seq("k"), "price", 1.0, 3, "test#memo")
+    val f2 = GroupStats.flaggedZScore(offers(), Seq("k"), "price", 1.0, 3, "test#memo")
+    assert(f1 eq f2)
+    // flagged added ONE computation (it consumed the memoized table)
+    assert(GroupStats.computeCount.get() - before == 2)
+    // different rule params are a different artifact
+    val f3 = GroupStats.flaggedZScore(offers(), Seq("k"), "price", 2.0, 3, "test#memo")
+    assert(!(f1 eq f3))
+  }
+
+  test("FrameMemo never caches a poisoned cell: a throwing thunk is " +
+      "evicted and the next call recomputes") {
+    val memo = new FrameMemo
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    def flaky() = {
+      if (calls.incrementAndGet() == 1) sys.error("transient failure")
+      offers()
+    }
+    intercept[RuntimeException] {
+      memo.getOrCompute(spark, "k1")(flaky())
+    }
+    assert(memo.computeCount.get() == 0, "failed thunk must not count")
+    val ok = memo.getOrCompute(spark, "k1")(flaky())
+    assert(ok.count() == 10)
+    assert(memo.computeCount.get() == 1 && calls.get() == 2)
+    // and the success is now served from the memo
+    assert(memo.getOrCompute(spark, "k1")(flaky()) eq ok)
+    assert(calls.get() == 2)
+  }
+}
