@@ -526,10 +526,9 @@ object Queries {
     * hash-partition AND sort every row. */
   def t4TopDeviation(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
-    val stats = graft.operators.GroupStats.table(li, Seq("l_partkey"),
+    val stats = graft.operators.GroupStats.moments(li, Seq("l_partkey"),
       "l_extendedprice", s"$dir#lineitem")
-    graft.operators.Anomaly.withStatsFrom(li,
-        stats.select("l_partkey", "n_offers", "s1x", "s2x"), Seq("l_partkey"))
+    graft.operators.Anomaly.withStatsFrom(li, stats, Seq("l_partkey"))
       .withColumn("deviation",
         abs(col("l_extendedprice") - col("market_mean")) / col("market_mean") * 100.0)
       .orderBy(desc("deviation"), col("l_orderkey"), col("l_linenumber"))

