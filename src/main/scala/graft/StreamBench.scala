@@ -86,11 +86,14 @@ object StreamBench {
 
       def timeShape(shape: String): (Double, Seq[Double]) = {
         val src = if (shape == "st8") documents else events
-        // stage this shape's chunks (deterministic assignment, untimed)
-        (0 until nBatches).foreach { i =>
+        // stage this shape's chunks (deterministic assignment, untimed;
+        // the source is persisted for the N filtered chunk writes — 50
+        // batches would otherwise re-scan the parquet 50 times per shape)
+        src.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try (0 until nBatches).foreach { i =>
           src.where(chunkPred(shape, i))
             .coalesce(1).write.parquet(base.resolve(s"stage_${shape}_$i").toString)
-        }
+        } finally src.unpersist()
         val watched = base.resolve(s"in_$shape")
         Files.createDirectory(watched)
         val ss = spark.newSession()
