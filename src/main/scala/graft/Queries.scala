@@ -227,11 +227,15 @@ object Queries {
     * window (one shuffle, no self-join); the oracle uses the equivalent
     * group-by + join formulation. */
   def j1StatsJoin(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("l_partkey")
-    val mean = (sum(dec(col("l_extendedprice"))).over(w).cast("double")
-      / count(lit(1)).over(w))
-    t(s, dir, "lineitem")
-      .withColumn("mean_price", mean)
+    // the offers⋈group-stats join, from the shared moments artifact:
+    // agg + null-safe join-back (map-side combinable) instead of a
+    // whole-partition window sort; same exact decimal mean. w1 keeps
+    // the canonical running-window form.
+    val li = t(s, dir, "lineitem")
+    val stats = graft.operators.GroupStats.moments(li, Seq("l_partkey"),
+      "l_extendedprice", s"$dir#lineitem")
+    graft.operators.Anomaly.withStatsFrom(li, stats, Seq("l_partkey"))
+      .withColumn("mean_price", col("market_mean"))
       .where(col("l_extendedprice") > col("mean_price") * 1.8)
       .select("l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice", "mean_price")
       .sortSmall("l_partkey", "l_orderkey", "l_linenumber")

@@ -72,6 +72,30 @@ object CurationStageProbe {
     out += "neardedup_s" -> tDedup
     val nSurv = surv.count()
 
+    // optional comparison arm (SPARK_GRAFT_PROBE_CAPPED_DEDUP=1): the
+    // near-dedup stage with the FIXED-CAP candidate plan (refineRows=0,
+    // same bands/cap/prefilter as the shipping D2Params) instead of the
+    // auto→adaptive route the stage takes above its 100k-doc switch.
+    // Reports time AND the survivor-count delta: on a flooded-vocabulary
+    // corpus the capped plan drops over-cap buckets wholesale, so a
+    // faster time with fewer absorbed docs is a recall loss, not a win
+    // (the wide-vocab C9 run shows the regime where the two plans are
+    // identical). Measurement only — the catalog stage is unchanged.
+    if (sys.env.get("SPARK_GRAFT_PROBE_CAPPED_DEDUP").contains("1")) {
+      val p = graft.Queries.D2Params
+      val (tCap, nSurvCap) = timed {
+        val pairs = graft.operators.Dedup.minhashNearDup(kept, "text",
+          "doc_id", p.bands, p.rowsPerBand, p.threshold, p.shingleN,
+          p.maxBucket, refineRows = 0, prefilterK = p.prefilterK)
+        val labels = graft.operators.Dedup.connectedComponents(
+          kept.select(col("doc_id").as("id")), pairs)
+        kept.join(labels.where(col("id") === col("cluster_id"))
+          .select(col("id").as("doc_id")), "doc_id").count()
+      }
+      out += "neardedup_capped_s" -> tCap
+      out += "survivors_capped" -> nSurvCap.toDouble
+    }
+
     // stage 3 — decontamination, both arms over identical inputs
     val (corpus, evalSet) = graft.Queries.x13DecontInputs(spark, sfDir, surv)
     val nEval = evalSet.count()
