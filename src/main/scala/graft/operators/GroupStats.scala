@@ -47,12 +47,35 @@ object GroupStats {
     s"moments|$corpusKey|keys=${keys.mkString(",")}|p=$priceCol"
 
   /** The fused per-group stats table (see [[Anomaly.fullStats]] for the
-    * columns), computed once per (session, corpus, keys, price). */
+    * columns), computed once per (session, corpus, keys, price). With
+    * `SPARK_GRAFT_STATS_CACHE=<dir>` (or an explicit cacheDir) the table
+    * is ALSO persisted to / read from
+    * `<dir>/<md5(key)>/stats.parquet` — the cross-process design point:
+    * the reference's two committed anomaly runs (18:42 z-score, 20:19
+    * IQR) were SEPARATE processes consuming one stats table, and a
+    * production pipeline materializes this per corpus snapshot the same
+    * way the pair graph is. Same manifest + row-count staleness contract
+    * as PairGraph ([[FrameDiskCache]]). */
   def table(df: DataFrame, keys: Seq[String], priceCol: String,
-            corpusKey: String): DataFrame =
-    memo.getOrCompute(df.sparkSession, fullKey(corpusKey, keys, priceCol)) {
-      Anomaly.fullStats(df, keys, priceCol).localCheckpoint(false)
+            corpusKey: String,
+            cacheDir: Option[String] = sys.env.get("SPARK_GRAFT_STATS_CACHE"))
+  : DataFrame = {
+    val sess = df.sparkSession
+    memo.getOrCompute(sess, fullKey(corpusKey, keys, priceCol)) {
+      cacheDir match {
+        case Some(root) =>
+          // one column-pruned scan for the staleness check (the cheapest
+          // column — the first grouping key)
+          val nRows = df.select(keys.head).count()
+          FrameDiskCache.loadOrCompute(sess, root,
+            fullKey(corpusKey, keys, priceCol), nRows, "stats.parquet") {
+            Anomaly.fullStats(df, keys, priceCol)
+          }
+        case None =>
+          Anomaly.fullStats(df, keys, priceCol).localCheckpoint(false)
+      }
     }
+  }
 
   /** The MOMENTS tier (n/Σp/Σp² only — what the z-score rule, the summary
     * and top-K deviation consume): served as a free projection of the

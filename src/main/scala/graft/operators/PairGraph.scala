@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The near-duplicate PAIR GRAPH as a materialize-once artifact.
@@ -118,48 +117,15 @@ object PairGraph {
   private def diskPairs(sess: SparkSession, df: DataFrame, textCol: String,
                         idCol: String, corpusKey: String, p: Params,
                         root: String): DataFrame = {
-    val keyStr = p.cacheKey(corpusKey, textCol, idCol)
-    val hash = java.security.MessageDigest.getInstance("MD5")
-      .digest(keyStr.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val dir = new Path(root, hash)
-    val fs = dir.getFileSystem(sess.sparkContext.hadoopConfiguration)
-    val manifestPath = new Path(dir, "manifest.json")
-    val dataPath = new Path(dir, "pairs.parquet")
     // one column-pruned scan of the corpus: feeds BOTH the staleness
     // check and neardupPairs' plan choice (which would otherwise count
     // again)
     val nDocs = df.select(idCol).count()
-    val cached: Option[DataFrame] =
-      if (fs.exists(manifestPath) && fs.exists(dataPath)) {
-        val in = fs.open(manifestPath)
-        val manifest = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        val keyOk = manifest.contains("\"key\":" + quote(keyStr))
-        val countOk = manifest.contains(s""""corpus_rows":$nDocs,""")
-        if (keyOk && countOk) Some(sess.read.parquet(dataPath.toString))
-        else None // md5 collision or stale snapshot: recompute below
-      } else None
-    cached.getOrElse {
-      val pairs = Dedup.neardupPairs(df, textCol, idCol, p.bands,
+    FrameDiskCache.loadOrCompute(sess, root,
+      p.cacheKey(corpusKey, textCol, idCol), nDocs, "pairs.parquet") {
+      Dedup.neardupPairs(df, textCol, idCol, p.bands,
         p.rowsPerBand, p.threshold, p.shingleN, p.maxBucket,
         p.adaptiveMinDocs, numDocs = Some(nDocs), prefilterK = p.prefilterK)
-      pairs.write.mode("overwrite").parquet(dataPath.toString)
-      // manifest LAST and atomically (temp + rename): its presence is the
-      // commit marker a concurrent reader keys on — never visible over a
-      // half-written artifact, never itself readable half-written
-      val tmpPath = new Path(dir, s".manifest.json.tmp-${java.util.UUID.randomUUID()}")
-      val out = fs.create(tmpPath, true)
-      try out.write(
-        (s"""{"key":${quote(keyStr)},"corpus_rows":$nDocs,""" +
-          s""""created_ms":${System.currentTimeMillis()}}""").getBytes("UTF-8"))
-      finally out.close()
-      fs.delete(manifestPath, false)
-      if (!fs.rename(tmpPath, manifestPath))
-        throw new java.io.IOException(s"pair-cache manifest rename failed: $tmpPath -> $manifestPath")
-      sess.read.parquet(dataPath.toString)
     }
   }
-
-  private def quote(s: String): String =
-    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 }

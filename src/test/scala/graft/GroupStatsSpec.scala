@@ -106,6 +106,37 @@ class GroupStatsSpec extends SparkSuite {
     assert(GroupStats.moments(offers(), Seq("k"), "price", "test#alone") eq m)
   }
 
+  test("disk cache: a process-equivalent re-read loads the persisted " +
+      "stats table; a changed corpus row count invalidates it") {
+    val root = tempDir("groupstats")
+    GroupStats.clearInProcess()
+    val first = GroupStats.table(offers(), Seq("k"), "price", "test#disk",
+      cacheDir = Some(root)).collect().map(_.toSeq).toSet
+    val sub = new java.io.File(root).listFiles().filter(_.isDirectory)
+    assert(sub.length == 1)
+    val manifest = new java.io.File(sub.head, "manifest.json")
+    assert(manifest.exists())
+    val stamp1 = scala.io.Source.fromFile(manifest).mkString
+
+    // simulate a NEW process (the reference's two separate anomaly runs
+    // over one stats table): clear the in-process layer, read again
+    GroupStats.clearInProcess()
+    val second = GroupStats.table(offers(), Seq("k"), "price", "test#disk",
+      cacheDir = Some(root)).collect().map(_.toSeq).toSet
+    assert(second == first)
+    assert(scala.io.Source.fromFile(manifest).mkString == stamp1)
+
+    // a corpus with a different row count under the same key is STALE
+    GroupStats.clearInProcess()
+    val shrunk = offers().where(col("price") =!= 600.0)
+    val third = GroupStats.table(shrunk, Seq("k"), "price", "test#disk",
+      cacheDir = Some(root)).collect().map(_.toSeq).toSet
+    val direct = Anomaly.fullStats(shrunk, Seq("k"), "price")
+      .collect().map(_.toSeq).toSet
+    assert(third == direct && third != first)
+    assert(scala.io.Source.fromFile(manifest).mkString != stamp1)
+  }
+
   test("FrameMemo never caches a poisoned cell: a throwing thunk is " +
       "evicted and the next call recomputes") {
     val memo = new FrameMemo
