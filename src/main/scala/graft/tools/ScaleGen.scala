@@ -109,6 +109,44 @@ object ScaleGen extends Serializable {
     (id, text, lang, s"src${rngFor(10, id).nextInt(20)}", text.length.toLong)
   }
 
+  // ---- embeddings replay API (AnnScaleCheck's independent oracle) ----
+  // Same pure-function-of-id contract as docRow: main() calls these, so
+  // a checker can regenerate any fixture's vectors and planted near-dup
+  // structure without reading the parquet it audits.
+
+  private val EmbDim = 64
+
+  /** The 10 cluster centers (pure function of the label). */
+  private[tools] def embCenter(label: Int): Array[Float] = {
+    val r = rngFor(11, label.toLong)
+    Array.fill(EmbDim)((r.nextGaussian() * 0.3).toFloat)
+  }
+  private lazy val EmbCenters: Array[Array[Float]] =
+    Array.tabulate(10)(embCenter)
+
+  /** The base (label, vector) seeded at `seedId` (before dup planting). */
+  private def vecFor(seedId: Long): (Int, Array[Float]) = {
+    val r = rngFor(12, seedId)
+    val label = r.nextInt(10)
+    (label, EmbCenters(label).map(c => c + (r.nextGaussian() * 0.1).toFloat))
+  }
+
+  /** true iff row `id` is a planted near-dup of id−1 (same label, +0.001
+    * noise on every component). */
+  def vecKindNearDup(id: Long): Boolean =
+    id > 0 && rngFor(13, id).nextInt(10000) < 200
+
+  /** The full embeddings row for `id`: (vec_id, embedding, label). */
+  def vecRow(id: Long): (Long, Array[Float], Int) = {
+    val r = rngFor(13, id)
+    val (label, vec) =
+      if (id > 0 && r.nextInt(10000) < 200) {
+        val (l, v) = vecFor(id - 1)
+        (l, v.map(x => x + (r.nextGaussian() * 0.001).toFloat))
+      } else vecFor(id)
+    (id, vec, label)
+  }
+
   def main(args: Array[String]): Unit = {
     val outDir = if (args.nonEmpty) args(0) else "/tmp/graft_sf1"
     val sf = if (args.length > 1) args(1).toDouble else 1.0
@@ -235,26 +273,11 @@ object ScaleGen extends Serializable {
 
     // embeddings: 10 labeled Gaussian clusters in dim 64 (center scale
     // ~0.3, noise 0.1, matching sf0.1 magnitudes); ~2% planted near-dups
-    // of the previous vector (same label, +0.001 noise)
-    val dim = 64
-    val centers: Array[Array[Float]] = Array.tabulate(10) { l =>
-      val r = rngFor(11, l.toLong)
-      Array.fill(dim)((r.nextGaussian() * 0.3).toFloat)
-    }
-    def vecFor(seedId: Long): (Int, Array[Float]) = {
-      val r = rngFor(12, seedId)
-      val label = r.nextInt(10)
-      (label, centers(label).map(c => c + (r.nextGaussian() * 0.1).toFloat))
-    }
-    if (wanted("embeddings")) write(spark.range(0, nVecs, 1, par).map { id =>
-      val r = rngFor(13, id)
-      val (label, vec) =
-        if (id > 0 && r.nextInt(10000) < 200) {
-          val (l, v) = vecFor(id - 1)
-          (l, v.map(x => x + (r.nextGaussian() * 0.001).toFloat))
-        } else vecFor(id)
-      (id, vec, label)
-    }.toDF("vec_id", "embedding", "label"), "embeddings")
+    // of the previous vector (same label, +0.001 noise). Row generation
+    // lives in [[vecRow]] so AnnScaleCheck replays the identical vectors.
+    if (wanted("embeddings")) write(
+      spark.range(0, nVecs, 1, par).map(id => vecRow(id))
+        .toDF("vec_id", "embedding", "label"), "embeddings")
 
     spark.stop()
   }
