@@ -2377,6 +2377,68 @@ object Queries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** D11b — SemDeDup with CAPPED cells, the 100 TB form of d11: cells
+    * larger than targetCell are subdivided by sign bits of an
+    * independent md5-derived hyperplane family before the in-cell pair
+    * pass, bounding Σ|cell|² where natural clusters would make it
+    * quadratic (AnnScaleCheck V5 measured 3.4e8 candidate pairs from 64
+    * cells at 200k vectors). targetCell=64 over this fixture's
+    * ~125-vector cells makes the split rule genuinely fire, so the
+    * oracle (which mirrors cell sizes, the shift-based depth rule, the
+    * cellplane bits and the subcell equality exactly) verifies the
+    * capped semantics, not a no-op. */
+  def d11bSemanticDedupCapped(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.semanticNearDupPairsCapped(
+        t(s, dir, "embeddings").where(col("vec_id") < 1000), "vec_id", "embedding",
+        centroids = Similarity.md5Centroids(8, 64), threshold = 0.4,
+        targetCell = 64, maxExtraBits = 3)
+      .withColumn("centroid", col("centroid").cast("long"))
+      .sortSmall("id_a", "id_b")
+
+  val d11bSql: String = {
+    val dotProd = "list_reduce(list_transform(list_zip(%s, %s), s -> s[1] * s[2]), (a, b) -> a + b)"
+    def cosOf(v: String) =
+      s"${dotProd.format(v, "wl")} / (sqrt(${dotProd.format(v, v)}) * sqrt(${dotProd.format("wl", "wl")}))"
+    val h8c = "list_reduce(list_transform(range(1, 9), i -> CAST(strpos('0123456789abcdef', substr(md5('centroid:' || CAST(c AS VARCHAR) || ':' || CAST(d AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+    val h8p = "list_reduce(list_transform(range(1, 9), i -> CAST(strpos('0123456789abcdef', substr(md5('cellplane:' || CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+    s"""WITH pw AS (
+       |  SELECT c, d, CAST($h8c AS DOUBLE) / 4294967296.0 * 2 - 1 AS w
+       |  FROM range(8) cr(c), range(64) dr(d)),
+       |pl AS (SELECT c, list(w ORDER BY d) AS wl FROM pw GROUP BY c),
+       |c0 AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       |  FROM embeddings WHERE vec_id < 1000),
+       |ca AS (
+       |  SELECT vec_id, c AS cid, ${cosOf("cv")} AS ccos FROM c0, pl),
+       |asn AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM ca)
+       |  WHERE rn = 1),
+       |cpw AS (
+       |  SELECT p, d, CAST($h8p AS DOUBLE) / 4294967296.0 * 2 - 1 AS w
+       |  FROM range(3) pr(p), range(64) dr(d)),
+       |cpl AS (SELECT p, list(w ORDER BY d) AS wl FROM cpw GROUP BY p),
+       |bits AS (
+       |  SELECT vec_id, CAST(SUM(CASE WHEN ${dotProd.format("cv", "wl")} >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS b
+       |  FROM c0, cpl GROUP BY vec_id),
+       |cells AS (SELECT cid, count(*) AS n FROM asn GROUP BY cid),
+       |kk AS (
+       |  SELECT cid, COALESCE(MIN(CASE WHEN (n >> i) <= 64 THEN i END), 3) AS k
+       |  FROM cells, range(4) r(i) GROUP BY cid),
+       |p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    round(${dotProd.format("av.cv", "bv.cv")} / (sqrt(${dotProd.format("av.cv", "av.cv")}) * sqrt(${dotProd.format("bv.cv", "bv.cv")})), 4) AS cos,
+       |    a.cid AS centroid
+       |  FROM asn a JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |    JOIN kk ON kk.cid = a.cid
+       |    JOIN bits ba ON ba.vec_id = a.vec_id
+       |    JOIN bits bb ON bb.vec_id = b.vec_id
+       |    JOIN c0 av ON av.vec_id = a.vec_id
+       |    JOIN c0 bv ON bv.vec_id = b.vec_id
+       |  WHERE (ba.b & ((CAST(1 AS BIGINT) << k) - 1)) = (bb.b & ((CAST(1 AS BIGINT) << k) - 1)))
+       |SELECT id_a, id_b, cos, centroid FROM p WHERE cos >= 0.4
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** D7 — embedding-cosine near-duplicate pairs (exact over a bounded id
     * range; the LSH/IVF candidate paths are verified against this in
     * tests). Threshold 0.4 is chosen so the sf0.01 synthetic embeddings
@@ -4258,6 +4320,7 @@ object Queries {
     "d10_dedup_apply" -> d10DedupApply,
     "d9_ivf_topk" -> d9IvfTopk,
     "d11_semantic_dedup" -> d11SemanticDedup,
+    "d11b_semantic_dedup_capped" -> d11bSemanticDedupCapped,
     "x5_pii_scrub" -> x5PiiScrub,
     "k1_salted_agg" -> k1SaltedAgg,
     "st2_streaming_hourly" -> st2StreamingHourly,
@@ -4362,6 +4425,7 @@ object Queries {
     "d10_dedup_apply" -> d10Sql,
     "d9_ivf_topk" -> d9Sql,
     "d11_semantic_dedup" -> d11Sql,
+    "d11b_semantic_dedup_capped" -> d11bSql,
     "x5_pii_scrub" -> x5Sql,
     "k1_salted_agg" -> k1Sql,
     "st3_streaming_dedup" -> st3Sql,

@@ -86,9 +86,14 @@ object Similarity {
   private def planes(numPlanes: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(numPlanes, dim)((p, d) => planeWeight(p, d))
 
-  /** Sign-bucket key: one bit per hyperplane (sign of the projection). */
-  def lshBucket(vec: Column, numPlanes: Int, dim: Int): Column = {
-    val ps = planes(numPlanes, dim)
+  /** Sign-bucket key: one bit per hyperplane (sign of the projection).
+    * `prefix` selects an independent md5-derived plane family —
+    * [[semanticNearDupPairsCapped]] subdivides quantizer cells with the
+    * "cellplane" family so its bits are independent of the "plane"
+    * family the d6/d7b bucketing uses. */
+  def lshBucket(vec: Column, numPlanes: Int, dim: Int,
+                prefix: String = "plane"): Column = {
+    val ps = Array.tabulate(numPlanes, dim)((p, d) => md5Weight(prefix, p, d))
     val vd = asDouble(vec)
     ps.zipWithIndex.map { case (p, i) =>
       val proj = dot(vd, array(p.map(lit): _*))
@@ -163,6 +168,69 @@ object Similarity {
     val b = side.select(col("centroid"), col("id").as("id_b"),
       col("v").as("vb"), col("nrm").as("nb"))
     a.join(b, Seq("centroid"))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos", "centroid")
+  }
+
+  /** [[semanticNearDupPairs]] with CAPPED cells — the 100 TB form.
+    * Quantizer cells cannot subdivide a corpus's natural clusters:
+    * measured at 200k clustered vectors, the 64-cell assignment carries
+    * Σ|cell|² = 3.4e8 candidate pairs with a 6.6k-vector max cell
+    * (AnnScaleCheck V5), and that exposure grows quadratically with
+    * cluster size. This variant applies the text path's flooded-bucket
+    * discipline (Dedup.refineBuckets) to vectors: any cell larger than
+    * `targetCell` is subdivided by the low k sign bits of an independent
+    * hyperplane family ("cellplane"), k chosen per cell as the smallest
+    * count with (|cell| >> k) ≤ targetCell (pure integer shifts — no
+    * float-log boundary ambiguity, and the identical rule is
+    * expressible in the external SQL oracle), capped at `maxExtraBits`.
+    *
+    * Recall semantics: a pair survives iff its members agree on the
+    * cell AND on the k sign bits. Near-duplicate pairs (the operator's
+    * purpose — high threshold) have near-identical projections, so
+    * their sign bits agree unless a projection sits within the noise of
+    * zero: planted +0.001-noise dups measure recall 1.0 and the cap is
+    * the price of bounded work for MODERATE-cosine pairs (which sign
+    * bits split with probability ∝ their angle). Use the uncapped form
+    * when the threshold is low and the corpus is bounded; this form
+    * when cells are cluster-sized. Like refineBuckets, a sub-cluster
+    * tighter than the bit resolution stays big (exact-dup point masses
+    * never split) — such pairs are still emitted; the cap bounds
+    * EXPECTED work, not the adversarial worst case. */
+  def semanticNearDupPairsCapped(df: DataFrame, idCol: String, vecCol: String,
+                                 centroids: Array[(Int, Array[Double])],
+                                 threshold: Double, targetCell: Int = 1000,
+                                 maxExtraBits: Int = 8): DataFrame = {
+    val dim = centroids.head._2.length
+    val assigned = IvfIndex.assign(df, vecCol, centroids)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"), col("centroid"),
+        lshBucket(col(vecCol), maxExtraBits, dim, prefix = "cellplane").as("bits"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    // per-cell split depth: the cell-size table is O(nlist) rows — the
+    // same driver-bounded size class as the centroid table itself
+    val sizes = assigned.groupBy("centroid").agg(count(lit(1)).as("n")).collect()
+    val kOf: Map[Int, Int] = sizes.map { r =>
+      val n = r.getLong(1)
+      var k = 0
+      while (k < maxExtraBits && (n >> k) > targetCell) k += 1
+      r.getInt(0) -> k
+    }.toMap
+    // (centroid → mask) as a broadcast-joined tiny frame, not a
+    // when-chain: nlist grows with the corpus, and a thousands-branch
+    // CASE would fall out of codegen
+    val session = df.sparkSession
+    import session.implicits._
+    val masks = broadcast(kOf.toSeq
+      .map { case (cid, k) => (cid, (1L << k) - 1) }.toDF("centroid", "mask"))
+    val sub = assigned.join(masks, Seq("centroid"))
+      .withColumn("subcell", col("bits").bitwiseAND(col("mask")))
+    val a = sub.select(col("centroid"), col("subcell"), col("id").as("id_a"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = sub.select(col("centroid"), col("subcell"), col("id").as("id_b"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("centroid", "subcell"))
       .where(col("id_a") < col("id_b"))
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .where(col("cos") >= threshold)

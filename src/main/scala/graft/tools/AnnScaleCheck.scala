@@ -156,6 +156,22 @@ object AnnScaleCheck {
         s"slice=$sliceN nlist=64 t=0.99")
     sem.unpersist()
 
+    // V3b — the CAPPED SemDeDup at the FULL corpus (the scale the
+    // uncapped in-cell pass cannot reach: V5 prices its candidate set at
+    // 3.4e8 pairs here). targetCell=1000 bounds expected per-subcell
+    // work; planted near-dups must survive the splits (their cellplane
+    // sign bits agree).
+    val semCap = Similarity.semanticNearDupPairsCapped(actual, "vec_id",
+        "embedding", centroids, threshold = 0.99, targetCell = 1000,
+        maxExtraBits = 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (capN, capBad) = soundness(semCap.select("id_a", "id_b", "cos"))
+    val (capRec, capF, capT) = plantedRecall(semCap, nVecs)
+    check("V3b_semdedup_capped_full", capBad == 0 && capRec >= 0.95,
+      f"pairs=$capN unsound=$capBad planted_recall=$capRec%.4f ($capF/$capT) " +
+        s"n=$nVecs nlist=64 target=1000 maxBits=8 t=0.99")
+    semCap.unpersist()
+
     // V4 — LSH-bucketed near-dup on the slice
     val lsh = Similarity.cosineNearDupLshPairs(slice, "vec_id", "embedding",
         threshold = 0.99, numPlanes = 16, dim = 64, probeBits = 1)

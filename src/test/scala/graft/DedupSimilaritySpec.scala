@@ -163,6 +163,35 @@ class DedupSimilaritySpec extends SparkSuite {
     assert((exact -- sem).forall { case (a, b, _) => cell(a) != cell(b) })
   }
 
+  test("semantic dedup capped: no-op when no cell exceeds the target; " +
+      "subset under forced splitting with near-identical pairs retained") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 300)
+    val cents = Similarity.md5Centroids(4, 64)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = rows(Similarity.semanticNearDupPairs(
+      emb, "vec_id", "embedding", cents, 0.3))
+    // target above every cell size → identical output (the cap is a
+    // pure plan guard until a cell actually floods)
+    val noop = rows(Similarity.semanticNearDupPairsCapped(
+      emb, "vec_id", "embedding", cents, 0.3, targetCell = 100000))
+    assert(noop == uncapped && uncapped.nonEmpty)
+    // tiny target forces every cell to split to full depth: output is a
+    // SUBSET (never invents pairs/scores), and a planted near-identical
+    // pair still survives — its sign bits agree on every cellplane
+    val base = Array.tabulate(64)(i => (math.sin(i + 1) * 0.3).toFloat)
+    val twin = base.map(x => x + 1e-4f)
+    val planted = emb.select(col("vec_id"), col("embedding"))
+      .union(Seq((9001L, base), (9002L, twin)).toDF("vec_id", "embedding"))
+    val capped = rows(Similarity.semanticNearDupPairsCapped(
+      planted, "vec_id", "embedding", cents, 0.3, targetCell = 1, maxExtraBits = 8))
+    val uncappedP = rows(Similarity.semanticNearDupPairs(
+      planted, "vec_id", "embedding", cents, 0.3))
+    assert(capped.subsetOf(uncappedP))
+    assert(capped.exists { case (a, b, c) => a == 9001L && b == 9002L && c >= 0.99 })
+  }
+
   test("adaptive refinement: flooded buckets split instead of dropping pairs") {
     // 10 distinct 3-word subsets of a 5-word vocabulary, 4 copies each:
     // with ONE band of ONE minhash row, every doc keys on the min-hash of
