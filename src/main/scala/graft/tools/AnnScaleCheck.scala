@@ -110,13 +110,20 @@ object AnnScaleCheck {
       .select("query_id", "neighbor_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nExact = exact.count()
-    val ivf = Similarity.IvfIndex.topK(actual, queries, "vec_id", "embedding",
-      k = 10, centroids, nprobe = 8).select("query_id", "neighbor_id")
-    val hit = ivf.join(exact, Seq("query_id", "neighbor_id")).count()
-    val recall = if (nExact == 0) 0.0 else hit.toDouble / nExact
+    // the nprobe frontier — the recall/scan-fraction trade an operator
+    // of this shape is tuned by at scale (each probe scans ~nprobe/nlist
+    // of the corpus); asserted at the catalog-shaped nprobe=8, reported
+    // across the ladder
+    val frontier = Seq(1, 2, 4, 8).map { np =>
+      val ivf = Similarity.IvfIndex.topK(actual, queries, "vec_id", "embedding",
+        k = 10, centroids, nprobe = np).select("query_id", "neighbor_id")
+      val hit = ivf.join(exact, Seq("query_id", "neighbor_id")).count()
+      np -> (if (nExact == 0) 0.0 else hit.toDouble / nExact)
+    }
+    val recall = frontier.last._2
+    val ladder = frontier.map { case (np, r) => f"nprobe$np=$r%.4f" }.mkString(" ")
     check("V2_ivf_recall", nQ >= 50 && recall >= 0.7,
-      f"queries=$nQ exact_pairs=$nExact ivf_hits=$hit recall_at_10=$recall%.4f " +
-        s"nlist=64 nprobe=8")
+      f"queries=$nQ exact_pairs=$nExact recall_at_10: $ladder nlist=64")
     exact.unpersist()
 
     // independent cosine recomputation (zip_with/aggregate HOFs, not the
