@@ -2439,6 +2439,24 @@ object Queries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** D11c — the auto-crossover entry point of the SemDeDup family
+    * ([[Similarity.semanticNearDupPairsAuto]]): ONE checkpointed
+    * quantizer assignment whose O(nlist) cell-size table both routes
+    * (Σ|cell|² vs the measured wall-clock crossover) and, above the
+    * budget, feeds the capped form's split depths. This fixture's
+    * Σ|cell|² (~1.3e5 over 8 cells of ~125) sits far below the budget,
+    * so the oracle gates the UNCAPPED branch (same rows as d11 — the
+    * d4c pattern: the d11b row already gates the capped branch, so both
+    * switch arms stay oracle-verified); DedupSimilaritySpec pins that a
+    * sub-Σ|cell|² budget flips the route and reproduces the capped
+    * form's rows exactly. */
+  def d11cSemanticDedupAuto(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticNearDupPairsAuto(
+        t(s, dir, "embeddings").where(col("vec_id") < 1000), "vec_id", "embedding",
+        centroids = Similarity.md5Centroids(8, 64), threshold = 0.4)
+      .withColumn("centroid", col("centroid").cast("long"))
+      .sortSmall("id_a", "id_b")
+
   /** D7 — embedding-cosine near-duplicate pairs (exact over a bounded id
     * range; the LSH/IVF candidate paths are verified against this in
     * tests). Threshold 0.4 is chosen so the sf0.01 synthetic embeddings
@@ -4321,6 +4339,7 @@ object Queries {
     "d9_ivf_topk" -> d9IvfTopk,
     "d11_semantic_dedup" -> d11SemanticDedup,
     "d11b_semantic_dedup_capped" -> d11bSemanticDedupCapped,
+    "d11c_semantic_dedup_auto" -> d11cSemanticDedupAuto,
     "x5_pii_scrub" -> x5PiiScrub,
     "k1_salted_agg" -> k1SaltedAgg,
     "st2_streaming_hourly" -> st2StreamingHourly,
@@ -4426,6 +4445,7 @@ object Queries {
     "d9_ivf_topk" -> d9Sql,
     "d11_semantic_dedup" -> d11Sql,
     "d11b_semantic_dedup_capped" -> d11bSql,
+    "d11c_semantic_dedup_auto" -> d11Sql,
     "x5_pii_scrub" -> x5Sql,
     "k1_salted_agg" -> k1Sql,
     "st3_streaming_dedup" -> st3Sql,

@@ -93,6 +93,11 @@ object Similarity {
     * family the d6/d7b bucketing uses. */
   def lshBucket(vec: Column, numPlanes: Int, dim: Int,
                 prefix: String = "plane"): Column = {
+    // numPlanes=0 degrades to the single all-vectors bucket (constant 0)
+    // instead of reducing over an empty collection — a caller passing
+    // maxExtraBits=0 to the capped SemDeDup (to disable splitting) gets
+    // the uncapped semantics, not an exception
+    if (numPlanes == 0) return lit(0L)
     val ps = Array.tabulate(numPlanes, dim)((p, d) => md5Weight(prefix, p, d))
     val vd = asDouble(vec)
     ps.zipWithIndex.map { case (p, i) =>
@@ -163,16 +168,80 @@ object Similarity {
     val side = IvfIndex.assign(df, vecCol, centroids)
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"), col("centroid"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    val a = side.select(col("centroid"), col("id").as("id_a"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = side.select(col("centroid"), col("id").as("id_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("centroid"))
+    inCellPairs(side, Seq("centroid"), threshold)
+  }
+
+  /** All (a < b) pairs within equal `cellCols` values scoring ≥ threshold —
+    * the shared pair pass of the SemDeDup family (uncapped: cell only;
+    * capped: cell + subcell). One shuffle, keyed on the cell columns. */
+  private def inCellPairs(side: DataFrame, cellCols: Seq[String],
+                          threshold: Double): DataFrame = {
+    val keys = cellCols.map(col)
+    val a = side.select(keys :+ col("id").as("id_a") :+
+      col("v").as("va") :+ col("nrm").as("na"): _*)
+    val b = side.select(keys :+ col("id").as("id_b") :+
+      col("v").as("vb") :+ col("nrm").as("nb"): _*)
+    a.join(b, cellCols)
       .where(col("id_a") < col("id_b"))
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos", "centroid")
   }
+
+  /** The assigned-corpus artifact the capped/auto SemDeDup forms share:
+    * (id, v double-widened, centroid, cellplane sign bits, norm), CUT
+    * from its lineage so the nlist×dim assignment pass runs exactly once
+    * even though two actions consume it (the O(nlist) cell-size collect,
+    * then the pair pass). Before the cut the pair pass re-ran the full
+    * assignment + bits projection — at 600k vectors a measurable slice of
+    * the capped arm (SemDedupAB r14). Mode selection mirrors
+    * [[Dedup.prefixJaccardPairs]]'s doc table: a configured checkpoint
+    * dir → RELIABLE checkpoint (survives executor loss — the right mode
+    * for a long 100 TB run); otherwise executor-local localCheckpoint.
+    * Storage is O(corpus/cluster-width) per executor, freed by the
+    * context cleaner when the query's RDDs go out of scope. */
+  private def assignedWithBits(df: DataFrame, idCol: String, vecCol: String,
+                               centroids: Array[(Int, Array[Double])],
+                               maxExtraBits: Int): DataFrame = {
+    val dim = centroids.head._2.length
+    val a0 = IvfIndex.assign(df, vecCol, centroids)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"), col("centroid"),
+        lshBucket(col(vecCol), maxExtraBits, dim, prefix = "cellplane").as("bits"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val reliable = df.sparkSession.sparkContext.getCheckpointDir.isDefined
+    if (reliable) a0.checkpoint(false) else a0.localCheckpoint(false)
+  }
+
+  /** The capped pair pass over an already-materialized assigned frame:
+    * per-cell split depth from the collected `sizes` (integer shifts),
+    * (centroid → mask) broadcast-joined as a tiny frame (nlist grows with
+    * the corpus; a thousands-branch CASE falls out of codegen), pairs
+    * keyed on (cell, subcell). */
+  private def cappedPairsFromAssigned(assigned: DataFrame,
+                                      sizes: Array[(Int, Long)],
+                                      threshold: Double, targetCell: Int,
+                                      maxExtraBits: Int): DataFrame = {
+    val kOf: Map[Int, Int] = sizes.map { case (cid, n) =>
+      var k = 0
+      while (k < maxExtraBits && (n >> k) > targetCell) k += 1
+      cid -> k
+    }.toMap
+    val session = assigned.sparkSession
+    import session.implicits._
+    val masks = broadcast(kOf.toSeq
+      .map { case (cid, k) => (cid, (1L << k) - 1) }.toDF("centroid", "mask"))
+    val sub = assigned.join(masks, Seq("centroid"))
+      .withColumn("subcell", col("bits").bitwiseAND(col("mask")))
+    inCellPairs(sub, Seq("centroid", "subcell"), threshold)
+  }
+
+  /** Cell-size table of an assigned frame — O(nlist) rows, the same
+    * driver-bounded size class as the centroid table itself. Doubles as
+    * the family's routing telemetry: Σ n² over these rows is the
+    * uncapped form's candidate-pair volume. */
+  private def cellSizes(assigned: DataFrame): Array[(Int, Long)] =
+    assigned.groupBy("centroid").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
 
   /** [[semanticNearDupPairs]] with CAPPED cells — the 100 TB form.
     * Quantizer cells cannot subdivide a corpus's natural clusters:
@@ -203,39 +272,59 @@ object Similarity {
                                  centroids: Array[(Int, Array[Double])],
                                  threshold: Double, targetCell: Int = 1000,
                                  maxExtraBits: Int = 8): DataFrame = {
-    val dim = centroids.head._2.length
-    val assigned = IvfIndex.assign(df, vecCol, centroids)
-      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"), col("centroid"),
-        lshBucket(col(vecCol), maxExtraBits, dim, prefix = "cellplane").as("bits"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-    // per-cell split depth: the cell-size table is O(nlist) rows — the
-    // same driver-bounded size class as the centroid table itself
-    val sizes = assigned.groupBy("centroid").agg(count(lit(1)).as("n")).collect()
-    val kOf: Map[Int, Int] = sizes.map { r =>
-      val n = r.getLong(1)
-      var k = 0
-      while (k < maxExtraBits && (n >> k) > targetCell) k += 1
-      r.getInt(0) -> k
-    }.toMap
-    // (centroid → mask) as a broadcast-joined tiny frame, not a
-    // when-chain: nlist grows with the corpus, and a thousands-branch
-    // CASE would fall out of codegen
-    val session = df.sparkSession
-    import session.implicits._
-    val masks = broadcast(kOf.toSeq
-      .map { case (cid, k) => (cid, (1L << k) - 1) }.toDF("centroid", "mask"))
-    val sub = assigned.join(masks, Seq("centroid"))
-      .withColumn("subcell", col("bits").bitwiseAND(col("mask")))
-    val a = sub.select(col("centroid"), col("subcell"), col("id").as("id_a"),
-      col("v").as("va"), col("nrm").as("na"))
-    val b = sub.select(col("centroid"), col("subcell"), col("id").as("id_b"),
-      col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("centroid", "subcell"))
-      .where(col("id_a") < col("id_b"))
-      .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
-      .where(col("cos") >= threshold)
-      .select("id_a", "id_b", "cos", "centroid")
+    val assigned = assignedWithBits(df, idCol, vecCol, centroids, maxExtraBits)
+    cappedPairsFromAssigned(assigned, cellSizes(assigned),
+      threshold, targetCell, maxExtraBits)
   }
+
+  /** Auto-routed SemDeDup — the entry point callers should use (the
+    * d2→d2b / d4c / x9c pattern applied to vectors). The quantizer
+    * assignment runs once and is checkpointed; its O(nlist) cell-size
+    * table is BOTH the routing signal and (when the capped branch fires)
+    * the split-depth input, so routing costs nothing beyond what the
+    * capped form already paid:
+    *
+    *  - Σ|cell|² ≤ cellPairBudget → the uncapped in-cell pass
+    *    ([[semanticNearDupPairs]] semantics — exact within cells, the
+    *    lossless-within-cell form), straight off the checkpointed frame.
+    *  - above the budget → the capped form: the quadratic term is
+    *    unbounded on natural clusters (Σ|cell|² grew 9× for 3× corpus,
+    *    AnnScaleCheck V5 200k→600k) and the capped plan is the only one
+    *    whose cost tracks corpus size.
+    *
+    * The default budget sits inside the measured wall-clock crossover
+    * bracket (SemDedupAB, trained nlist=64, t=0.99: uncapped wins at
+    * Σ|cell|² = 3.4e8 / 200k vectors, capped wins at 3.05e9 / 600k —
+    * re-measured after the shared-assignment cut), at its geometric
+    * midpoint ≈ 1e9. Callers on clusters much wider than 32 cores can
+    * raise it — the uncapped arm parallelizes perfectly, the crossover
+    * is core-count-shaped.
+    *
+    * Cost note: the uncapped route pays the (unused) cellplane-bits
+    * projection inside the shared map pass — maxExtraBits·dim multiplies
+    * per row against the assignment's nlist·dim, ~12% at the default
+    * shape — the price of ONE checkpointed artifact serving both
+    * branches instead of a re-scan per branch. */
+  def semanticNearDupPairsAuto(df: DataFrame, idCol: String, vecCol: String,
+                               centroids: Array[(Int, Array[Double])],
+                               threshold: Double, targetCell: Int = 1000,
+                               maxExtraBits: Int = 8,
+                               cellPairBudget: Long = 1000000000L): DataFrame = {
+    val assigned = assignedWithBits(df, idCol, vecCol, centroids, maxExtraBits)
+    val sizes = cellSizes(assigned)
+    val cellPairVolume = sizes.map { case (_, n) => n * n }.sum
+    if (cellPairVolume <= cellPairBudget)
+      inCellPairs(assigned, Seq("centroid"), threshold)
+    else
+      cappedPairsFromAssigned(assigned, sizes, threshold, targetCell, maxExtraBits)
+  }
+
+  /** The route [[semanticNearDupPairsAuto]] takes for a given cell-size
+    * table — exposed for tests and telemetry. */
+  private[graft] def semanticRoute(sizes: Array[(Int, Long)],
+                                   cellPairBudget: Long = 1000000000L): String =
+    if (sizes.map { case (_, n) => n * n }.sum <= cellPairBudget) "uncapped"
+    else "capped"
 
   /** IVF (inverted-file) ANN index: a coarse quantizer of `nlist`
     * centroids trained with a few Lloyd iterations (deterministic seeding:

@@ -192,6 +192,34 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(capped.exists { case (a, b, c) => a == 9001L && b == 9002L && c >= 0.99 })
   }
 
+  test("semantic dedup auto: routes uncapped under the budget, capped above it, " +
+      "each branch identical to its standalone form") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 300)
+    val cents = Similarity.md5Centroids(4, 64)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // 300 vectors over 4 cells → Σ|cell|² ≤ 300² = 9e4, far under the
+    // default budget: the auto route must take the uncapped branch
+    val auto = rows(Similarity.semanticNearDupPairsAuto(
+      emb, "vec_id", "embedding", cents, 0.3))
+    val uncapped = rows(Similarity.semanticNearDupPairs(
+      emb, "vec_id", "embedding", cents, 0.3))
+    assert(auto == uncapped && auto.nonEmpty)
+    // a budget below this corpus's Σ|cell|² forces the capped branch —
+    // same rows as the standalone capped form at equal (target, bits)
+    val autoCapped = rows(Similarity.semanticNearDupPairsAuto(
+      emb, "vec_id", "embedding", cents, 0.3,
+      targetCell = 1, maxExtraBits = 8, cellPairBudget = 10))
+    val capped = rows(Similarity.semanticNearDupPairsCapped(
+      emb, "vec_id", "embedding", cents, 0.3, targetCell = 1, maxExtraBits = 8))
+    assert(autoCapped == capped)
+    assert(autoCapped != uncapped) // the forced split genuinely changed the result
+    // the route function itself, at both sides of the default budget
+    assert(Similarity.semanticRoute(Array(0 -> 300L)) == "uncapped")
+    assert(Similarity.semanticRoute(Array(0 -> 100000L)) == "capped")
+  }
+
   test("adaptive refinement: flooded buckets split instead of dropping pairs") {
     // 10 distinct 3-word subsets of a 5-word vocabulary, 4 copies each:
     // with ONE band of ONE minhash row, every doc keys on the min-hash of
