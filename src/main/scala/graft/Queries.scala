@@ -2555,12 +2555,17 @@ object Queries {
     * suite) prunes the shape's PREVIOUS sink eagerly — only the most
     * recent sink per shape stays alive for its lazy consumer, so a
     * repeat-running JVM holds O(shapes) sinks, not O(invocations)
-    * (r12 ADVICE). Contract: a caller must consume the returned frame
-    * before invoking the same query shape again. */
+    * (r12 ADVICE). Retention is TWO sinks deep per shape (r13 ADVICE):
+    * the contract is still "consume the returned frame before invoking
+    * the same shape again", but one overlap — two invocations in flight
+    * before the first frame is read, e.g. concurrent bench arms — now
+    * reads valid data instead of FileNotFoundException; only a third
+    * unconsumed invocation invalidates the first. Worst-case footprint
+    * stays O(shapes), at 2× the per-shape size. */
   private val tempSinkDirs =
     new java.util.concurrent.ConcurrentLinkedQueue[java.io.File]()
   private val tempSinkByPrefix =
-    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+    new java.util.concurrent.ConcurrentHashMap[String, List[java.io.File]]()
   private def rmTreeQuiet(f: java.io.File): Unit = {
     val cs = f.listFiles(); if (cs != null) cs.foreach(rmTreeQuiet); f.delete(); ()
   }
@@ -2573,8 +2578,13 @@ object Queries {
   private def tempSinkDir(prefix: String): java.nio.file.Path = {
     require(tempSinkHookInstalled)
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    val prev = tempSinkByPrefix.put(prefix, p.toFile)
-    if (prev != null) { tempSinkDirs.remove(prev); rmTreeQuiet(prev) }
+    val evicted = new java.util.concurrent.atomic.AtomicReference[List[java.io.File]](Nil)
+    tempSinkByPrefix.compute(prefix, (_, prev) => {
+      val kept = p.toFile :: (if (prev == null) Nil else prev).take(1)
+      evicted.set(if (prev == null) Nil else prev.drop(1))
+      kept
+    })
+    evicted.get().foreach { old => tempSinkDirs.remove(old); rmTreeQuiet(old) }
     tempSinkDirs.add(p.toFile)
     p
   }

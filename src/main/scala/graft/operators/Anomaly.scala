@@ -102,6 +102,36 @@ object Anomaly {
       .drop("qs")
   }
 
+  /** The mega-group escape hatch for [[fullStats]]: same schema, but
+    * quartiles via `approx_percentile` (Greenwald–Khanna summaries,
+    * bounded per-group state ≈ O(accuracy·log n) vs the exact
+    * aggregate's O(group) value buffer). Exact quartiles are the oracle
+    * contract for the reference-shaped corpus (max group: 1,032 offers);
+    * at open-corpus scale a single key can hold 10⁷+ rows and the exact
+    * buffer concentrates the whole group's values in one task. Trade-offs
+    * measured on a planted 10M-row mega-group at sf10 (see BENCH_NOTES
+    * round 14): the exact form survives but its buffer dominates the
+    * task; this form holds state bounded regardless of skew. q1/med/q3
+    * are approximate (rank error ≤ n/accuracy) and DISCRETE (an element
+    * of the group, not interpolated), so consumers gating on exact
+    * artifact parity must keep [[fullStats]]. */
+  def fullStatsApprox(df: DataFrame, keys: Seq[String], priceCol: String,
+                      accuracy: Int = 10000): DataFrame = {
+    val p = col(priceCol)
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_offers"),
+        sum(dec(p)).cast("double").as("s1x"),
+        sum(dec(p) * dec(p)).cast("double").as("s2x"),
+        min(p).as("min_p"),
+        max(p).as("max_p"),
+        approx_percentile(p, array(lit(0.25), lit(0.5), lit(0.75)),
+          lit(accuracy)).as("qs"))
+      .withColumn("q1", element_at(col("qs"), 1))
+      .withColumn("med", element_at(col("qs"), 2))
+      .withColumn("q3", element_at(col("qs"), 3))
+      .drop("qs")
+  }
+
   /** Join a moments-bearing stats frame (n_offers/s1x/s2x over `keys`,
     * e.g. [[momentStats]] or a [[fullStats]] projection) back onto the
     * rows and derive mean / sample-std (ddof=1) — matches pandas .std()

@@ -26,11 +26,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     fresh cell is left alone) before rethrowing (r12 ADVICE).
   *     [[computeCount]] therefore counts computations that ran to
   *     COMPLETION.
-  *   - Session-scoped: entries are keyed on the SparkSession INSTANCE
-  *     (reference identity — sessions don't define value equality) and
-  *     evicted when the session's SparkContext ends, so a long-lived JVM
-  *     cycling sessions cannot leak checkpointed frames or resurrect a
-  *     frame bound to a dead session.
+  *   - Session-scoped entries, CONTEXT-scoped eviction: entries are
+  *     keyed on the SparkSession INSTANCE (reference identity — sessions
+  *     don't define value equality); one listener per SparkContext
+  *     evicts every session of that context when the context stops, so a
+  *     JVM cycling whole contexts cannot leak checkpointed frames or
+  *     resurrect a frame bound to a dead context. A JVM cycling
+  *     `newSession()` clones over ONE long-lived context does accumulate
+  *     entries until that context stops (the frames stay readable — the
+  *     checkpoint blocks belong to the live context); such a caller
+  *     should evict explicitly ([[clear]]) between session generations.
+  *     (A weak-keyed map cannot fix this transparently: the memoized
+  *     DataFrame strongly references its session, so every entry's value
+  *     would pin its own key.)
   */
 private[graft] final class FrameMemo {
 
@@ -45,10 +53,13 @@ private[graft] final class FrameMemo {
 
   private val cells =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Cell]
-  // sessions whose context already carries our eviction listener
+  // contexts that already carry our eviction listener — keyed on the
+  // CONTEXT, not the session: onApplicationEnd is a context event, and a
+  // per-session listener would pile one bus entry per newSession() clone
+  // onto the shared context (r13 ADVICE)
   private val listening =
     java.util.Collections.newSetFromMap(
-      new java.util.concurrent.ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+      new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext, java.lang.Boolean]())
 
   def getOrCompute(sess: SparkSession, key: String)(thunk: => DataFrame): DataFrame = {
     evictOnStop(sess)
@@ -69,18 +80,26 @@ private[graft] final class FrameMemo {
     * computation, not reuse). */
   def clear(): Unit = cells.clear()
 
-  /** Drop one session's entries — called by the application-end listener;
-    * package-private so specs can exercise eviction without stopping a
-    * shared test context. */
+  /** Drop one session's entries — package-private so specs can exercise
+    * eviction without stopping a shared test context. */
   private[graft] def evictSession(sess: SparkSession): Unit = {
     cells.keys.filter(_._1 eq sess).foreach(cells.remove)
-    listening.remove(sess); ()
+    ()
   }
 
-  private def evictOnStop(sess: SparkSession): Unit =
-    if (listening.add(sess))
-      sess.sparkContext.addSparkListener(new SparkListener {
+  /** Drop every entry whose session rides `sc` — the application-end
+    * listener's action, covering newSession() clones too. */
+  private[graft] def evictContext(sc: org.apache.spark.SparkContext): Unit = {
+    cells.keys.filter(_._1.sparkContext eq sc).foreach(cells.remove)
+    listening.remove(sc); ()
+  }
+
+  private def evictOnStop(sess: SparkSession): Unit = {
+    val sc = sess.sparkContext
+    if (listening.add(sc))
+      sc.addSparkListener(new SparkListener {
         override def onApplicationEnd(e: SparkListenerApplicationEnd): Unit =
-          evictSession(sess)
+          evictContext(sc)
       })
+  }
 }

@@ -61,18 +61,35 @@ object GroupStats {
             cacheDir: Option[String] = sys.env.get("SPARK_GRAFT_STATS_CACHE"))
   : DataFrame = {
     val sess = df.sparkSession
-    memo.getOrCompute(sess, fullKey(corpusKey, keys, priceCol)) {
+    // Mega-group escape hatch: `SPARK_GRAFT_APPROX_QUANTILES=<accuracy>`
+    // (or the same JVM property) swaps the exact per-group quartile
+    // buffers for approx_percentile's bounded summaries — for corpora
+    // where a single group can hold 10⁷+ values and the exact buffer
+    // concentrates one group's entire value set in one task (measured on
+    // a planted 10M-row mega-group; BENCH_NOTES round 14). Exact is the
+    // default: it is the reference artifacts' contract, and the
+    // approx tier's quartiles are discrete + rank-bounded, not equal.
+    // The cache key carries the tier so the two never alias.
+    val approx = sys.env.get("SPARK_GRAFT_APPROX_QUANTILES")
+      .orElse(Option(System.getProperty("graft.approxQuantiles"))).map(_.toInt)
+    val tierKey = fullKey(corpusKey, keys, priceCol) +
+      approx.map(a => s"|approx=$a").getOrElse("")
+    def stats(): DataFrame = approx match {
+      case Some(acc) => Anomaly.fullStatsApprox(df, keys, priceCol, acc)
+      case None => Anomaly.fullStats(df, keys, priceCol)
+    }
+    memo.getOrCompute(sess, tierKey) {
       cacheDir match {
         case Some(root) =>
           // one column-pruned scan for the staleness check (the cheapest
           // column — the first grouping key)
           val nRows = df.select(keys.head).count()
           FrameDiskCache.loadOrCompute(sess, root,
-            fullKey(corpusKey, keys, priceCol), nRows, "stats.parquet") {
-            Anomaly.fullStats(df, keys, priceCol)
+            tierKey, nRows, "stats.parquet") {
+            stats()
           }
         case None =>
-          Anomaly.fullStats(df, keys, priceCol).localCheckpoint(false)
+          stats().localCheckpoint(false)
       }
     }
   }
@@ -89,7 +106,13 @@ object GroupStats {
               corpusKey: String): DataFrame = {
     val sess = df.sparkSession
     memo.getOrCompute(sess, momentsKey(corpusKey, keys, priceCol)) {
-      memo.peek(sess, fullKey(corpusKey, keys, priceCol)) match {
+      // either tier projects: the moment columns are the same exact
+      // decimal sums whether the quartiles beside them were exact or not
+      val approxKey = sys.env.get("SPARK_GRAFT_APPROX_QUANTILES")
+        .orElse(Option(System.getProperty("graft.approxQuantiles")))
+        .map(a => fullKey(corpusKey, keys, priceCol) + s"|approx=${a.toInt}")
+      memo.peek(sess, fullKey(corpusKey, keys, priceCol))
+        .orElse(approxKey.flatMap(memo.peek(sess, _))) match {
         case Some(full) =>
           full.select((keys ++ Seq("n_offers", "s1x", "s2x")).map(
             org.apache.spark.sql.functions.col): _*)

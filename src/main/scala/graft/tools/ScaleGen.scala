@@ -230,7 +230,14 @@ object ScaleGen extends Serializable {
     }.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
       "o_orderpriority"), "orders")
 
-    // lineitem: 1..7 lines per order (avg ~4), FKs within the scaled dims
+    // lineitem: 1..7 lines per order (avg ~4), FKs within the scaled dims.
+    // SPARK_GRAFT_LINEITEM_SKEW=<frac>: mega-group skew mode — each line
+    // re-points its l_partkey to key 0 with probability <frac> (an
+    // independent post-draw, so every other column keeps the unskewed
+    // corpus's exact values). frac=0.17 at sf10 plants a ~10M-row group
+    // among 60M lines — the stress fixture for the anomaly family's
+    // exact per-group quantile buffers (r13 verdict item 3).
+    val skewFrac = sys.env.get("SPARK_GRAFT_LINEITEM_SKEW").map(_.toDouble).getOrElse(0.0)
     if (wanted("lineitem")) write(spark.range(0, nOrders, 1, par).flatMap { id =>
       val r = rngFor(5, id)
       // replay orders' draw sequence so l_shipdate really follows THIS
@@ -240,7 +247,11 @@ object ScaleGen extends Serializable {
       val orderDate = epoch1995 + or.nextInt(orderSpanDays).toLong * 86400000L
       val nLines = 1 + r.nextInt(7)
       (1 to nLines).map { ln =>
-        (id, math.abs(r.nextLong()) % nPart, math.abs(r.nextLong()) % nSupplier, ln,
+        val partDraw = math.abs(r.nextLong()) % nPart
+        val part =
+          if (skewFrac > 0 && rngFor(9, id * 8 + ln).nextDouble() < skewFrac) 0L
+          else partDraw
+        (id, part, math.abs(r.nextLong()) % nSupplier, ln,
           (1 + r.nextInt(50)).toDouble,
           round2(900.0 + r.nextDouble() * 104100.0),
           r.nextInt(11) / 100.0, r.nextInt(9) / 100.0,

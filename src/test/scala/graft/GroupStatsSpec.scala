@@ -137,6 +137,58 @@ class GroupStatsSpec extends SparkSuite {
     assert(scala.io.Source.fromFile(manifest).mkString != stamp1)
   }
 
+  test("fullStatsApprox: identical moments/extrema, discrete in-group " +
+      "quartiles — the mega-group escape hatch's contract") {
+    val exact = Anomaly.fullStats(offers(), Seq("k"), "price")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val approx = Anomaly.fullStatsApprox(offers(), Seq("k"), "price")
+    val vals = offers().collect()
+      .groupBy(_.getAs[String]("k")).view.mapValues(_.map(_.getDouble(1)).toSet)
+    approx.collect().foreach { r =>
+      val e = exact(r.getAs[String]("k"))
+      for (c <- Seq("n_offers")) assert(r.getAs[Long](c) == e.getAs[Long](c))
+      for (c <- Seq("s1x", "s2x", "min_p", "max_p"))
+        assert(r.getAs[Double](c) == e.getAs[Double](c), c)
+      val group = vals(r.getAs[String]("k"))
+      for (c <- Seq("q1", "med", "q3")) {
+        val v = r.getAs[Double](c)
+        assert(group.contains(v), s"$c=$v not an element of the group")
+        assert(v >= e.getAs[Double]("min_p") && v <= e.getAs[Double]("max_p"))
+      }
+    }
+  }
+
+  test("approx-quantile escape hatch: graft.approxQuantiles routes the " +
+      "table to the approx tier under its own cache key") {
+    GroupStats.clearInProcess()
+    val exactT = GroupStats.table(offers(), Seq("k"), "price", "test#hatch")
+    System.setProperty("graft.approxQuantiles", "1000")
+    try {
+      val approxT = GroupStats.table(offers(), Seq("k"), "price", "test#hatch")
+      assert(!(approxT eq exactT), "tiers must not alias in the memo")
+      // approx quartiles are discrete elements; exact ones interpolate —
+      // group a (100,200,300,600) has exact q1=175, approx ∈ group
+      val aRow = approxT.where(col("k") === "a").collect()(0)
+      assert(Set(100.0, 200.0, 300.0, 600.0).contains(aRow.getAs[Double]("q1")))
+      // the moments tier may project from EITHER tier — values identical
+      val m = GroupStats.moments(offers(), Seq("k"), "price", "test#hatch")
+      val direct = Anomaly.momentStats(offers(), Seq("k"), "price")
+        .collect().map(_.toSeq).toSet
+      assert(m.collect().map(_.toSeq).toSet == direct)
+    } finally System.clearProperty("graft.approxQuantiles")
+  }
+
+  test("FrameMemo context-stop eviction covers newSession() clones") {
+    val memo = new FrameMemo
+    val clone = spark.newSession()
+    val a = memo.getOrCompute(spark, "ctx")(offers())
+    val b = memo.getOrCompute(clone, "ctx")(offers().limit(2))
+    assert(!(a eq b), "entries are session-scoped")
+    memo.evictContext(spark.sparkContext)
+    // both the parent's and the clone's entries are gone
+    assert(memo.peek(spark, "ctx").isEmpty && memo.peek(clone, "ctx").isEmpty)
+  }
+
   test("FrameMemo never caches a poisoned cell: a throwing thunk is " +
       "evicted and the next call recomputes") {
     val memo = new FrameMemo
