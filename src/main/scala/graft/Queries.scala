@@ -1978,6 +1978,39 @@ object Queries {
       |SELECT l_partkey, count(*) AS n_outliers FROM f
       |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
 
+  /** Z6b (IQR rule, approx-quantile tier) — the mega-group escape hatch
+    * as a first-class entry: same fences, but quartiles from
+    * [[Anomaly.fullStatsApprox]]'s bounded Greenwald–Khanna summaries
+    * instead of the exact per-group value buffer. At oracle scale the
+    * summaries are exact and DISCRETE — `approx_percentile` selects the
+    * order statistic at rank ⌈q·n⌉, which is DuckDB's `quantile_disc` —
+    * so the twin gates the discrete-quantile semantics, not an
+    * approximation band. The approximation only enters past ~`accuracy`
+    * values per group, where the exact buffer is the thing that breaks
+    * (planted 10M-row mega-group measurement, BENCH_NOTES round 14). */
+  def z6bIqrApprox(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    Anomaly.iqrAnomaliesFrom(li,
+        Anomaly.fullStatsApprox(li, Seq("l_partkey"), "l_extendedprice"),
+        Seq("l_partkey"), "l_extendedprice", k = 1.5, minGroupSize = 3)
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_outliers"))
+      .sortSmall("l_partkey")
+  }
+
+  val z6bSql: String =
+    """WITH q AS (
+      |  SELECT l_partkey AS pk, count(*) AS n,
+      |    quantile_disc(l_extendedprice, 0.25) AS q1,
+      |    quantile_disc(l_extendedprice, 0.75) AS q3
+      |  FROM lineitem GROUP BY l_partkey HAVING count(*) >= 3),
+      |f AS (
+      |  SELECT l_partkey FROM lineitem JOIN q ON l_partkey = q.pk
+      |  WHERE l_extendedprice < q1 - 1.5 * (q3 - q1)
+      |     OR l_extendedprice > q3 + 1.5 * (q3 - q1))
+      |SELECT l_partkey, count(*) AS n_outliers FROM f
+      |GROUP BY l_partkey ORDER BY l_partkey""".stripMargin
+
   // ---------------------------------------------------------------------
   // LLM-data-pipeline operators over documents / embeddings
   // ---------------------------------------------------------------------
@@ -4333,6 +4366,7 @@ object Queries {
     "z3_zscore_anomalies" -> z3ZscoreAnomalies,
     "z5_anomaly_summary" -> z5AnomalySummary,
     "z6_iqr_outliers" -> z6IqrOutliers,
+    "z6b_iqr_approx" -> z6bIqrApprox,
     "d1_dedup_exact" -> d1DedupExact,
     "d2_minhash_neardup" -> d2MinhashNearDup,
     "d2b_neardup_adaptive" -> d2bNeardupAdaptive,
@@ -4438,6 +4472,7 @@ object Queries {
     "z3_zscore_anomalies" -> z3Sql,
     "z5_anomaly_summary" -> z5Sql,
     "z6_iqr_outliers" -> z6Sql,
+    "z6b_iqr_approx" -> z6bSql,
     "d1_dedup_exact" -> d1Sql,
     "d2_minhash_neardup" -> d2Sql,
     "d2b_neardup_adaptive" -> d2Sql,

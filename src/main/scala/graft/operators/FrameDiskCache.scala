@@ -30,26 +30,37 @@ private[graft] object FrameDiskCache {
     * (key + corpusRows); otherwise run `compute`, persist, commit the
     * manifest, and return the read-back frame (so the caller's lineage
     * is the parquet scan either way). */
-  def loadOrCompute(sess: SparkSession, root: String, key: String,
-                    corpusRows: Long, dataName: String)
-                   (compute: => DataFrame): DataFrame = {
-    val hash = java.security.MessageDigest.getInstance("MD5")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val dir = new Path(root, hash)
+  /** Load-only: the artifact for `key` if a committed, key- and
+    * row-count-matching manifest exists; None otherwise (never computes).
+    * Lets a DERIVED tier serve itself as a projection of a richer
+    * persisted artifact — e.g. the moments tier off a full stats table
+    * another process materialized — without adopting the richer tier's
+    * compute obligation on a miss. */
+  def load(sess: SparkSession, root: String, key: String,
+           corpusRows: Long, dataName: String): Option[DataFrame] = {
+    val dir = new Path(root, md5(key))
     val fs = dir.getFileSystem(sess.sparkContext.hadoopConfiguration)
     val manifestPath = new Path(dir, "manifest.json")
     val dataPath = new Path(dir, dataName)
-    val cached: Option[DataFrame] =
-      if (fs.exists(manifestPath) && fs.exists(dataPath)) {
-        val in = fs.open(manifestPath)
-        val manifest = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-        val keyOk = manifest.contains("\"key\":" + quote(key))
-        val countOk = manifest.contains(s""""corpus_rows":$corpusRows,""")
-        if (keyOk && countOk) Some(sess.read.parquet(dataPath.toString))
-        else None // md5 collision or stale snapshot: recompute below
-      } else None
-    cached.getOrElse {
+    if (fs.exists(manifestPath) && fs.exists(dataPath)) {
+      val in = fs.open(manifestPath)
+      val manifest = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      val keyOk = manifest.contains("\"key\":" + quote(key))
+      val countOk = manifest.contains(s""""corpus_rows":$corpusRows,""")
+      if (keyOk && countOk) Some(sess.read.parquet(dataPath.toString))
+      else None // md5 collision or stale snapshot
+    } else None
+  }
+
+  def loadOrCompute(sess: SparkSession, root: String, key: String,
+                    corpusRows: Long, dataName: String)
+                   (compute: => DataFrame): DataFrame = {
+    val dir = new Path(root, md5(key))
+    val fs = dir.getFileSystem(sess.sparkContext.hadoopConfiguration)
+    val manifestPath = new Path(dir, "manifest.json")
+    val dataPath = new Path(dir, dataName)
+    load(sess, root, key, corpusRows, dataName).getOrElse {
       compute.write.mode("overwrite").parquet(dataPath.toString)
       // manifest LAST and atomically (temp + rename): its presence is the
       // commit marker a concurrent reader keys on — never visible over a
@@ -67,6 +78,10 @@ private[graft] object FrameDiskCache {
       sess.read.parquet(dataPath.toString)
     }
   }
+
+  private def md5(key: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
   private def quote(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""

@@ -103,21 +103,39 @@ object GroupStats {
     * quantile buffers it doesn't read, while a family run shares one
     * corpus pass end to end. */
   def moments(df: DataFrame, keys: Seq[String], priceCol: String,
-              corpusKey: String): DataFrame = {
+              corpusKey: String,
+              cacheDir: Option[String] = sys.env.get("SPARK_GRAFT_STATS_CACHE"))
+  : DataFrame = {
     val sess = df.sparkSession
     memo.getOrCompute(sess, momentsKey(corpusKey, keys, priceCol)) {
       // either tier projects: the moment columns are the same exact
       // decimal sums whether the quartiles beside them were exact or not
+      val exactKey = fullKey(corpusKey, keys, priceCol)
       val approxKey = sys.env.get("SPARK_GRAFT_APPROX_QUANTILES")
         .orElse(Option(System.getProperty("graft.approxQuantiles")))
-        .map(a => fullKey(corpusKey, keys, priceCol) + s"|approx=${a.toInt}")
-      memo.peek(sess, fullKey(corpusKey, keys, priceCol))
-        .orElse(approxKey.flatMap(memo.peek(sess, _))) match {
-        case Some(full) =>
-          full.select((keys ++ Seq("n_offers", "s1x", "s2x")).map(
-            org.apache.spark.sql.functions.col): _*)
+        .map(a => exactKey + s"|approx=${a.toInt}")
+      val tierKeys = exactKey +: approxKey.toSeq
+      def project(full: DataFrame): DataFrame =
+        full.select((keys ++ Seq("n_offers", "s1x", "s2x")).map(
+          org.apache.spark.sql.functions.col): _*)
+      tierKeys.view.flatMap(memo.peek(sess, _)).headOption match {
+        case Some(full) => project(full)
         case None =>
-          Anomaly.momentStats(df, keys, priceCol).localCheckpoint(false)
+          // cross-process: a full-tier artifact persisted by an EARLIER
+          // process serves the moments as an O(groups) projection — the
+          // reference's separate z-score run consuming the stats table
+          // the first run built. Price on a hit: the one-column
+          // staleness count (same as table()'s) instead of the corpus
+          // aggregation; on a miss with cacheDir set, the count is the
+          // overhead, and the moments-only aggregation is NOT persisted
+          // (the FULL table is the family's one disk artifact).
+          val fromDisk = cacheDir.flatMap { root =>
+            val nRows = df.select(keys.head).count()
+            tierKeys.view.flatMap(k =>
+              FrameDiskCache.load(sess, root, k, nRows, "stats.parquet")).headOption
+          }
+          fromDisk.map(project).getOrElse(
+            Anomaly.momentStats(df, keys, priceCol).localCheckpoint(false))
       }
     }
   }

@@ -46,14 +46,22 @@ object SkewStatsProbe {
       ((System.nanoTime() - t0) / 1e9, r)
     }
 
-    // force each tier with a full materialization (noop-equivalent: count
-    // over the stats rows is O(groups), the aggregation is the cost)
+    // force each tier by checksumming EVERY stat column — a bare count()
+    // over the aggregated frame lets Catalyst prune the quantile
+    // aggregate expressions (unused columns), timing an aggregation that
+    // never built the buffers under test
+    def force(df: org.apache.spark.sql.DataFrame): Long = {
+      val cols = df.columns.map(col)
+      df.select(xxhash64(cols: _*).as("h"))
+        .agg(count(lit(1)), sum(col("h").cast("decimal(38,0)")))
+        .collect()(0).getLong(0)
+    }
     val (tExact, rExact) = timed(
-      Anomaly.fullStats(li, Seq("l_partkey"), "l_extendedprice").count())
+      force(Anomaly.fullStats(li, Seq("l_partkey"), "l_extendedprice")))
     val (tApprox, rApprox) = timed(
-      Anomaly.fullStatsApprox(li, Seq("l_partkey"), "l_extendedprice", accuracy).count())
+      force(Anomaly.fullStatsApprox(li, Seq("l_partkey"), "l_extendedprice", accuracy)))
     val (tMoments, _) = timed(
-      Anomaly.momentStats(li, Seq("l_partkey"), "l_extendedprice").count())
+      force(Anomaly.momentStats(li, Seq("l_partkey"), "l_extendedprice")))
 
     // quartile error on the mega-group (key 0), exact vs approx, if both
     // tiers survived — relative error in value space, where the IQR

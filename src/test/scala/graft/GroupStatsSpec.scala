@@ -137,6 +137,35 @@ class GroupStatsSpec extends SparkSuite {
     assert(scala.io.Source.fromFile(manifest).mkString != stamp1)
   }
 
+  test("moments tier consumes a persisted full-table artifact across " +
+      "processes: O(groups) projection instead of a corpus aggregation") {
+    val root = tempDir("groupstats-moments")
+    GroupStats.clearInProcess()
+    GroupStats.table(offers(), Seq("k"), "price", "test#mdisk",
+      cacheDir = Some(root))
+    // simulate the reference's SECOND anomaly process: in-process memo
+    // gone, disk artifact present
+    GroupStats.clearInProcess()
+    val m = GroupStats.moments(offers(), Seq("k"), "price", "test#mdisk",
+      cacheDir = Some(root))
+    assert(m.columns.toSeq == Seq("k", "n_offers", "s1x", "s2x"))
+    // served from the artifact: the plan is a projection over a parquet
+    // relation with the FULL table's columns (the compute fallback would
+    // be a checkpointed LogicalRDD with no quantile columns anywhere)
+    assert(m.queryExecution.optimizedPlan.toString.contains("parquet") &&
+      m.queryExecution.optimizedPlan.toString.contains("q3"),
+      "moments must project the persisted stats table")
+    val direct = Anomaly.momentStats(offers(), Seq("k"), "price")
+      .collect().map(_.toSeq).toSet
+    assert(m.collect().map(_.toSeq).toSet == direct)
+    // absent artifact AND absent full tier → plain moments aggregation
+    GroupStats.clearInProcess()
+    val alone = GroupStats.moments(offers(), Seq("k"), "price", "test#mdisk2",
+      cacheDir = Some(root))
+    assert(!alone.queryExecution.optimizedPlan.toString.contains("parquet"))
+    assert(alone.collect().map(_.toSeq).toSet == direct)
+  }
+
   test("fullStatsApprox: identical moments/extrema, discrete in-group " +
       "quartiles — the mega-group escape hatch's contract") {
     val exact = Anomaly.fullStats(offers(), Seq("k"), "price")
@@ -155,6 +184,26 @@ class GroupStatsSpec extends SparkSuite {
         assert(group.contains(v), s"$c=$v not an element of the group")
         assert(v >= e.getAs[Double]("min_p") && v <= e.getAs[Double]("max_p"))
       }
+    }
+  }
+
+  test("approx_percentile at oracle scale IS the ceil(q*n) order " +
+      "statistic — DuckDB quantile_disc, the z6b twin's contract") {
+    // group sizes 2..5 cover every rank-rounding edge at q=0.25/0.5/0.75
+    val groups = Seq(
+      "g4" -> Seq(100.0, 200.0, 300.0, 600.0),
+      "g2" -> Seq(10.0, 20.0),
+      "g5" -> Seq(1.0, 2.0, 3.0, 4.0, 5.0),
+      "g3" -> Seq(1.0, 2.0, 3.0))
+    val df = groups.flatMap { case (k, vs) => vs.map(k -> _) }.toDF("k", "p")
+    val got = Anomaly.fullStatsApprox(df, Seq("k"), "p")
+      .select("k", "q1", "med", "q3").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    groups.foreach { case (k, vs) =>
+      val sorted = vs.sorted
+      def disc(q: Double) = sorted(math.ceil(q * sorted.size).toInt - 1)
+      assert(got(k) == ((disc(0.25), disc(0.5), disc(0.75))), k)
     }
   }
 
