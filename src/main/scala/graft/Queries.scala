@@ -2412,14 +2412,17 @@ object Queries {
 
   /** D11b — SemDeDup with CAPPED cells, the 100 TB form of d11: cells
     * larger than targetCell are subdivided by sign bits of an
-    * independent md5-derived hyperplane family before the in-cell pair
+    * independent md5-derived hyperplane family CENTERED on the assigned
+    * cell's centroid (origin planes measurably fail to bisect off-origin
+    * clusters — SubcellProbe, BENCH_NOTES r14) before the in-cell pair
     * pass, bounding Σ|cell|² where natural clusters would make it
     * quadratic (AnnScaleCheck V5 measured 3.4e8 candidate pairs from 64
     * cells at 200k vectors). targetCell=64 over this fixture's
     * ~125-vector cells makes the split rule genuinely fire, so the
     * oracle (which mirrors cell sizes, the shift-based depth rule, the
-    * cellplane bits and the subcell equality exactly) verifies the
-    * capped semantics, not a no-op. */
+    * per-(cell,plane) centering offsets, the cellplane bits and the
+    * subcell equality exactly) verifies the capped semantics, not a
+    * no-op. */
   def d11bSemanticDedupCapped(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.semanticNearDupPairsCapped(
         t(s, dir, "embeddings").where(col("vec_id") < 1000), "vec_id", "embedding",
@@ -2450,9 +2453,14 @@ object Queries {
        |  SELECT p, d, CAST($h8p AS DOUBLE) / 4294967296.0 * 2 - 1 AS w
        |  FROM range(3) pr(p), range(64) dr(d)),
        |cpl AS (SELECT p, list(w ORDER BY d) AS wl FROM cpw GROUP BY p),
+       |co AS (
+       |  SELECT pl.c AS cid, cpl.p AS p, ${dotProd.format("cpl.wl", "pl.wl")} AS off
+       |  FROM pl, cpl),
        |bits AS (
-       |  SELECT vec_id, CAST(SUM(CASE WHEN ${dotProd.format("cv", "wl")} >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END) AS BIGINT) AS b
-       |  FROM c0, cpl GROUP BY vec_id),
+       |  SELECT a.vec_id, CAST(SUM(CASE WHEN ${dotProd.format("cv", "cpl.wl")} >= co.off THEN (CAST(1 AS BIGINT) << cpl.p) ELSE 0 END) AS BIGINT) AS b
+       |  FROM asn a JOIN c0 ON c0.vec_id = a.vec_id
+       |  CROSS JOIN cpl JOIN co ON co.cid = a.cid AND co.p = cpl.p
+       |  GROUP BY a.vec_id),
        |cells AS (SELECT cid, count(*) AS n FROM asn GROUP BY cid),
        |kk AS (
        |  SELECT cid, COALESCE(MIN(CASE WHEN (n >> i) <= 64 THEN i END), 3) AS k

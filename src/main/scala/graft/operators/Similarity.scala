@@ -199,15 +199,48 @@ object Similarity {
     * dir → RELIABLE checkpoint (survives executor loss — the right mode
     * for a long 100 TB run); otherwise executor-local localCheckpoint.
     * Storage is O(corpus/cluster-width) per executor, freed by the
-    * context cleaner when the query's RDDs go out of scope. */
+    * context cleaner when the query's RDDs go out of scope.
+    *
+    * The split bits are signs of projections CENTERED ON THE CELL: bit p
+    * of vector v in cell c is sign(v·h_p − centroid_c·h_p), i.e. which
+    * side of a hyperplane THROUGH THE CELL CENTROID v falls on. A plane
+    * through the origin does not bisect a cell — a quantizer cell is a
+    * natural cluster centered far off origin, so the whole cell lands on
+    * one side of most global planes and the "split" bits are
+    * near-constant within exactly the cells that need splitting
+    * (measured at 600k vectors, SubcellProbe r14: origin planes left
+    * Σ|subcell|² at 3.85e9 of the 6.10e9 unsplit volume with a 12.6k max
+    * subcell off a 19.5k max cell; centering the same planes cut it to
+    * 4.47e8 with a 1.3k max subcell ≈ targetCell). The per-(cell, plane)
+    * offset table is O(nlist·maxExtraBits) doubles, computed on the
+    * driver from the centroid table and broadcast-joined. */
   private def assignedWithBits(df: DataFrame, idCol: String, vecCol: String,
                                centroids: Array[(Int, Array[Double])],
                                maxExtraBits: Int): DataFrame = {
     val dim = centroids.head._2.length
-    val a0 = IvfIndex.assign(df, vecCol, centroids)
-      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"), col("centroid"),
-        lshBucket(col(vecCol), maxExtraBits, dim, prefix = "cellplane").as("bits"))
-      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val base = IvfIndex.assign(df, vecCol, centroids)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"), col("centroid"))
+    val withBits =
+      if (maxExtraBits == 0) base.withColumn("bits", lit(0L))
+      else {
+        val planeW = Array.tabulate(maxExtraBits, dim)(
+          (p, d) => md5Weight("cellplane", p, d))
+        // ordered left-to-right fold over d, matching the oracle's
+        // list_reduce over d-ordered lists bit for bit
+        val offs = centroids.map { case (cid, cv) =>
+          (cid, planeW.map(pl => pl.zip(cv).map { case (w, x) => w * x }.sum).toSeq)
+        }.toSeq
+        val session = df.sparkSession
+        import session.implicits._
+        val offsDf = broadcast(offs.toDF("centroid", "cp_offs"))
+        val bits = (0 until maxExtraBits).map { p =>
+          when(dot(col("v"), array(planeW(p).map(lit): _*)) >=
+                 element_at(col("cp_offs"), p + 1),
+            lit(1L << p)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        base.join(offsDf, Seq("centroid")).withColumn("bits", bits).drop("cp_offs")
+      }
+    val a0 = withBits.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val reliable = df.sparkSession.sparkContext.getCheckpointDir.isDefined
     if (reliable) a0.checkpoint(false) else a0.localCheckpoint(false)
   }
@@ -251,23 +284,29 @@ object Similarity {
     * cluster size. This variant applies the text path's flooded-bucket
     * discipline (Dedup.refineBuckets) to vectors: any cell larger than
     * `targetCell` is subdivided by the low k sign bits of an independent
-    * hyperplane family ("cellplane"), k chosen per cell as the smallest
+    * hyperplane family ("cellplane") CENTERED on the cell's centroid
+    * (see [[assignedWithBits]] — planes through the origin measurably do
+    * not bisect off-origin clusters), k chosen per cell as the smallest
     * count with (|cell| >> k) ≤ targetCell (pure integer shifts — no
     * float-log boundary ambiguity, and the identical rule is
     * expressible in the external SQL oracle), capped at `maxExtraBits`.
     *
     * Recall semantics: a pair survives iff its members agree on the
-    * cell AND on the k sign bits. Near-duplicate pairs (the operator's
-    * purpose — high threshold) have near-identical projections, so
-    * their sign bits agree unless a projection sits within the noise of
-    * zero: planted +0.001-noise dups measure recall 1.0 and the cap is
-    * the price of bounded work for MODERATE-cosine pairs (which sign
-    * bits split with probability ∝ their angle). Use the uncapped form
-    * when the threshold is low and the corpus is bounded; this form
-    * when cells are cluster-sized. Like refineBuckets, a sub-cluster
-    * tighter than the bit resolution stays big (exact-dup point masses
-    * never split) — such pairs are still emitted; the cap bounds
-    * EXPECTED work, not the adversarial worst case. */
+    * cell AND on the k centered sign bits. A centered plane separates a
+    * near-dup pair (a, b) with probability ∝ the angle between (a −
+    * centroid) and (b − centroid) — small for high-threshold pairs
+    * whose separation is tiny against the within-cell spread, but not
+    * zero (unlike origin planes, whose within-cell split probability
+    * was near zero precisely because they don't split cells at all):
+    * planted 0.999+-cosine dups measure recall 0.987 at 200k vectors
+    * (AnnScaleCheck V3b; −0.5pp vs origin planes, re-verified per
+    * round at each corpus size). The cap is the price
+    * of bounded work: use the uncapped form when the threshold is low
+    * and the corpus is bounded; this form when cells are cluster-sized.
+    * Like refineBuckets, a sub-cluster tighter than the bit resolution
+    * stays big (exact-dup point masses never split) — such pairs are
+    * still emitted; the cap bounds EXPECTED work, not the adversarial
+    * worst case. */
   def semanticNearDupPairsCapped(df: DataFrame, idCol: String, vecCol: String,
                                  centroids: Array[(Int, Array[Double])],
                                  threshold: Double, targetCell: Int = 1000,
