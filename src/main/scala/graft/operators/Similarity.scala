@@ -331,13 +331,18 @@ object Similarity {
     *    AnnScaleCheck V5 200k→600k) and the capped plan is the only one
     *    whose cost tracks corpus size.
     *
-    * The default budget sits inside the measured wall-clock crossover
-    * bracket (SemDedupAB, trained nlist=64, t=0.99: uncapped wins at
-    * Σ|cell|² = 3.4e8 / 200k vectors, capped wins at 3.05e9 / 600k —
-    * re-measured after the shared-assignment cut), at its geometric
-    * midpoint ≈ 1e9. Callers on clusters much wider than 32 cores can
-    * raise it — the uncapped arm parallelizes perfectly, the crossover
-    * is core-count-shaped.
+    * With the cell-CENTERED split planes the capped arm is also the
+    * faster arm at every measured size (SemDedupAB r14, trained
+    * nlist=64, t=0.99: 15.4 vs 32.9 s at 200k, 42.8 vs 227.3 s at 600k,
+    * measured exponent ≈0.93 vs ≈1.7), so the budget no longer marks a
+    * wall-clock crossover — it prices LOSSLESSNESS: below it the
+    * uncapped pass is exact within cells at bounded cost (≤ budget
+    * candidate pairs, ~30 s at 1e9 on 32 cores) and keeps the ~1%
+    * of within-cell pairs the split bits drop (11550 vs 11399 at 600k);
+    * above it that exactness would cost unboundedly more than the
+    * capped arm, and the capped recall (0.987 planted, AnnScaleCheck
+    * V3b) is the honest trade. Raise the budget to buy exactness on
+    * wider clusters — the uncapped arm parallelizes perfectly.
     *
     * Cost note: the uncapped route pays the (unused) cellplane-bits
     * projection inside the shared map pass — maxExtraBits·dim multiplies
