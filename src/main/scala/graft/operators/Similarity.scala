@@ -133,7 +133,16 @@ object Similarity {
     * exactly ONE mask (masks are distinct, each vector has one bucket) —
     * no dedup pass. Work is Σ_bucket |bucket|², never n²; pairs in buckets
     * differing by more bits are missed (recall tunable via
-    * numPlanes/probeBits, asserted in DedupSimilaritySpec). */
+    * numPlanes/probeBits, asserted in DedupSimilaritySpec).
+    *
+    * Clustered-corpus caveat: global hyperplanes cannot split a natural
+    * cluster (it lands on one side of most planes — the same defect
+    * SubcellProbe measured for the SemDeDup cellplanes, BENCH_NOTES
+    * r14), so Σ|bucket|² tracks Σ|cluster|² as the corpus grows
+    * (AnnScaleCheck V5: lsh16 max bucket 4.8k→27.9k at 200k→1.2M
+    * vectors). On corpora with cluster structure prefer
+    * [[semanticNearDupPairsAuto]], whose quantizer-cell split planes are
+    * centered per cell and keep subcells bounded. */
   def cosineNearDupLshPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, numPlanes: Int, dim: Int,
                             probeBits: Int = 2): DataFrame = {
