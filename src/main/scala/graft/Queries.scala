@@ -2498,6 +2498,28 @@ object Queries {
       .withColumn("centroid", col("centroid").cast("long"))
       .sortSmall("id_a", "id_b")
 
+  /** D11d — the capped SemDeDup with Hamming-≤1 subcell MULTI-PROBE
+    * (probeSplitBits = 1): pairs split by exactly one of a cell's split
+    * planes are recovered by probing each single-bit flip of the
+    * subcell key (the d7b mask argument applied to subcells — each pair
+    * matches exactly one flip, no dedup pass). Same fixture as d11b so
+    * the splits genuinely fire; the oracle relaxes d11b's subcell
+    * equality to bit_count(xor(bits_a, bits_b) & mask) ≤ 1, verifying
+    * the probe semantics end to end. Output strictly between d11b's
+    * (capped) and d11's (uncapped within cells). */
+  def d11dSemanticDedupProbed(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.semanticNearDupPairsCapped(
+        t(s, dir, "embeddings").where(col("vec_id") < 1000), "vec_id", "embedding",
+        centroids = Similarity.md5Centroids(8, 64), threshold = 0.4,
+        targetCell = 64, maxExtraBits = 3, probeSplitBits = 1)
+      .withColumn("centroid", col("centroid").cast("long"))
+      .sortSmall("id_a", "id_b")
+
+  val d11dSql: String =
+    d11bSql.replace(
+      "WHERE (ba.b & ((CAST(1 AS BIGINT) << k) - 1)) = (bb.b & ((CAST(1 AS BIGINT) << k) - 1))",
+      "WHERE bit_count(xor(ba.b, bb.b) & ((CAST(1 AS BIGINT) << k) - 1)) <= 1")
+
   /** D7 — embedding-cosine near-duplicate pairs (exact over a bounded id
     * range; the LSH/IVF candidate paths are verified against this in
     * tests). Threshold 0.4 is chosen so the sf0.01 synthetic embeddings
@@ -4392,6 +4414,7 @@ object Queries {
     "d11_semantic_dedup" -> d11SemanticDedup,
     "d11b_semantic_dedup_capped" -> d11bSemanticDedupCapped,
     "d11c_semantic_dedup_auto" -> d11cSemanticDedupAuto,
+    "d11d_semantic_dedup_probed" -> d11dSemanticDedupProbed,
     "x5_pii_scrub" -> x5PiiScrub,
     "k1_salted_agg" -> k1SaltedAgg,
     "st2_streaming_hourly" -> st2StreamingHourly,
@@ -4499,6 +4522,7 @@ object Queries {
     "d11_semantic_dedup" -> d11Sql,
     "d11b_semantic_dedup_capped" -> d11bSql,
     "d11c_semantic_dedup_auto" -> d11Sql,
+    "d11d_semantic_dedup_probed" -> d11dSql,
     "x5_pii_scrub" -> x5Sql,
     "k1_salted_agg" -> k1Sql,
     "st3_streaming_dedup" -> st3Sql,

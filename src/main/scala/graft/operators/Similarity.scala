@@ -258,11 +258,28 @@ object Similarity {
     * per-cell split depth from the collected `sizes` (integer shifts),
     * (centroid → mask) broadcast-joined as a tiny frame (nlist grows with
     * the corpus; a thousands-branch CASE falls out of codegen), pairs
-    * keyed on (cell, subcell). */
+    * keyed on (cell, subcell).
+    *
+    * `probeSplitBits = 1` additionally recovers every pair whose split
+    * bits differ in EXACTLY ONE of the cell's k planes — the d7b
+    * multi-probe argument applied to subcells: one join side explodes
+    * its subcell XOR each single-bit flip (plus the identity flip 0),
+    * and a pair at Hamming distance h ≤ 1 matches on exactly the one
+    * flip equal to its bit difference (flips are distinct, each vector
+    * has one subcell), so no dedup pass is needed; the id_a < id_b
+    * filter kills the mirrored match from the other side's probes.
+    * Cost: the probe side grows (1 + k_cell)-fold, so candidate volume
+    * is ~(1+k)·Σ|subcell|² — still bounded per subcell, vs the origin
+    * story where recall came free because the planes never split
+    * anything (BENCH_NOTES r14). The flip arrays ride the same O(nlist)
+    * broadcast as the masks. */
   private def cappedPairsFromAssigned(assigned: DataFrame,
                                       sizes: Array[(Int, Long)],
                                       threshold: Double, targetCell: Int,
-                                      maxExtraBits: Int): DataFrame = {
+                                      maxExtraBits: Int,
+                                      probeSplitBits: Int = 0): DataFrame = {
+    require(probeSplitBits >= 0 && probeSplitBits <= 1,
+      s"probeSplitBits must be 0 or 1, got $probeSplitBits")
     val kOf: Map[Int, Int] = sizes.map { case (cid, n) =>
       var k = 0
       while (k < maxExtraBits && (n >> k) > targetCell) k += 1
@@ -271,10 +288,26 @@ object Similarity {
     val session = assigned.sparkSession
     import session.implicits._
     val masks = broadcast(kOf.toSeq
-      .map { case (cid, k) => (cid, (1L << k) - 1) }.toDF("centroid", "mask"))
+      .map { case (cid, k) =>
+        val flips = 0L +: (0 until (k * probeSplitBits)).map(1L << _)
+        (cid, (1L << k) - 1, flips)
+      }.toDF("centroid", "mask", "flips"))
     val sub = assigned.join(masks, Seq("centroid"))
       .withColumn("subcell", col("bits").bitwiseAND(col("mask")))
-    inCellPairs(sub, Seq("centroid", "subcell"), threshold)
+    if (probeSplitBits == 0) inCellPairs(sub, Seq("centroid", "subcell"), threshold)
+    else {
+      val a = sub
+        .withColumn("f", explode(col("flips")))
+        .select(col("centroid"), col("subcell").bitwiseXOR(col("f")).as("skey"),
+          col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+      val b = sub.select(col("centroid"), col("subcell").as("skey"),
+        col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+      a.join(b, Seq("centroid", "skey"))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
+        .where(col("cos") >= threshold)
+        .select("id_a", "id_b", "cos", "centroid")
+    }
   }
 
   /** Cell-size table of an assigned frame — O(nlist) rows, the same
@@ -309,7 +342,10 @@ object Similarity {
     * was near zero precisely because they don't split cells at all):
     * planted 0.999+-cosine dups measure recall 0.987 at 200k vectors
     * (AnnScaleCheck V3b; −0.5pp vs origin planes, re-verified per
-    * round at each corpus size). The cap is the price
+    * round at each corpus size). `probeSplitBits = 1` buys most of that
+    * loss back — pairs split by exactly one plane are recovered via
+    * subcell multi-probe (see [[cappedPairsFromAssigned]]) at a
+    * (1 + depth)-fold probe-side cost. The cap is the price
     * of bounded work: use the uncapped form when the threshold is low
     * and the corpus is bounded; this form when cells are cluster-sized.
     * Like refineBuckets, a sub-cluster tighter than the bit resolution
@@ -319,10 +355,11 @@ object Similarity {
   def semanticNearDupPairsCapped(df: DataFrame, idCol: String, vecCol: String,
                                  centroids: Array[(Int, Array[Double])],
                                  threshold: Double, targetCell: Int = 1000,
-                                 maxExtraBits: Int = 8): DataFrame = {
+                                 maxExtraBits: Int = 8,
+                                 probeSplitBits: Int = 0): DataFrame = {
     val assigned = assignedWithBits(df, idCol, vecCol, centroids, maxExtraBits)
     cappedPairsFromAssigned(assigned, cellSizes(assigned),
-      threshold, targetCell, maxExtraBits)
+      threshold, targetCell, maxExtraBits, probeSplitBits)
   }
 
   /** Auto-routed SemDeDup — the entry point callers should use (the
@@ -351,7 +388,13 @@ object Similarity {
     * above it that exactness would cost unboundedly more than the
     * capped arm, and the capped recall (0.987 planted, AnnScaleCheck
     * V3b) is the honest trade. Raise the budget to buy exactness on
-    * wider clusters — the uncapped arm parallelizes perfectly.
+    * wider clusters — the uncapped arm parallelizes perfectly. A middle
+    * rung exists above the budget: `probeSplitBits = 1` runs the capped
+    * arm with Hamming-≤1 subcell multi-probe, recovering essentially the
+    * whole uncapped pair set (3805/3805, 11550/11550, 23235/23237 at
+    * 200k/600k/1.2M) at ~2–3× the capped arm and 3–4× below uncapped
+    * (SemDedupAB r14: 22.8/74.9/185.3 s vs capped 16.4/37.4/61.3 vs
+    * uncapped 29.0/223.0/746.6).
     *
     * Cost note: the uncapped route pays the (unused) cellplane-bits
     * projection inside the shared map pass — maxExtraBits·dim multiplies
@@ -362,14 +405,16 @@ object Similarity {
                                centroids: Array[(Int, Array[Double])],
                                threshold: Double, targetCell: Int = 1000,
                                maxExtraBits: Int = 8,
-                               cellPairBudget: Long = 1000000000L): DataFrame = {
+                               cellPairBudget: Long = 1000000000L,
+                               probeSplitBits: Int = 0): DataFrame = {
     val assigned = assignedWithBits(df, idCol, vecCol, centroids, maxExtraBits)
     val sizes = cellSizes(assigned)
     val cellPairVolume = sizes.map { case (_, n) => n * n }.sum
     if (cellPairVolume <= cellPairBudget)
       inCellPairs(assigned, Seq("centroid"), threshold)
     else
-      cappedPairsFromAssigned(assigned, sizes, threshold, targetCell, maxExtraBits)
+      cappedPairsFromAssigned(assigned, sizes, threshold, targetCell,
+        maxExtraBits, probeSplitBits)
   }
 
   /** The route [[semanticNearDupPairsAuto]] takes for a given cell-size

@@ -179,6 +179,23 @@ object AnnScaleCheck {
         s"n=$nVecs nlist=64 target=1000 maxBits=8 t=0.99")
     semCap.unpersist()
 
+    // V3c — the Hamming-≤1 subcell multi-probe (probeSplitBits=1) at the
+    // same full corpus: recovers pairs split by exactly one plane, so
+    // recall must dominate V3b's (the probed set is a superset by
+    // construction — this asserts the implementation delivers it) at a
+    // bounded (1+k)-fold probe-side cost
+    val semProbe = Similarity.semanticNearDupPairsCapped(actual, "vec_id",
+        "embedding", centroids, threshold = 0.99, targetCell = 1000,
+        maxExtraBits = 8, probeSplitBits = 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (prN, prBad) = soundness(semProbe.select("id_a", "id_b", "cos"))
+    val (prRec, prF, prT) = plantedRecall(semProbe, nVecs)
+    check("V3c_semdedup_probed_full",
+      prBad == 0 && prRec >= capRec && prRec >= 0.97,
+      f"pairs=$prN unsound=$prBad planted_recall=$prRec%.4f ($prF/$prT) " +
+        f"vs_capped=+${prRec - capRec}%.4f n=$nVecs probeSplitBits=1")
+    semProbe.unpersist()
+
     // V4 — LSH-bucketed near-dup on the slice
     val lsh = Similarity.cosineNearDupLshPairs(slice, "vec_id", "embedding",
         threshold = 0.99, numPlanes = 16, dim = 64, probeBits = 1)

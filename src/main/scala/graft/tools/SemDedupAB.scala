@@ -12,13 +12,19 @@ import org.apache.spark.sql.functions._
   * uncapped arm's cost is Σ|cell|² (quadratic on natural clusters, the
   * V5 exposure), the capped arm's is bounded per subcell.
   *
-  * Usage: runMain graft.tools.SemDedupAB <sfDir> [threshold] [targetCell]
+  * Usage: runMain graft.tools.SemDedupAB <sfDir> [threshold] [targetCell] [arms]
+  * `arms` is a csv subset of capped,probed,uncapped (default: all three) —
+  * skipped arms print -1 so a partial re-run never masquerades as a
+  * fresh three-arm measurement.
   */
 object SemDedupAB {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val threshold = if (args.length > 1) args(1).toDouble else 0.99
     val target = if (args.length > 2) args(2).toInt else 1000
+    val arms: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet
+      else Set("capped", "probed", "uncapped")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -40,11 +46,16 @@ object SemDedupAB {
       val c = f
       ((System.nanoTime() - t0) / 1e9, c)
     }
-    val (tCap, nCap) = timed(Similarity.semanticNearDupPairsCapped(
+    def arm(name: String)(f: => Long): (Double, Long) =
+      if (arms(name)) timed(f) else (-1.0, -1L)
+    val (tCap, nCap) = arm("capped")(Similarity.semanticNearDupPairsCapped(
       emb, "vec_id", "embedding", centroids, threshold, target).count())
-    val (tUncap, nUncap) = timed(Similarity.semanticNearDupPairs(
+    val (tProbe, nProbe) = arm("probed")(Similarity.semanticNearDupPairsCapped(
+      emb, "vec_id", "embedding", centroids, threshold, target,
+      probeSplitBits = 1).count())
+    val (tUncap, nUncap) = arm("uncapped")(Similarity.semanticNearDupPairs(
       emb, "vec_id", "embedding", centroids, threshold).count())
-    println(f"""{"tool":"SemDedupAB","sf_dir":"$sfDir","n_vecs":$n,"threshold":$threshold,"target_cell":$target,"capped_s":$tCap%.1f,"capped_pairs":$nCap,"uncapped_s":$tUncap%.1f,"uncapped_pairs":$nUncap}""")
+    println(f"""{"tool":"SemDedupAB","sf_dir":"$sfDir","n_vecs":$n,"threshold":$threshold,"target_cell":$target,"capped_s":$tCap%.1f,"capped_pairs":$nCap,"probed_s":$tProbe%.1f,"probed_pairs":$nProbe,"uncapped_s":$tUncap%.1f,"uncapped_pairs":$nUncap}""")
     spark.stop()
   }
 }

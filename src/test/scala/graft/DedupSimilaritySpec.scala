@@ -220,6 +220,41 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(Similarity.semanticRoute(Array(0 -> 100000L)) == "capped")
   }
 
+  test("semantic dedup probed: capped ⊆ probed ⊆ uncapped; one split plane " +
+      "with Hamming-≤1 probing recovers every within-cell pair") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 300)
+    val cents = Similarity.md5Centroids(4, 64)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = rows(Similarity.semanticNearDupPairs(
+      emb, "vec_id", "embedding", cents, 0.3))
+    // forced deep splits: probing sits strictly between capped and uncapped
+    val capped = rows(Similarity.semanticNearDupPairsCapped(
+      emb, "vec_id", "embedding", cents, 0.3, targetCell = 1, maxExtraBits = 8))
+    val probed = rows(Similarity.semanticNearDupPairsCapped(
+      emb, "vec_id", "embedding", cents, 0.3, targetCell = 1, maxExtraBits = 8,
+      probeSplitBits = 1))
+    assert(capped.subsetOf(probed) && probed.subsetOf(uncapped))
+    assert(probed.size > capped.size) // the probes genuinely recovered pairs
+    // depth 1 everywhere: any split is a 1-bit difference, so Hamming-≤1
+    // probing recovers the ENTIRE within-cell pair set
+    val probedK1 = rows(Similarity.semanticNearDupPairsCapped(
+      emb, "vec_id", "embedding", cents, 0.3, targetCell = 1, maxExtraBits = 1,
+      probeSplitBits = 1))
+    assert(probedK1 == uncapped)
+    // and the no-op regime is unchanged by probing (nothing splits)
+    val noopProbed = rows(Similarity.semanticNearDupPairsCapped(
+      emb, "vec_id", "embedding", cents, 0.3, targetCell = 100000,
+      probeSplitBits = 1))
+    assert(noopProbed == uncapped)
+    // the auto entry passes the probe knob through to its capped branch
+    val autoProbed = rows(Similarity.semanticNearDupPairsAuto(
+      emb, "vec_id", "embedding", cents, 0.3, targetCell = 1, maxExtraBits = 8,
+      cellPairBudget = 10, probeSplitBits = 1))
+    assert(autoProbed == probed)
+  }
+
   test("adaptive refinement: flooded buckets split instead of dropping pairs") {
     // 10 distinct 3-word subsets of a 5-word vocabulary, 4 copies each:
     // with ONE band of ONE minhash row, every doc keys on the min-hash of
