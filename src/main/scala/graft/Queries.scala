@@ -2515,10 +2515,16 @@ object Queries {
       .withColumn("centroid", col("centroid").cast("long"))
       .sortSmall("id_a", "id_b")
 
-  val d11dSql: String =
-    d11bSql.replace(
+  val d11dSql: String = {
+    val relaxed = d11bSql.replace(
       "WHERE (ba.b & ((CAST(1 AS BIGINT) << k) - 1)) = (bb.b & ((CAST(1 AS BIGINT) << k) - 1))",
       "WHERE bit_count(xor(ba.b, bb.b) & ((CAST(1 AS BIGINT) << k) - 1)) <= 1")
+    // fail fast if d11bSql's predicate text drifts: a silent no-op
+    // replace would gate d11d against the CAPPED oracle
+    require(relaxed != d11bSql,
+      "d11dSql: probe-predicate replace found nothing — d11bSql text drifted")
+    relaxed
+  }
 
   /** D7 — embedding-cosine near-duplicate pairs (exact over a bounded id
     * range; the LSH/IVF candidate paths are verified against this in

@@ -892,13 +892,18 @@ object Dedup {
     // the verify join) with different column prunings, so exchange reuse
     // does NOT kick in and the whole grams→postings→docs chain would be
     // computed three times (measured: the dominant cost of this plan).
-    // A LAZY checkpoint materializes it once on the first job and shares
-    // the partitions across all consumers — the same lineage-cut tool the
-    // connected-components loop uses, with the same mode selection: when
-    // the caller configured a checkpoint dir the cut is RELIABLE
-    // (survives executor loss — the right mode for a long 100 TB run);
-    // otherwise localCheckpoint keeps blocks executor-local, which is
-    // faster but loses the job if an executor dies after materialization.
+    // A checkpoint materializes it once and shares the partitions across
+    // all consumers — the same lineage-cut tool the connected-components
+    // loop uses, with the same mode selection: when the caller configured
+    // a checkpoint dir the cut is RELIABLE (survives executor loss — the
+    // right mode for a long 100 TB run); otherwise localCheckpoint keeps
+    // blocks executor-local, which is faster but loses the job if an
+    // executor dies after materialization. The reliable cut must be
+    // EAGER: a lazy reliable checkpoint evaluates the un-persisted
+    // lineage once for the first action and again for the checkpoint
+    // write (measured 2× partition evals, tools/CkptProbe) — the exact
+    // recompute this cut exists to avoid. localCheckpoint is
+    // persist-based, so lazy is fine there.
     // Storage is O(corpus/cluster-width) per executor, freed by the
     // context cleaner when the query's RDD goes out of scope.
     val reliable = df.sparkSession.sparkContext.getCheckpointDir.isDefined
@@ -908,7 +913,7 @@ object Dedup {
       .withColumn("alpha",
         ceil(lit(threshold - 1e-4) * col("sz") - lit(1e-9)).cast("int"))
       .withColumn("plen", size(col("by_rarity")) - col("alpha") + lit(1))
-    val docs = if (reliable) docs0.checkpoint(false) else docs0.localCheckpoint(false)
+    val docs = if (reliable) docs0.checkpoint(true) else docs0.localCheckpoint(false)
     // by_rarity.gram = GetArrayStructFields (native, codegen'd) — the
     // transform(_, s => s.getField(...)) spelling is a higher-order
     // function (CodegenFallback) and dragged this Project out of codegen

@@ -26,10 +26,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 private[graft] object FrameDiskCache {
 
-  /** Load the artifact for `key` from `root` if its manifest matches
-    * (key + corpusRows); otherwise run `compute`, persist, commit the
-    * manifest, and return the read-back frame (so the caller's lineage
-    * is the parquet scan either way). */
   /** Load-only: the artifact for `key` if a committed, key- and
     * row-count-matching manifest exists; None otherwise (never computes).
     * Lets a DERIVED tier serve itself as a projection of a richer
@@ -53,6 +49,10 @@ private[graft] object FrameDiskCache {
     } else None
   }
 
+  /** Load the artifact for `key` from `root` if its manifest matches
+    * (key + corpusRows); otherwise run `compute`, persist, commit the
+    * manifest, and return the read-back frame (so the caller's lineage
+    * is the parquet scan either way). */
   def loadOrCompute(sess: SparkSession, root: String, key: String,
                     corpusRows: Long, dataName: String)
                    (compute: => DataFrame): DataFrame = {

@@ -46,6 +46,21 @@ object GroupStats {
   private def momentsKey(corpusKey: String, keys: Seq[String], priceCol: String) =
     s"moments|$corpusKey|keys=${keys.mkString(",")}|p=$priceCol"
 
+  /** The configured approx-quantile accuracy, if the mega-group escape
+    * hatch is on (`SPARK_GRAFT_APPROX_QUANTILES` / the JVM property). */
+  private def approxAccuracy: Option[Int] =
+    sys.env.get("SPARK_GRAFT_APPROX_QUANTILES")
+      .orElse(Option(System.getProperty("graft.approxQuantiles"))).map(_.toInt)
+
+  /** The ONE place the tier suffix is spelled: table() persists under
+    * this key and moments() looks it up — a format drift between the two
+    * sites would silently kill the cross-process projection (moments
+    * would recompute the corpus instead of erroring). */
+  private def tierKeyOf(corpusKey: String, keys: Seq[String],
+                        priceCol: String, approx: Option[Int]): String =
+    fullKey(corpusKey, keys, priceCol) +
+      approx.map(a => s"|approx=$a").getOrElse("")
+
   /** The fused per-group stats table (see [[Anomaly.fullStats]] for the
     * columns), computed once per (session, corpus, keys, price). With
     * `SPARK_GRAFT_STATS_CACHE=<dir>` (or an explicit cacheDir) the table
@@ -70,10 +85,8 @@ object GroupStats {
     // default: it is the reference artifacts' contract, and the
     // approx tier's quartiles are discrete + rank-bounded, not equal.
     // The cache key carries the tier so the two never alias.
-    val approx = sys.env.get("SPARK_GRAFT_APPROX_QUANTILES")
-      .orElse(Option(System.getProperty("graft.approxQuantiles"))).map(_.toInt)
-    val tierKey = fullKey(corpusKey, keys, priceCol) +
-      approx.map(a => s"|approx=$a").getOrElse("")
+    val approx = approxAccuracy
+    val tierKey = tierKeyOf(corpusKey, keys, priceCol, approx)
     def stats(): DataFrame = approx match {
       case Some(acc) => Anomaly.fullStatsApprox(df, keys, priceCol, acc)
       case None => Anomaly.fullStats(df, keys, priceCol)
@@ -110,10 +123,9 @@ object GroupStats {
     memo.getOrCompute(sess, momentsKey(corpusKey, keys, priceCol)) {
       // either tier projects: the moment columns are the same exact
       // decimal sums whether the quartiles beside them were exact or not
-      val exactKey = fullKey(corpusKey, keys, priceCol)
-      val approxKey = sys.env.get("SPARK_GRAFT_APPROX_QUANTILES")
-        .orElse(Option(System.getProperty("graft.approxQuantiles")))
-        .map(a => exactKey + s"|approx=${a.toInt}")
+      val exactKey = tierKeyOf(corpusKey, keys, priceCol, None)
+      val approxKey = approxAccuracy.map(a =>
+        tierKeyOf(corpusKey, keys, priceCol, Some(a)))
       val tierKeys = exactKey +: approxKey.toSeq
       def project(full: DataFrame): DataFrame =
         full.select((keys ++ Seq("n_offers", "s1x", "s2x")).map(

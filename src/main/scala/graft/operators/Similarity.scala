@@ -180,22 +180,32 @@ object Similarity {
     inCellPairs(side, Seq("centroid"), threshold)
   }
 
-  /** All (a < b) pairs within equal `cellCols` values scoring ≥ threshold —
-    * the shared pair pass of the SemDeDup family (uncapped: cell only;
-    * capped: cell + subcell). One shuffle, keyed on the cell columns. */
-  private def inCellPairs(side: DataFrame, cellCols: Seq[String],
-                          threshold: Double): DataFrame = {
-    val keys = cellCols.map(col)
-    val a = side.select(keys :+ col("id").as("id_a") :+
+  /** All (id_a < id_b) pairs between `left` and `right` agreeing on
+    * `keyCols` and scoring ≥ threshold — the ONE pair pass every
+    * SemDeDup form shares (uncapped: cell key; capped: cell + subcell;
+    * probed: cell + probe key vs exact key), so scoring/rounding/output
+    * can never diverge between forms the oracles require to agree.
+    * Both sides carry (keyCols, id, v, nrm); symmetric callers pass the
+    * same frame twice. One shuffle, keyed on keyCols (must include
+    * "centroid" — it rides into the output). */
+  private def inCellPairsBetween(left: DataFrame, right: DataFrame,
+                                 keyCols: Seq[String],
+                                 threshold: Double): DataFrame = {
+    val keys = keyCols.map(col)
+    val a = left.select(keys :+ col("id").as("id_a") :+
       col("v").as("va") :+ col("nrm").as("na"): _*)
-    val b = side.select(keys :+ col("id").as("id_b") :+
+    val b = right.select(keys :+ col("id").as("id_b") :+
       col("v").as("vb") :+ col("nrm").as("nb"): _*)
-    a.join(b, cellCols)
+    a.join(b, keyCols)
       .where(col("id_a") < col("id_b"))
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos", "centroid")
   }
+
+  private def inCellPairs(side: DataFrame, cellCols: Seq[String],
+                          threshold: Double): DataFrame =
+    inCellPairsBetween(side, side, cellCols, threshold)
 
   /** The assigned-corpus artifact the capped/auto SemDeDup forms share:
     * (id, v double-widened, centroid, cellplane sign bits, norm), CUT
@@ -251,7 +261,14 @@ object Similarity {
       }
     val a0 = withBits.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val reliable = df.sparkSession.sparkContext.getCheckpointDir.isDefined
-    if (reliable) a0.checkpoint(false) else a0.localCheckpoint(false)
+    // reliable mode must be EAGER: a lazy reliable checkpoint evaluates
+    // the un-persisted lineage once for the first action and AGAIN for
+    // the checkpoint write (measured: 2× partition evals,
+    // tools/CkptProbe), which would re-introduce the double assignment
+    // pass this artifact exists to eliminate. Eager writes during the
+    // one materialization (1× measured); the cellSizes collect follows
+    // immediately, so nothing is computed earlier than needed.
+    if (reliable) a0.checkpoint(true) else a0.localCheckpoint(false)
   }
 
   /** The capped pair pass over an already-materialized assigned frame:
@@ -296,17 +313,10 @@ object Similarity {
       .withColumn("subcell", col("bits").bitwiseAND(col("mask")))
     if (probeSplitBits == 0) inCellPairs(sub, Seq("centroid", "subcell"), threshold)
     else {
-      val a = sub
-        .withColumn("f", explode(col("flips")))
-        .select(col("centroid"), col("subcell").bitwiseXOR(col("f")).as("skey"),
-          col("id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-      val b = sub.select(col("centroid"), col("subcell").as("skey"),
-        col("id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-      a.join(b, Seq("centroid", "skey"))
-        .where(col("id_a") < col("id_b"))
-        .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
-        .where(col("cos") >= threshold)
-        .select("id_a", "id_b", "cos", "centroid")
+      val probes = sub.withColumn("f", explode(col("flips")))
+        .withColumn("skey", col("subcell").bitwiseXOR(col("f")))
+      val exact = sub.withColumn("skey", col("subcell"))
+      inCellPairsBetween(probes, exact, Seq("centroid", "skey"), threshold)
     }
   }
 
@@ -409,8 +419,9 @@ object Similarity {
                                probeSplitBits: Int = 0): DataFrame = {
     val assigned = assignedWithBits(df, idCol, vecCol, centroids, maxExtraBits)
     val sizes = cellSizes(assigned)
-    val cellPairVolume = sizes.map { case (_, n) => n * n }.sum
-    if (cellPairVolume <= cellPairBudget)
+    // the same predicate the spec pins — not a re-implementation that
+    // could drift from the tested route
+    if (semanticRoute(sizes, cellPairBudget) == "uncapped")
       inCellPairs(assigned, Seq("centroid"), threshold)
     else
       cappedPairsFromAssigned(assigned, sizes, threshold, targetCell,

@@ -249,7 +249,10 @@ object ScaleGen extends Serializable {
       (1 to nLines).map { ln =>
         val partDraw = math.abs(r.nextLong()) % nPart
         val part =
-          if (skewFrac > 0 && rngFor(9, id * 8 + ln).nextDouble() < skewFrac) 0L
+          // salt 14: its own draw family — salt 9 is documents' field
+          // stream, and reusing it would deterministically couple skew
+          // membership to document content for overlapping ids
+          if (skewFrac > 0 && rngFor(14, id * 8 + ln).nextDouble() < skewFrac) 0L
           else partDraw
         (id, part, math.abs(r.nextLong()) % nSupplier, ln,
           (1 + r.nextInt(50)).toDouble,

@@ -22,9 +22,13 @@ object SemDedupAB {
     val sfDir = args(0)
     val threshold = if (args.length > 1) args(1).toDouble else 0.99
     val target = if (args.length > 2) args(2).toInt else 1000
+    val Known = Set("capped", "probed", "uncapped")
     val arms: Set[String] =
       if (args.length > 3) args(3).split(",").map(_.trim).toSet
-      else Set("capped", "probed", "uncapped")
+      else Known
+    require(arms.nonEmpty && arms.subsetOf(Known),
+      s"unknown arm(s) ${(arms -- Known).mkString(",")}; known: ${Known.mkString(",")}" +
+        " — a typo would otherwise emit a measurement log with no measurements")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
