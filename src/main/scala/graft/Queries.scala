@@ -2505,8 +2505,11 @@ object Queries {
     * matches exactly one flip, no dedup pass). Same fixture as d11b so
     * the splits genuinely fire; the oracle relaxes d11b's subcell
     * equality to bit_count(xor(bits_a, bits_b) & mask) ≤ 1, verifying
-    * the probe semantics end to end. Output strictly between d11b's
-    * (capped) and d11's (uncapped within cells). */
+    * the probe semantics end to end. Output sits between d11b's
+    * (capped) and d11's (uncapped within cells), inclusive at either
+    * end — on this fixture the probed set equals the uncapped set
+    * (every dropped pair was a 1-plane split), and the spec asserts
+    * exactly the subset chain capped ⊆ probed ⊆ uncapped. */
   def d11dSemanticDedupProbed(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.semanticNearDupPairsCapped(
         t(s, dir, "embeddings").where(col("vec_id") < 1000), "vec_id", "embedding",

@@ -11,7 +11,10 @@ object CkptProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    spark.sparkContext.setCheckpointDir("/tmp/ckpt_probe_dir")
+    // unique per run (a fixed /tmp path would be shared by concurrent
+    // probes and accumulate stale checkpoints), deleted before exit
+    val ckptDir = java.nio.file.Files.createTempDirectory("ckpt_probe_")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
     val acc = spark.sparkContext.longAccumulator("evals")
     val ds = spark.range(0, 1000, 1, 4).map { x => acc.add(1); x }
     val cp = ds.checkpoint(false)
@@ -28,5 +31,11 @@ object CkptProbe {
     cp3.count()
     println(s"rows=1000 evals_lazy_local=${acc3.value}")
     spark.stop()
+    def rm(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rm(_))
+      java.nio.file.Files.deleteIfExists(p)
+    }
+    rm(ckptDir)
   }
 }

@@ -59,7 +59,12 @@ object SemDedupAB {
       probeSplitBits = 1).count())
     val (tUncap, nUncap) = arm("uncapped")(Similarity.semanticNearDupPairs(
       emb, "vec_id", "embedding", centroids, threshold).count())
-    println(f"""{"tool":"SemDedupAB","sf_dir":"$sfDir","n_vecs":$n,"threshold":$threshold,"target_cell":$target,"capped_s":$tCap%.1f,"capped_pairs":$nCap,"probed_s":$tProbe%.1f,"probed_pairs":$nProbe,"uncapped_s":$tUncap%.1f,"uncapped_pairs":$nUncap}""")
+    // skipped arms keep the -1 sentinel for field-shape stability, but the
+    // "arms" list states what actually ran so a consumer folding -1 into
+    // timing math has an in-band signal to filter on
+    val armsJson = Seq("capped", "probed", "uncapped").filter(arms)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"tool":"SemDedupAB","sf_dir":"$sfDir","arms":$armsJson,"n_vecs":$n,"threshold":$threshold,"target_cell":$target,"capped_s":$tCap%.1f,"capped_pairs":$nCap,"probed_s":$tProbe%.1f,"probed_pairs":$nProbe,"uncapped_s":$tUncap%.1f,"uncapped_pairs":$nUncap}""")
     spark.stop()
   }
 }
