@@ -2591,6 +2591,36 @@ object Queries {
        |SELECT id_a, id_b, cos FROM p WHERE cos >= 0.3 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** D7c — the d7 family's SCALE entry
+    * ([[graft.operators.Similarity.cosineNearDupPairsAuto]]), subsuming
+    * d7b, whose global origin-plane buckets track natural-cluster size
+    * (AnnScaleCheck V5: max bucket 27.9k at 1.2M vectors): same
+    * (id_a, id_b, cos) contract, candidates from the SemDeDup route —
+    * quantizer cells, cell-CENTERED split planes, point-mass salting.
+    * cellPairBudget=1000 sits below this fixture's Σ|cell|² (~1.3e5),
+    * forcing the ABOVE-budget branch, so this row gates the auto
+    * route's above-budget DEFAULT — the Hamming-≤1 probed capped rung
+    * (probeSplitBits = 1) — end to end. Same fixture and split shape as
+    * d11b/d11d, so the oracle is d11d's relaxed-predicate SQL minus the
+    * centroid column d7's contract doesn't carry. */
+  def d7cNearDupAuto(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairsAuto(
+        t(s, dir, "embeddings").where(col("vec_id") < 1000), "vec_id", "embedding",
+        centroids = Similarity.md5Centroids(8, 64), threshold = 0.4,
+        targetCell = 64, maxExtraBits = 3, cellPairBudget = 1000)
+      .sortSmall("id_a", "id_b")
+
+  val d7cSql: String = {
+    val projected = d11dSql.replace(
+      "SELECT id_a, id_b, cos, centroid FROM p",
+      "SELECT id_a, id_b, cos FROM p")
+    // fail fast if d11dSql's final projection text drifts: a silent
+    // no-op replace would gate d7c against the 4-column d11d oracle
+    require(projected != d11dSql,
+      "d7cSql: final-projection replace found nothing — d11dSql text drifted")
+    projected
+  }
+
   /** K1 — skew-salted two-phase aggregation. The plan spreads each hot key
     * over 16 deterministic salt buckets before the final combine; the
     * oracle is the PLAIN single-phase GROUP BY — hash-matching proves the
@@ -4417,6 +4447,7 @@ object Queries {
     "d6_cosine_lsh" -> d6CosineLsh,
     "d7_embedding_neardup" -> d7EmbeddingNearDup,
     "d7b_neardup_lsh" -> d7bNearDupLsh,
+    "d7c_neardup_auto" -> d7cNearDupAuto,
     "d8_neardup_clusters" -> d8NeardupClusters,
     "d10_dedup_apply" -> d10DedupApply,
     "d9_ivf_topk" -> d9IvfTopk,
@@ -4525,6 +4556,7 @@ object Queries {
     "st2_streaming_hourly" -> st1Sql,
     "d7_embedding_neardup" -> d7Sql,
     "d7b_neardup_lsh" -> d7bSql,
+    "d7c_neardup_auto" -> d7cSql,
     "d8_neardup_clusters" -> d8Sql,
     "d10_dedup_apply" -> d10Sql,
     "d9_ivf_topk" -> d9Sql,

@@ -22,6 +22,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Dot product of two equal-length numeric arrays — the compiled
     * sequential loop [[graft.functions.VecDot]] (same left-to-right fold
     * order as the aggregate/zip_with column formulation and the oracles'
@@ -140,9 +142,11 @@ object Similarity {
     * SubcellProbe measured for the SemDeDup cellplanes, BENCH_NOTES
     * r14), so Σ|bucket|² tracks Σ|cluster|² as the corpus grows
     * (AnnScaleCheck V5: lsh16 max bucket 4.8k→27.9k at 200k→1.2M
-    * vectors). On corpora with cluster structure prefer
-    * [[semanticNearDupPairsAuto]], whose quantizer-cell split planes are
-    * centered per cell and keep subcells bounded. */
+    * vectors). This operator is SUBSUMED at scale by
+    * [[cosineNearDupPairsAuto]] — the same (id_a, id_b, cos) contract
+    * with candidates from centered-split quantizer cells, whose
+    * per-key population stays bounded (AnnScaleCheck V6) — and is kept
+    * for bounded corpora and as the d7b oracle's subject. */
   def cosineNearDupLshPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, numPlanes: Int, dim: Int,
                             probeBits: Int = 2): DataFrame = {
@@ -187,20 +191,61 @@ object Similarity {
     * can never diverge between forms the oracles require to agree.
     * Both sides carry (keyCols, id, v, nrm); symmetric callers pass the
     * same frame twice. One shuffle, keyed on keyCols (must include
-    * "centroid" — it rides into the output). */
+    * "centroid" — it rides into the output).
+    *
+    * `salt` spreads POINT-MASS keys (see [[cappedPairsFromAssigned]])
+    * over a triangle of salt-group tasks without changing the output
+    * set: sCounts is a tiny (keyCols, __s) table naming the flooded
+    * keys and their salt counts, expand a (keyCols, __salt, __gi, __gj)
+    * table listing, for each salt value r, the s groups {(min(r,t),
+    * max(r,t)) : t < s} containing it. Rows of unflooded keys take the
+    * plain join (anti-join against sCounts — broadcast, no shuffle);
+    * rows of flooded keys compute salt = pmod(xxhash64(id), s), explode
+    * s-fold into their groups, and pair-join on keyCols + (gi, gj) with
+    * the dual-role filter {salt_a, salt_b} = {gi, gj} — a pair with
+    * distinct salts co-occurs in exactly the group (min, max) where
+    * exactly one disjunct holds, an equal-salt pair only in (r, r), so
+    * every pair is emitted exactly once, same as the plain join. Work:
+    * ~2·|key|² candidates total (each side replicated s-fold, group
+    * population 2n/s) spread over s²/2 tasks of (2n/s)² instead of ONE
+    * task of n² — the point the guard exists for. */
   private def inCellPairsBetween(left: DataFrame, right: DataFrame,
-                                 keyCols: Seq[String],
-                                 threshold: Double): DataFrame = {
-    val keys = keyCols.map(col)
-    val a = left.select(keys :+ col("id").as("id_a") :+
-      col("v").as("va") :+ col("nrm").as("na"): _*)
-    val b = right.select(keys :+ col("id").as("id_b") :+
-      col("v").as("vb") :+ col("nrm").as("nb"): _*)
-    a.join(b, keyCols)
+                                 keyCols: Seq[String], threshold: Double,
+                                 salt: Option[(DataFrame, DataFrame)] = None
+                                ): DataFrame = {
+    def score(joined: DataFrame): DataFrame = joined
       .where(col("id_a") < col("id_b"))
       .withColumn("cos", round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4))
       .where(col("cos") >= threshold)
       .select("id_a", "id_b", "cos", "centroid")
+    def sideA(df: DataFrame, extra: Seq[Column] = Nil) = df.select(
+      keyCols.map(col) ++ Seq(col("id").as("id_a"),
+        col("v").as("va"), col("nrm").as("na")) ++ extra: _*)
+    def sideB(df: DataFrame, extra: Seq[Column] = Nil) = df.select(
+      keyCols.map(col) ++ Seq(col("id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb")) ++ extra: _*)
+    salt match {
+      case None =>
+        score(sideA(left).join(sideB(right), keyCols))
+      case Some((sCounts, expand)) =>
+        val scKeys = broadcast(sCounts.select(keyCols.map(col): _*))
+        val plain = score(
+          sideA(left.join(scKeys, keyCols, "left_anti"))
+            .join(sideB(right.join(scKeys, keyCols, "left_anti")), keyCols))
+        def grouped(df: DataFrame): DataFrame = df
+          .join(broadcast(sCounts), keyCols)
+          .withColumn("__salt",
+            pmod(xxhash64(col("id")), col("__s")).cast("int"))
+          .join(broadcast(expand), keyCols :+ "__salt")
+        val ga = sideA(grouped(left), Seq(col("__salt").as("__sa"),
+          col("__gi"), col("__gj")))
+        val gb = sideB(grouped(right), Seq(col("__salt").as("__sb"),
+          col("__gi"), col("__gj")))
+        val saltPart = score(ga.join(gb, keyCols :+ "__gi" :+ "__gj")
+          .where((col("__sa") === col("__gi") && col("__sb") === col("__gj")) ||
+                 (col("__sa") === col("__gj") && col("__sb") === col("__gi"))))
+        plain.unionByName(saltPart)
+    }
   }
 
   private def inCellPairs(side: DataFrame, cellCols: Seq[String],
@@ -297,6 +342,77 @@ object Similarity {
                                       probeSplitBits: Int = 0): DataFrame = {
     require(probeSplitBits >= 0 && probeSplitBits <= 1,
       s"probeSplitBits must be 0 or 1, got $probeSplitBits")
+    val session = assigned.sparkSession
+    import session.implicits._
+    val sub = subcellFrame(assigned, sizes, targetCell, maxExtraBits, probeSplitBits)
+    // point-mass guard: the split bits bound EXPECTED subcell size, not
+    // the adversarial worst case — a sub-cluster tighter than the bit
+    // resolution (an exact-dup blast: identical vectors, identical sign
+    // bits at any depth) never splits, and its subcell's pair loop would
+    // land n² work on ONE task. Any subcell still > 4·targetCell after
+    // splitting is such a residual; spread its pair loop over a
+    // salt-group triangle (see [[inCellPairsBetween]]) — output set
+    // identical (the pairs are genuine duplicates; the OUTPUT is
+    // inherently quadratic in the blast, only the per-task work was the
+    // problem). One extra count-agg job over the checkpointed artifact;
+    // the salt tables are O(flooded keys · s²) driver rows, require-
+    // guarded like the family's other driver collects.
+    val saltAbove = 4L * math.max(targetCell, 1)
+    // subcells partition cells, so when no CELL exceeds the threshold no
+    // subcell can either — the already-collected cell sizes prove it and
+    // the subcell count-agg job is skipped entirely (the common case on
+    // well-split corpora, and every sub-threshold fixture)
+    val oversized: Array[(Int, Long, Long)] =
+      if (sizes.forall { case (_, n) => n <= saltAbove }) Array.empty
+      else sub.groupBy("centroid", "subcell")
+        .agg(count(lit(1)).as("n")).where(col("n") > saltAbove)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    require(oversized.length <= 100000,
+      s"point-mass salt guard: ${oversized.length} flooded subcells " +
+        s"(> $saltAbove rows) exceeds the driver budget — raise targetCell")
+    val salt: Option[(DataFrame, DataFrame)] =
+      if (oversized.isEmpty) None
+      else {
+        val counts = oversized.map { case (cid, sc, n) =>
+          val s = math.min(64L, (n + targetCell - 1) / math.max(targetCell, 1)).toInt
+          (cid, sc, s)
+        }
+        val expand = counts.flatMap { case (cid, sc, s) =>
+          for { r <- 0 until s; t <- 0 until s }
+            yield (cid, sc, r, math.min(r, t), math.max(r, t))
+        }
+        require(expand.length <= 2000000,
+          s"point-mass salt guard: expand table ${expand.length} rows " +
+            "exceeds the driver budget")
+        Some((counts.toSeq.toDF("centroid", "subcell", "__s"),
+          expand.toSeq.toDF("centroid", "subcell", "__salt", "__gi", "__gj")))
+      }
+    if (probeSplitBits == 0)
+      inCellPairsBetween(sub, sub, Seq("centroid", "subcell"), threshold, salt)
+    else {
+      val probes = sub.withColumn("f", explode(col("flips")))
+        .withColumn("skey", col("subcell").bitwiseXOR(col("f")))
+      val exact = sub.withColumn("skey", col("subcell"))
+      // the probe join keys on skey, and a probe row's salt must come
+      // from the TARGET subcell's count (both sides of a (cell, skey)
+      // match salt against the same s), so the tables rename to skey
+      val saltP = salt.map { case (sc, ex) =>
+        (sc.withColumnRenamed("subcell", "skey"),
+          ex.withColumnRenamed("subcell", "skey"))
+      }
+      inCellPairsBetween(probes, exact, Seq("centroid", "skey"), threshold, saltP)
+    }
+  }
+
+  /** The assigned frame with its per-cell split depth applied: mask and
+    * flip columns broadcast-joined from the O(nlist) depth table, the
+    * (centroid, subcell) join key the capped pair pass runs under.
+    * Shared by [[cappedPairsFromAssigned]] and the scale checker's
+    * bounded-subcell invariant ([[cappedSubcellKeys]]), so the checker
+    * measures the ACTUAL keyed population, not a re-derivation. */
+  private def subcellFrame(assigned: DataFrame, sizes: Array[(Int, Long)],
+                           targetCell: Int, maxExtraBits: Int,
+                           probeSplitBits: Int): DataFrame = {
     val kOf: Map[Int, Int] = sizes.map { case (cid, n) =>
       var k = 0
       while (k < maxExtraBits && (n >> k) > targetCell) k += 1
@@ -309,15 +425,22 @@ object Similarity {
         val flips = 0L +: (0 until (k * probeSplitBits)).map(1L << _)
         (cid, (1L << k) - 1, flips)
       }.toDF("centroid", "mask", "flips"))
-    val sub = assigned.join(masks, Seq("centroid"))
+    assigned.join(masks, Seq("centroid"))
       .withColumn("subcell", col("bits").bitwiseAND(col("mask")))
-    if (probeSplitBits == 0) inCellPairs(sub, Seq("centroid", "subcell"), threshold)
-    else {
-      val probes = sub.withColumn("f", explode(col("flips")))
-        .withColumn("skey", col("subcell").bitwiseXOR(col("f")))
-      val exact = sub.withColumn("skey", col("subcell"))
-      inCellPairsBetween(probes, exact, Seq("centroid", "skey"), threshold)
-    }
+  }
+
+  /** The (centroid, subcell) key of every row under the capped route —
+    * for the scale checker: the per-key population is exactly the
+    * capped plan's per-join-key pair-loop input, so max/Σ² over these
+    * keys is the operator's true candidate-volume exposure. */
+  private[graft] def cappedSubcellKeys(df: DataFrame, idCol: String,
+                                       vecCol: String,
+                                       centroids: Array[(Int, Array[Double])],
+                                       targetCell: Int = 1000,
+                                       maxExtraBits: Int = 8): DataFrame = {
+    val assigned = assignedWithBits(df, idCol, vecCol, centroids, maxExtraBits)
+    subcellFrame(assigned, cellSizes(assigned), targetCell, maxExtraBits, 0)
+      .select("id", "centroid", "subcell")
   }
 
   /** Cell-size table of an assigned frame — O(nlist) rows, the same
@@ -410,23 +533,66 @@ object Similarity {
     * projection inside the shared map pass — maxExtraBits·dim multiplies
     * per row against the assignment's nlist·dim, ~12% at the default
     * shape — the price of ONE checkpointed artifact serving both
-    * branches instead of a re-scan per branch. */
+    * branches instead of a re-scan per branch.
+    *
+    * The above-budget DEFAULT is the probed rung (probeSplitBits = 1):
+    * the measured frontier at 200k/600k/1.2M says the probe's 2–3×
+    * premium over the bare capped arm buys back essentially the whole
+    * uncapped pair set (23,235/23,237 at 1.2M) while staying 3–4× below
+    * uncapped cost — the right recall/cost point for a caller who did
+    * not pick a rung. Pass probeSplitBits = 0 to opt down to the bare
+    * capped arm (0.977–0.987 planted recall) when throughput matters
+    * more than the last ~1% of pairs. */
   def semanticNearDupPairsAuto(df: DataFrame, idCol: String, vecCol: String,
                                centroids: Array[(Int, Array[Double])],
                                threshold: Double, targetCell: Int = 1000,
                                maxExtraBits: Int = 8,
                                cellPairBudget: Long = 1000000000L,
-                               probeSplitBits: Int = 0): DataFrame = {
+                               probeSplitBits: Int = 1): DataFrame = {
     val assigned = assignedWithBits(df, idCol, vecCol, centroids, maxExtraBits)
     val sizes = cellSizes(assigned)
     // the same predicate the spec pins — not a re-implementation that
     // could drift from the tested route
-    if (semanticRoute(sizes, cellPairBudget) == "uncapped")
+    val route = semanticRoute(sizes, cellPairBudget)
+    log.info(s"semanticNearDupPairsAuto route=$route " +
+      s"cells=${sizes.length} " +
+      s"cellPairVolume=${sizes.map { case (_, n) => n * n }.sum} " +
+      s"budget=$cellPairBudget probeSplitBits=$probeSplitBits")
+    if (route == "uncapped")
       inCellPairs(assigned, Seq("centroid"), threshold)
     else
       cappedPairsFromAssigned(assigned, sizes, threshold, targetCell,
         maxExtraBits, probeSplitBits)
   }
+
+  /** Embedding-cosine near-dup pairs AT SCALE — the d7 family's entry
+    * point, subsuming [[cosineNearDupLshPairs]] (d7b): same output shape
+    * (id_a, id_b, cos), candidates from the SemDeDup machinery instead
+    * of global origin-plane buckets. d7b's hyperplanes pass through the
+    * origin, so they cannot split a natural cluster and its buckets
+    * track cluster size (AnnScaleCheck V5: max bucket 4.8k→27.9k at
+    * 200k→1.2M vectors, Σ|bucket|² 3.2e9 — quadratic, unbounded at
+    * 100 TB on clustered corpora). This route quantizes to `centroids`
+    * (train with [[IvfIndex.train]], nlist ∝ corpus), splits flooded
+    * cells with CELL-CENTERED planes that measurably bisect (SubcellProbe:
+    * 13.6–26× candidate-volume cut vs 1.6× for origin planes), defaults
+    * to the Hamming-≤1 probed rung above the budget, and salts residual
+    * point-mass subcells — every rung of [[semanticNearDupPairsAuto]],
+    * minus the centroid column d7's contract doesn't carry.
+    *
+    * Differs from d7b in WHICH near-threshold pairs the candidate step
+    * admits (cell/subcell agreement vs bucket/probe agreement) — both
+    * are recall<1 candidate generators verified by exact cosine; this
+    * one's work is bounded per subcell at any corpus size. */
+  def cosineNearDupPairsAuto(df: DataFrame, idCol: String, vecCol: String,
+                             centroids: Array[(Int, Array[Double])],
+                             threshold: Double, targetCell: Int = 1000,
+                             maxExtraBits: Int = 8,
+                             cellPairBudget: Long = 1000000000L,
+                             probeSplitBits: Int = 1): DataFrame =
+    semanticNearDupPairsAuto(df, idCol, vecCol, centroids, threshold,
+      targetCell, maxExtraBits, cellPairBudget, probeSplitBits)
+      .select("id_a", "id_b", "cos")
 
   /** The route [[semanticNearDupPairsAuto]] takes for a given cell-size
     * table — exposed for tests and telemetry. */

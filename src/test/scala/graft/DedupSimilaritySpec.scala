@@ -206,15 +206,25 @@ class DedupSimilaritySpec extends SparkSuite {
     val uncapped = rows(Similarity.semanticNearDupPairs(
       emb, "vec_id", "embedding", cents, 0.3))
     assert(auto == uncapped && auto.nonEmpty)
-    // a budget below this corpus's Σ|cell|² forces the capped branch —
-    // same rows as the standalone capped form at equal (target, bits)
+    // a budget below this corpus's Σ|cell|² forces the capped branch.
+    // The above-budget DEFAULT is the PROBED rung (probeSplitBits = 1 —
+    // the measured 2–3×-cost / near-complete-recall point), so the
+    // default-args auto call must reproduce the probed capped form
     val autoCapped = rows(Similarity.semanticNearDupPairsAuto(
       emb, "vec_id", "embedding", cents, 0.3,
       targetCell = 1, maxExtraBits = 8, cellPairBudget = 10))
+    val probed = rows(Similarity.semanticNearDupPairsCapped(
+      emb, "vec_id", "embedding", cents, 0.3, targetCell = 1, maxExtraBits = 8,
+      probeSplitBits = 1))
+    assert(autoCapped == probed)
+    // opting down (probeSplitBits = 0) reproduces the bare capped arm
+    val autoBare = rows(Similarity.semanticNearDupPairsAuto(
+      emb, "vec_id", "embedding", cents, 0.3,
+      targetCell = 1, maxExtraBits = 8, cellPairBudget = 10, probeSplitBits = 0))
     val capped = rows(Similarity.semanticNearDupPairsCapped(
       emb, "vec_id", "embedding", cents, 0.3, targetCell = 1, maxExtraBits = 8))
-    assert(autoCapped == capped)
-    assert(autoCapped != uncapped) // the forced split genuinely changed the result
+    assert(autoBare == capped)
+    assert(autoBare != uncapped) // the forced split genuinely changed the result
     // the route function itself, at both sides of the default budget
     assert(Similarity.semanticRoute(Array(0 -> 300L)) == "uncapped")
     assert(Similarity.semanticRoute(Array(0 -> 100000L)) == "capped")
@@ -253,6 +263,75 @@ class DedupSimilaritySpec extends SparkSuite {
       emb, "vec_id", "embedding", cents, 0.3, targetCell = 1, maxExtraBits = 8,
       cellPairBudget = 10, probeSplitBits = 1))
     assert(autoProbed == probed)
+  }
+
+  test("cosine near-dup auto (d7c): the semantic route minus the centroid " +
+      "column, subset of exact; forced above budget it defaults to the probed rung") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 300)
+    val cents = Similarity.md5Centroids(4, 64)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val d7c = rows(Similarity.cosineNearDupPairsAuto(
+      emb, "vec_id", "embedding", cents, 0.3))
+    val sem = rows(Similarity.semanticNearDupPairsAuto(
+      emb, "vec_id", "embedding", cents, 0.3).select("id_a", "id_b", "cos"))
+    assert(d7c == sem && d7c.nonEmpty)
+    val exact = rows(Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", 0.3))
+    assert(d7c.subsetOf(exact)) // candidate generation never invents a pair
+    // forced above the budget, the DEFAULT rung is the probed capped arm
+    val d7cAbove = rows(Similarity.cosineNearDupPairsAuto(
+      emb, "vec_id", "embedding", cents, 0.3,
+      targetCell = 1, maxExtraBits = 8, cellPairBudget = 10))
+    val probed = rows(Similarity.semanticNearDupPairsCapped(
+        emb, "vec_id", "embedding", cents, 0.3, targetCell = 1, maxExtraBits = 8,
+        probeSplitBits = 1).select("id_a", "id_b", "cos"))
+    assert(d7cAbove == probed)
+  }
+
+  test("point-mass subcell guard: an exact-dup blast is salted across group " +
+      "tasks with the output set unchanged, capped and probed") {
+    // 40 identical vectors (sign bits identical at ANY split depth, so
+    // the subcell never splits) planted over the 300-vector background;
+    // targetCell=1 makes the blast's subcell flood the 4·targetCell salt
+    // threshold, so the salted path runs for it while background
+    // subcells take the plain join — the equality below covers both
+    // halves and their union
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 300).select("vec_id", "embedding")
+    val base = Array.tabulate(64)(i => (math.cos(i + 1) * 0.3).toFloat)
+    val blast = (0 until 40).map(i => (9000L + i, base)).toDF("vec_id", "embedding")
+    val planted = emb.union(blast)
+    val cents = Similarity.md5Centroids(4, 64)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val uncapped = rows(Similarity.semanticNearDupPairs(
+      planted, "vec_id", "embedding", cents, 0.3))
+    // independent derivation of the capped contract: uncapped pairs
+    // whose members agree on the (centroid, subcell) key
+    val keyOf = Similarity.cappedSubcellKeys(planted, "vec_id", "embedding",
+        cents, targetCell = 1, maxExtraBits = 8)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val expectCapped = uncapped.filter { case (a, b, _) => keyOf(a) == keyOf(b) }
+    val capped = rows(Similarity.semanticNearDupPairsCapped(
+      planted, "vec_id", "embedding", cents, 0.3, targetCell = 1, maxExtraBits = 8))
+    assert(capped == expectCapped)
+    // every one of the blast's C(40,2) = 780 pairs is genuine (cos = 1.0)
+    // and none is lost to the salt spreading
+    val blastPairs = capped.filter { case (a, b, _) => a >= 9000L && b >= 9000L }
+    assert(blastPairs.size == 780 && blastPairs.forall(_._3 == 1.0))
+    // probed variant: pairs whose subcells differ in ≤ 1 bit of the
+    // shared cell mask (both members carry the same k) — also salted,
+    // also exactly the contract
+    val expectProbed = uncapped.filter { case (a, b, _) =>
+      keyOf(a)._1 == keyOf(b)._1 &&
+        java.lang.Long.bitCount(keyOf(a)._2 ^ keyOf(b)._2) <= 1
+    }
+    val probed = rows(Similarity.semanticNearDupPairsCapped(
+      planted, "vec_id", "embedding", cents, 0.3, targetCell = 1,
+      maxExtraBits = 8, probeSplitBits = 1))
+    assert(probed == expectProbed)
+    assert(expectCapped.subsetOf(expectProbed))
   }
 
   test("adaptive refinement: flooded buckets split instead of dropping pairs") {
