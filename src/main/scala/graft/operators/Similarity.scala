@@ -358,12 +358,17 @@ object Similarity {
     // the salt tables are O(flooded keys · s²) driver rows, require-
     // guarded like the family's other driver collects.
     val saltAbove = 4L * math.max(targetCell, 1)
+    // measurement/debug knob (PointMassProbe's A/B arm): -Dgraft.semdedup
+    // .salt=off disables the guard so the single-task exposure it removes
+    // can be measured against it. Default on; output is identical either
+    // way (the spec asserts it), only task shape differs.
+    val saltEnabled = !sys.props.get("graft.semdedup.salt").contains("off")
     // subcells partition cells, so when no CELL exceeds the threshold no
     // subcell can either — the already-collected cell sizes prove it and
     // the subcell count-agg job is skipped entirely (the common case on
     // well-split corpora, and every sub-threshold fixture)
     val oversized: Array[(Int, Long, Long)] =
-      if (sizes.forall { case (_, n) => n <= saltAbove }) Array.empty
+      if (!saltEnabled || sizes.forall { case (_, n) => n <= saltAbove }) Array.empty
       else sub.groupBy("centroid", "subcell")
         .agg(count(lit(1)).as("n")).where(col("n") > saltAbove)
         .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))

@@ -39,6 +39,11 @@ import org.apache.spark.sql.functions._
   *    size, so near-dup pair generation over clustered embeddings needs
   *    the same cap/salt discipline as the text path's banded buckets;
   *    this line is the measured evidence for that sizing decision.
+  *  - V6 capped-route bounded subcells: the per-key population of the
+  *    capped/auto (d7c/d11b/d11c) pair pass at the full corpus, via the
+  *    operator's own subcell derivation — max subcell asserted ≤
+  *    4·targetCell. The bounded-bucket property V5 shows the
+  *    origin-plane buckets lack.
   *
   * Usage: runMain graft.tools.AnnScaleCheck <sfDir>
   */
@@ -226,6 +231,21 @@ object AnnScaleCheck {
         "(reported: clustered corpora keep buckets/cells at natural-cluster " +
         "size - pair generation at scale needs capped/salted cells like the " +
         "text path's banded buckets)")
+
+    // V6 — the capped route's ACTUAL per-key population at the full
+    // corpus (what the d7c/d11b/d11c pair pass joins under, via the same
+    // subcellFrame the operator uses): max subcell must stay within a
+    // small multiple of targetCell — the bounded-bucket property d7b's
+    // origin-plane buckets measurably lack (V5's max_bucket grows with
+    // the corpus; this must not)
+    val (subPairs, subMax) = volume(
+      Similarity.cappedSubcellKeys(actual, "vec_id", "embedding", centroids,
+          targetCell = 1000, maxExtraBits = 8)
+        .select(concat_ws(":", col("centroid"), col("subcell")).as("k")))
+    check("V6_capped_subcell_bound", subMax <= 4000,
+      s"n=$nVecs max_subcell=$subMax (bound 4*targetCell=4000) " +
+        s"subcell_pairs=$subPairs vs uncapped_cell_pairs=$cellPairs " +
+        s"vs lsh16_max_bucket=$bucketMax target=1000 maxBits=8")
 
     plantedB.unpersist(); actual.unpersist()
     val ok = failures.isEmpty

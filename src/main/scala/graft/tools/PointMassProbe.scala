@@ -1,0 +1,88 @@
+package graft.tools
+
+import graft.operators.Similarity
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Measures the point-mass subcell guard: on a duplicate-blast corpus
+  * (ScaleGen with SPARK_GRAFT_EMB_BLAST — the first k rows carry one
+  * identical vector, a subcell no split plane can subdivide), A/Bs the
+  * capped SemDeDup pair pass with the salt guard ON (default) vs OFF
+  * (-Dgraft.semdedup.salt=off, flipped in-process between arms) and
+  * reports:
+  *  - max_subcell and the single-task candidate volume the unsalted
+  *    plan concentrates there (max²/2 — the exposure the guard removes)
+  *  - the salt count s and the per-task candidate volume after
+  *    spreading ((2·max/s)² per group over s²/2 groups)
+  *  - wall-clock and output pair count of both arms — counts must be
+  *    EQUAL (the guard is a task-shape change, not a semantics change;
+  *    asserted here at scale, as the spec asserts it at fixture size).
+  *
+  * Centroids are the fixed md5 table, not trained: Lloyd's
+  * deterministic init seeds from the first nlist rows by id, which in a
+  * blast corpus are all the same vector — the degenerate quantizer
+  * would put the WHOLE corpus in one cell and measure the quantizer's
+  * failure, not the guard.
+  *
+  * Usage: runMain graft.tools.PointMassProbe <sfDir> [threshold] [targetCell] [arms]
+  * `arms` csv subset of salted,unsalted (default both).
+  */
+object PointMassProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val threshold = if (args.length > 1) args(1).toDouble else 0.99
+    val target = if (args.length > 2) args(2).toInt else 1000
+    val Known = Set("salted", "unsalted")
+    val arms: Set[String] =
+      if (args.length > 3) args(3).split(",").map(_.trim).toSet else Known
+    require(arms.nonEmpty && arms.subsetOf(Known),
+      s"unknown arm(s) ${(arms -- Known).mkString(",")}; known: ${Known.mkString(",")}")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", math.max(1, cpus.toInt / 2))
+      .config("spark.sql.autoBroadcastJoinThreshold", "67108864")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = emb.count()
+    val centroids = Similarity.md5Centroids(64, 64)
+
+    // the capped route's key populations (operator's own derivation)
+    val sizes = Similarity.cappedSubcellKeys(emb, "vec_id", "embedding",
+        centroids, targetCell = target, maxExtraBits = 8)
+      .groupBy("centroid", "subcell").agg(count(lit(1)).as("n"))
+      .agg(max("n").cast("long"), sum(col("n") * (col("n") - 1) / 2).cast("long"))
+      .head()
+    val maxSub = sizes.getLong(0)
+    val totalCand = sizes.getLong(1)
+    val s = math.min(64L, (maxSub + target - 1) / math.max(target, 1))
+    val unsaltedTaskCand = maxSub * (maxSub - 1) / 2
+    val saltedTaskCand = if (s <= 1) unsaltedTaskCand else {
+      val g = 2 * maxSub / s; g * g
+    }
+
+    def timed(name: String): (Double, Long) =
+      if (!arms(name)) (-1.0, -1L)
+      else {
+        val t0 = System.nanoTime()
+        val c = Similarity.semanticNearDupPairsCapped(emb, "vec_id",
+          "embedding", centroids, threshold, target, maxExtraBits = 8).count()
+        ((System.nanoTime() - t0) / 1e9, c)
+      }
+    val (tSalted, nSalted) = timed("salted")
+    sys.props("graft.semdedup.salt") = "off"
+    val (tUnsalted, nUnsalted) = try timed("unsalted")
+    finally sys.props -= "graft.semdedup.salt"
+    if (arms == Known) require(nSalted == nUnsalted,
+      s"guard changed the output: salted=$nSalted unsalted=$nUnsalted")
+    val armsJson = Seq("salted", "unsalted").filter(arms)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"tool":"PointMassProbe","sf_dir":"$sfDir","arms":$armsJson,"n_vecs":$n,"threshold":$threshold,"target_cell":$target,"max_subcell":$maxSub,"salt_s":$s,"unsalted_task_candidates":$unsaltedTaskCand,"salted_task_candidates":$saltedTaskCand,"total_candidates":$totalCand,"salted_s":$tSalted%.1f,"salted_pairs":$nSalted,"unsalted_s":$tUnsalted%.1f,"unsalted_pairs":$nUnsalted}""")
+    spark.stop()
+  }
+}

@@ -289,9 +289,18 @@ object ScaleGen extends Serializable {
     // ~0.3, noise 0.1, matching sf0.1 magnitudes); ~2% planted near-dups
     // of the previous vector (same label, +0.001 noise). Row generation
     // lives in [[vecRow]] so AnnScaleCheck replays the identical vectors.
+    // SPARK_GRAFT_EMB_BLAST=<count>: duplicate-blast mode — the first
+    // <count> rows all carry row 0's exact vector (an adversarial
+    // point mass no split plane can subdivide), the PointMassProbe /
+    // salt-guard stress fixture. Blast corpora fail AnnScaleCheck's V0
+    // by construction — they are not replayable by vecRow and exist
+    // only for the guard measurement.
+    val blast = sys.env.get("SPARK_GRAFT_EMB_BLAST").map(_.toLong).getOrElse(0L)
     if (wanted("embeddings")) write(
-      spark.range(0, nVecs, 1, par).map(id => vecRow(id))
-        .toDF("vec_id", "embedding", "label"), "embeddings")
+      spark.range(0, nVecs, 1, par).map { id =>
+        if (id < blast) { val (_, v, l) = vecRow(0); (id, v, l) }
+        else vecRow(id)
+      }.toDF("vec_id", "embedding", "label"), "embeddings")
 
     spark.stop()
   }
