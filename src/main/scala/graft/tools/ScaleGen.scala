@@ -298,7 +298,7 @@ object ScaleGen extends Serializable {
     val blast = sys.env.get("SPARK_GRAFT_EMB_BLAST").map(_.toLong).getOrElse(0L)
     if (wanted("embeddings")) write(
       spark.range(0, nVecs, 1, par).map { id =>
-        if (id < blast) { val (_, v, l) = vecRow(0); (id, v, l) }
+        if (id < blast) { val (_, v, l) = vecRow(0); (id.toLong, v, l) }
         else vecRow(id)
       }.toDF("vec_id", "embedding", "label"), "embeddings")
 
