@@ -2382,12 +2382,16 @@ object Queries {
       .withColumn("centroid", col("centroid").cast("long"))
       .sortSmall("id_a", "id_b")
 
-  val d11Sql: String = {
+  /** d11's CTE body (centroid assignment + in-cell pair scoring), shared
+    * by d11Sql (pair output) and d12Sql (clusters over the same pairs) —
+    * the d2CtesSql pattern: both oracles see ONE pair derivation by
+    * construction. */
+  private val d11CtesSql: String = {
     val dotProd = "list_reduce(list_transform(list_zip(%s, %s), s -> s[1] * s[2]), (a, b) -> a + b)"
     def cosOf(v: String) =
       s"${dotProd.format(v, "wl")} / (sqrt(${dotProd.format(v, v)}) * sqrt(${dotProd.format("wl", "wl")}))"
     val h8 = "list_reduce(list_transform(range(1, 9), i -> CAST(strpos('0123456789abcdef', substr(md5('centroid:' || CAST(c AS VARCHAR) || ':' || CAST(d AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
-    s"""WITH pw AS (
+    s"""pw AS (
        |  SELECT c, d, CAST($h8 AS DOUBLE) / 4294967296.0 * 2 - 1 AS w
        |  FROM range(8) cr(c), range(64) dr(d)),
        |pl AS (SELECT c, list(w ORDER BY d) AS wl FROM pw GROUP BY c),
@@ -2405,10 +2409,13 @@ object Queries {
        |    a.cid AS centroid
        |  FROM asn a JOIN asn b ON a.cid = b.cid AND a.vec_id < b.vec_id
        |    JOIN c0 av ON av.vec_id = a.vec_id
-       |    JOIN c0 bv ON bv.vec_id = b.vec_id)
+       |    JOIN c0 bv ON bv.vec_id = b.vec_id)""".stripMargin
+  }
+
+  val d11Sql: String =
+    s"""WITH $d11CtesSql
        |SELECT id_a, id_b, cos, centroid FROM p WHERE cos >= 0.4
        |ORDER BY id_a, id_b""".stripMargin
-  }
 
   /** D11b — SemDeDup with CAPPED cells, the 100 TB form of d11: cells
     * larger than targetCell are subdivided by sign bits of an
@@ -2528,6 +2535,49 @@ object Queries {
       "d11dSql: probe-predicate replace found nothing — d11bSql text drifted")
     relaxed
   }
+
+  /** D12 — the SemDeDup APPLY step (the paper's actual goal: PRUNE
+    * semantic duplicates): connected components over the semantic pair
+    * graph ([[Similarity.semanticNearDupPairsAuto]] — the family's auto
+    * entry, so detection and clustering can never disagree on the pair
+    * set), then one survivor per cluster — the min-id member, which IS
+    * the component label — with how many vectors it absorbed and its
+    * provenance label. The d8→d10 pattern applied to embeddings: label
+    * propagation is the same operator ([[Dedup.connectedComponents]],
+    * Pregel-style supersteps, driver holds only a convergence count),
+    * plus one count-by-label agg and one id-equi-join — both shuffle on
+    * the id, nothing corpus-quadratic anywhere. The oracle reuses
+    * d11Sql's CTE body verbatim (shared `d11CtesSql`) and closes the
+    * clusters with a recursive-CTE fixpoint, so the pair derivation
+    * cannot drift between the d11 and d12 rows. */
+  def d12SemanticClusters(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").where(col("vec_id") < 1000)
+    val pairs = Similarity.semanticNearDupPairsAuto(emb, "vec_id", "embedding",
+        centroids = Similarity.md5Centroids(8, 64), threshold = 0.4)
+      .select(col("id_a"), col("id_b"))
+    val labels = Dedup.connectedComponents(emb.select(col("vec_id").as("id")), pairs)
+    labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .join(emb.select(col("vec_id"), col("label")),
+        col("cluster_id") === col("vec_id"))
+      .select(col("vec_id"), col("label"), col("n_vecs"))
+      .sortSmall("vec_id")
+  }
+
+  val d12Sql: String =
+    s"""WITH RECURSIVE $d11CtesSql,
+       |pairs AS (SELECT id_a, id_b FROM p WHERE cos >= 0.4),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT vec_id, vec_id FROM c0
+       |  UNION
+       |  SELECT reach.id, edges.dst FROM reach JOIN edges ON reach.r = edges.src),
+       |lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+       |surv AS (SELECT cluster_id, count(*) AS n_vecs FROM lab GROUP BY cluster_id)
+       |SELECT s.cluster_id AS vec_id, e.label, s.n_vecs
+       |FROM surv s JOIN embeddings e ON e.vec_id = s.cluster_id
+       |ORDER BY vec_id""".stripMargin
 
   /** D7 — embedding-cosine near-duplicate pairs (exact over a bounded id
     * range; the LSH/IVF candidate paths are verified against this in
@@ -4455,6 +4505,7 @@ object Queries {
     "d11b_semantic_dedup_capped" -> d11bSemanticDedupCapped,
     "d11c_semantic_dedup_auto" -> d11cSemanticDedupAuto,
     "d11d_semantic_dedup_probed" -> d11dSemanticDedupProbed,
+    "d12_semantic_clusters" -> d12SemanticClusters,
     "x5_pii_scrub" -> x5PiiScrub,
     "k1_salted_agg" -> k1SaltedAgg,
     "st2_streaming_hourly" -> st2StreamingHourly,
@@ -4564,6 +4615,7 @@ object Queries {
     "d11b_semantic_dedup_capped" -> d11bSql,
     "d11c_semantic_dedup_auto" -> d11Sql,
     "d11d_semantic_dedup_probed" -> d11dSql,
+    "d12_semantic_clusters" -> d12Sql,
     "x5_pii_scrub" -> x5Sql,
     "k1_salted_agg" -> k1Sql,
     "st3_streaming_dedup" -> st3Sql,

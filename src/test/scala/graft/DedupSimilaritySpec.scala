@@ -289,6 +289,31 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(d7cAbove == probed)
   }
 
+  test("semantic dedup APPLY (d12): every vector absorbed exactly once, " +
+      "survivor is its cluster's min id") {
+    val spark0 = spark
+    import spark0.implicits._
+    val d12 = graft.Queries.d12SemanticClusters(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val n = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 1000).count()
+    // the survivors' absorbed counts tile the corpus: nothing dropped,
+    // nothing double-counted
+    assert(d12.map(_._2).sum == n)
+    // at least one genuine multi-member cluster on this fixture
+    assert(d12.exists(_._2 > 1) && d12.length < n)
+    // a survivor is the min id of its component: no pair's LARGER member
+    // (id_a < id_b by contract) can be a survivor — the smaller member
+    // proves a lower id shares its component
+    val survivors = d12.map(_._1).toSet
+    val pairs = graft.operators.Similarity.semanticNearDupPairsAuto(
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+          .where(col("vec_id") < 1000), "vec_id", "embedding",
+        graft.operators.Similarity.md5Centroids(8, 64), 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty && pairs.forall { case (_, b) => !survivors(b) })
+  }
+
   test("point-mass subcell guard: an exact-dup blast is salted across group " +
       "tasks with the output set unchanged, capped and probed") {
     // 40 identical vectors (sign bits identical at ANY split depth, so
