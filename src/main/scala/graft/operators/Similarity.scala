@@ -379,12 +379,10 @@ object Similarity {
       if (oversized.isEmpty) None
       else {
         val counts = oversized.map { case (cid, sc, n) =>
-          val s = math.min(64L, (n + targetCell - 1) / math.max(targetCell, 1)).toInt
-          (cid, sc, s)
+          (cid, sc, saltCount(n, targetCell))
         }
         val expand = counts.flatMap { case (cid, sc, s) =>
-          for { r <- 0 until s; t <- 0 until s }
-            yield (cid, sc, r, math.min(r, t), math.max(r, t))
+          saltGroupRows(s).map { case (r, gi, gj) => (cid, sc, r, gi, gj) }
         }
         require(expand.length <= 2000000,
           s"point-mass salt guard: expand table ${expand.length} rows " +
@@ -408,6 +406,17 @@ object Similarity {
       inCellPairsBetween(probes, exact, Seq("centroid", "skey"), threshold, saltP)
     }
   }
+
+  /** Salt count for a flooded key of size n: enough groups to bring the
+    * per-group population near targetCell, capped at 64 (s² join keys). */
+  private def saltCount(n: Long, targetCell: Int): Int =
+    math.min(64L, (n + targetCell - 1) / math.max(targetCell, 1)).toInt
+
+  /** The (salt, gi, gj) membership rows for salt count s: salt r belongs
+    * to the s groups {(min(r,t), max(r,t)) : t < s}. */
+  private def saltGroupRows(s: Int): Seq[(Int, Int, Int)] =
+    for { r <- 0 until s; t <- 0 until s }
+      yield (r, math.min(r, t), math.max(r, t))
 
   /** The assigned frame with its per-cell split depth applied: mask and
     * flip columns broadcast-joined from the O(nlist) depth table, the
@@ -510,6 +519,10 @@ object Similarity {
     *  - Σ|cell|² ≤ cellPairBudget → the uncapped in-cell pass
     *    ([[semanticNearDupPairs]] semantics — exact within cells, the
     *    lossless-within-cell form), straight off the checkpointed frame.
+    *    Cells above 4·targetCell are spread over salt-group triangles
+    *    (output unchanged — the budget bounds total candidate volume,
+    *    the salting bounds any ONE task's share of it; the routing
+    *    sizes are already on the driver, so this costs zero extra jobs).
     *  - above the budget → the capped form: the quadratic term is
     *    unbounded on natural clusters (Σ|cell|² grew 9× for 3× corpus,
     *    AnnScaleCheck V5 200k→600k) and the capped plan is the only one
@@ -563,9 +576,33 @@ object Similarity {
       s"cells=${sizes.length} " +
       s"cellPairVolume=${sizes.map { case (_, n) => n * n }.sum} " +
       s"budget=$cellPairBudget probeSplitBits=$probeSplitBits")
-    if (route == "uncapped")
-      inCellPairs(assigned, Seq("centroid"), threshold)
-    else
+    if (route == "uncapped") {
+      // the budget bounds the branch's TOTAL candidate volume, not any
+      // single task's: one flooded cell can hold most of the budget on
+      // one join key (30k rows in a cell = 4.5e8 candidates on ONE task
+      // while the rest of the cluster idles). The routing sizes are
+      // already on the driver, so the same salt-group triangle the
+      // capped path uses for point masses spreads any cell above
+      // 4·targetCell — zero extra jobs, output unchanged (the oracles
+      // and the spec's equality-to-standalone-form both still hold).
+      val saltAbove = 4L * math.max(targetCell, 1)
+      val saltEnabled = !sys.props.get("graft.semdedup.salt").contains("off")
+      val over = if (saltEnabled) sizes.filter(_._2 > saltAbove)
+                 else Array.empty[(Int, Long)]
+      val salt: Option[(DataFrame, DataFrame)] =
+        if (over.isEmpty) None
+        else {
+          val session = df.sparkSession
+          import session.implicits._
+          val counts = over.map { case (cid, n) => (cid, saltCount(n, targetCell)) }
+          val expand = counts.flatMap { case (cid, s) =>
+            saltGroupRows(s).map { case (r, gi, gj) => (cid, r, gi, gj) }
+          }
+          Some((counts.toSeq.toDF("centroid", "__s"),
+            expand.toSeq.toDF("centroid", "__salt", "__gi", "__gj")))
+        }
+      inCellPairsBetween(assigned, assigned, Seq("centroid"), threshold, salt)
+    } else
       cappedPairsFromAssigned(assigned, sizes, threshold, targetCell,
         maxExtraBits, probeSplitBits)
   }

@@ -206,6 +206,12 @@ class DedupSimilaritySpec extends SparkSuite {
     val uncapped = rows(Similarity.semanticNearDupPairs(
       emb, "vec_id", "embedding", cents, 0.3))
     assert(auto == uncapped && auto.nonEmpty)
+    // the uncapped branch spreads flooded cells over salt groups with
+    // the OUTPUT unchanged: targetCell=1 floods every cell past the 4×
+    // salt threshold while the default budget keeps the route uncapped
+    val autoSalted = rows(Similarity.semanticNearDupPairsAuto(
+      emb, "vec_id", "embedding", cents, 0.3, targetCell = 1))
+    assert(autoSalted == uncapped)
     // a budget below this corpus's Σ|cell|² forces the capped branch.
     // The above-budget DEFAULT is the PROBED rung (probeSplitBits = 1 —
     // the measured 2–3×-cost / near-complete-recall point), so the
