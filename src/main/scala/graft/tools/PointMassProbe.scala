@@ -24,8 +24,12 @@ import org.apache.spark.sql.functions._
   * would put the WHOLE corpus in one cell and measure the quantizer's
   * failure, not the guard.
   *
-  * Usage: runMain graft.tools.PointMassProbe <sfDir> [threshold] [targetCell] [arms]
-  * `arms` csv subset of salted,unsalted (default both).
+  * Usage: runMain graft.tools.PointMassProbe <sfDir> [threshold] [targetCell] [arms] [route]
+  * `arms` csv subset of salted,unsalted (default both); `route` is
+  * capped (default) or uncapped — the latter drives the auto entry with
+  * an unbounded budget, measuring the UNCAPPED branch's flooded-cell
+  * salting (whose single-task exposure is the whole cell's pair loop,
+  * not just the unsplittable residual's).
   */
 object PointMassProbe {
   def main(args: Array[String]): Unit = {
@@ -37,6 +41,9 @@ object PointMassProbe {
       if (args.length > 3) args(3).split(",").map(_.trim).toSet else Known
     require(arms.nonEmpty && arms.subsetOf(Known),
       s"unknown arm(s) ${(arms -- Known).mkString(",")}; known: ${Known.mkString(",")}")
+    val route = if (args.length > 4) args(4) else "capped"
+    require(route == "capped" || route == "uncapped",
+      s"route must be capped or uncapped, got $route")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -52,10 +59,18 @@ object PointMassProbe {
     val n = emb.count()
     val centroids = Similarity.md5Centroids(64, 64)
 
-    // the capped route's key populations (operator's own derivation)
-    val sizes = Similarity.cappedSubcellKeys(emb, "vec_id", "embedding",
-        centroids, targetCell = target, maxExtraBits = 8)
-      .groupBy("centroid", "subcell").agg(count(lit(1)).as("n"))
+    // the route's key populations (operator's own derivation): the
+    // capped route pairs under (centroid, subcell); the uncapped route
+    // pairs under the bare cell
+    val keyed =
+      if (route == "capped")
+        Similarity.cappedSubcellKeys(emb, "vec_id", "embedding",
+            centroids, targetCell = target, maxExtraBits = 8)
+          .groupBy("centroid", "subcell")
+      else
+        Similarity.IvfIndex.assign(emb, "embedding", centroids)
+          .groupBy("centroid")
+    val sizes = keyed.agg(count(lit(1)).as("n"))
       .agg(max("n").cast("long"), sum(col("n") * (col("n") - 1) / 2).cast("long"))
       .head()
     val maxSub = sizes.getLong(0)
@@ -70,8 +85,14 @@ object PointMassProbe {
       if (!arms(name)) (-1.0, -1L)
       else {
         val t0 = System.nanoTime()
-        val c = Similarity.semanticNearDupPairsCapped(emb, "vec_id",
-          "embedding", centroids, threshold, target, maxExtraBits = 8).count()
+        val c =
+          if (route == "capped")
+            Similarity.semanticNearDupPairsCapped(emb, "vec_id",
+              "embedding", centroids, threshold, target, maxExtraBits = 8).count()
+          else
+            Similarity.semanticNearDupPairsAuto(emb, "vec_id", "embedding",
+              centroids, threshold, target, maxExtraBits = 8,
+              cellPairBudget = Long.MaxValue).count()
         ((System.nanoTime() - t0) / 1e9, c)
       }
     val (tSalted, nSalted) = timed("salted")
@@ -82,7 +103,7 @@ object PointMassProbe {
       s"guard changed the output: salted=$nSalted unsalted=$nUnsalted")
     val armsJson = Seq("salted", "unsalted").filter(arms)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"tool":"PointMassProbe","sf_dir":"$sfDir","arms":$armsJson,"n_vecs":$n,"threshold":$threshold,"target_cell":$target,"max_subcell":$maxSub,"salt_s":$s,"unsalted_task_candidates":$unsaltedTaskCand,"salted_task_candidates":$saltedTaskCand,"total_candidates":$totalCand,"salted_s":$tSalted%.1f,"salted_pairs":$nSalted,"unsalted_s":$tUnsalted%.1f,"unsalted_pairs":$nUnsalted}""")
+    println(f"""{"tool":"PointMassProbe","sf_dir":"$sfDir","route":"$route","arms":$armsJson,"n_vecs":$n,"threshold":$threshold,"target_cell":$target,"max_subcell":$maxSub,"salt_s":$s,"unsalted_task_candidates":$unsaltedTaskCand,"salted_task_candidates":$saltedTaskCand,"total_candidates":$totalCand,"salted_s":$tSalted%.1f,"salted_pairs":$nSalted,"unsalted_s":$tUnsalted%.1f,"unsalted_pairs":$nUnsalted}""")
     spark.stop()
   }
 }
