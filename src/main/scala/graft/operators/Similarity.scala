@@ -349,14 +349,15 @@ object Similarity {
     // the adversarial worst case — a sub-cluster tighter than the bit
     // resolution (an exact-dup blast: identical vectors, identical sign
     // bits at any depth) never splits, and its subcell's pair loop would
-    // land n² work on ONE task. Any subcell still > 4·targetCell after
-    // splitting is such a residual; spread its pair loop over a
-    // salt-group triangle (see [[inCellPairsBetween]]) — output set
-    // identical (the pairs are genuine duplicates; the OUTPUT is
-    // inherently quadratic in the blast, only the per-task work was the
-    // problem). One extra count-agg job over the checkpointed artifact;
-    // the salt tables are O(flooded keys · s²) driver rows, require-
-    // guarded like the family's other driver collects.
+    // land n² work on ONE task. Any pair-join key whose population is
+    // still > 4·targetCell after splitting is such a residual; spread
+    // its pair loop over a salt-group triangle (see
+    // [[inCellPairsBetween]]) — output set identical (the pairs are
+    // genuine duplicates; the OUTPUT is inherently quadratic in the
+    // blast, only the per-task work was the problem). One extra
+    // count-agg job over the checkpointed artifact; the salt tables are
+    // driver rows, require-guarded in [[saltTables]] like the family's
+    // other driver collects.
     val saltAbove = 4L * math.max(targetCell, 1)
     // measurement/debug knob (PointMassProbe's A/B arm): -Dgraft.semdedup
     // .salt=off disables the guard so the single-task exposure it removes
@@ -365,51 +366,52 @@ object Similarity {
     val saltEnabled = !sys.props.get("graft.semdedup.salt").contains("off")
     // subcells partition cells, so when no CELL exceeds the threshold no
     // subcell can either — the already-collected cell sizes prove it and
-    // the subcell count-agg job is skipped entirely (the common case on
-    // well-split corpora, and every sub-threshold fixture)
-    val oversized: Array[(Int, Long, Long)] =
-      if (!saltEnabled || sizes.forall { case (_, n) => n <= saltAbove }) Array.empty
-      else sub.groupBy("centroid", "subcell")
-        .agg(count(lit(1)).as("n")).where(col("n") > saltAbove)
-        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-    require(oversized.length <= 100000,
-      s"point-mass salt guard: ${oversized.length} flooded subcells " +
-        s"(> $saltAbove rows) exceeds the driver budget — raise targetCell")
-    val salt: Option[(DataFrame, DataFrame)] =
-      if (oversized.isEmpty) None
-      else {
-        val counts = oversized.map { case (cid, sc, n) =>
-          (cid, sc, saltCount(n, targetCell))
-        }
-        val expand = counts.flatMap { case (cid, sc, s) =>
-          saltGroupRows(s).map { case (r, gi, gj) => (cid, sc, r, gi, gj) }
-        }
-        require(expand.length <= 2000000,
-          s"point-mass salt guard: expand table ${expand.length} rows " +
-            "exceeds the driver budget")
-        Some((counts.toSeq.toDF("centroid", "subcell", "__s"),
-          expand.toSeq.toDF("centroid", "subcell", "__salt", "__gi", "__gj")))
-      }
-    if (probeSplitBits == 0)
+    // the count-agg job is skipped entirely (the common case on
+    // well-split corpora, and every sub-threshold fixture). For the
+    // probe branch the skipped case's per-key probe-side population is
+    // still bounded: ≤ (1+maxExtraBits)·saltAbove — a corpus-size-
+    // independent constant, the documented (1+k)-fold probe cost over
+    // the threshold slack, not a scale exposure.
+    val canFlood = saltEnabled && sizes.exists { case (_, n) => n > saltAbove }
+    if (probeSplitBits == 0) {
+      val oversized: Array[(Seq[Any], Long)] =
+        if (!canFlood) Array.empty
+        else sub.groupBy("centroid", "subcell")
+          .agg(count(lit(1)).as("n")).where(col("n") > saltAbove)
+          .collect().map(r => (Seq[Any](r.getInt(0), r.getLong(1)), r.getLong(2)))
+      val salt = saltTables(session,
+        Seq("centroid" -> org.apache.spark.sql.types.IntegerType,
+          "subcell" -> org.apache.spark.sql.types.LongType),
+        oversized, targetCell)
       inCellPairsBetween(sub, sub, Seq("centroid", "subcell"), threshold, salt)
-    else {
+    } else {
       val probes = sub.withColumn("f", explode(col("flips")))
         .withColumn("skey", col("subcell").bitwiseXOR(col("f")))
       val exact = sub.withColumn("skey", col("subcell"))
-      // the probe join keys on skey, and a probe row's salt must come
-      // from the TARGET subcell's count (both sides of a (cell, skey)
-      // match salt against the same s), so the tables rename to skey
-      val saltP = salt.map { case (sc, ex) =>
-        (sc.withColumnRenamed("subcell", "skey"),
-          ex.withColumnRenamed("subcell", "skey"))
-      }
-      inCellPairsBetween(probes, exact, Seq("centroid", "skey"), threshold, saltP)
+      // the probe join keys on skey, and flood detection must count the
+      // PROBE side's population per key, not the exact subcell's: a
+      // blast's probe rows flood every Hamming-1 NEIGHBOR key too (n
+      // probe rows × the neighbor's exact rows on one task if only the
+      // blast's own key were salted). The probe side dominates (flip 0
+      // replicates every exact row), so its count keys the salting —
+      // and both sides of a (cell, skey) match read the same s.
+      val oversized: Array[(Seq[Any], Long)] =
+        if (!canFlood) Array.empty
+        else probes.groupBy("centroid", "skey")
+          .agg(count(lit(1)).as("n")).where(col("n") > saltAbove)
+          .collect().map(r => (Seq[Any](r.getInt(0), r.getLong(1)), r.getLong(2)))
+      val salt = saltTables(session,
+        Seq("centroid" -> org.apache.spark.sql.types.IntegerType,
+          "skey" -> org.apache.spark.sql.types.LongType),
+        oversized, targetCell)
+      inCellPairsBetween(probes, exact, Seq("centroid", "skey"), threshold, salt)
     }
   }
 
   /** Salt count for a flooded key of size n: enough groups to bring the
-    * per-group population near targetCell, capped at 64 (s² join keys). */
-  private def saltCount(n: Long, targetCell: Int): Int =
+    * per-group population near targetCell, capped at 64 (s² join keys).
+    * private[graft] so PointMassProbe reports the SAME s the plan uses. */
+  private[graft] def saltCount(n: Long, targetCell: Int): Int =
     math.min(64L, (n + targetCell - 1) / math.max(targetCell, 1)).toInt
 
   /** The (salt, gi, gj) membership rows for salt count s: salt r belongs
@@ -417,6 +419,42 @@ object Similarity {
   private def saltGroupRows(s: Int): Seq[(Int, Int, Int)] =
     for { r <- 0 until s; t <- 0 until s }
       yield (r, math.min(r, t), math.max(r, t))
+
+  /** The ONE construction site for [[inCellPairsBetween]]'s salt tables
+    * (flooded keys of any arity — (centroid) for the uncapped branch,
+    * (centroid, subcell/skey) for the capped/probed ones), so the
+    * salting scheme cannot drift between call sites. `flooded`: the
+    * key's column values and its population. Driver budgets enforced
+    * here for every caller. */
+  private def saltTables(session: org.apache.spark.sql.SparkSession,
+                         keyCols: Seq[(String, org.apache.spark.sql.types.DataType)],
+                         flooded: Seq[(Seq[Any], Long)],
+                         targetCell: Int): Option[(DataFrame, DataFrame)] = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    if (flooded.isEmpty) None
+    else {
+      require(flooded.length <= 100000,
+        s"salt guard: ${flooded.length} flooded keys exceeds the driver " +
+          "budget — raise targetCell")
+      val counts = flooded.map { case (k, n) => (k, saltCount(n, targetCell)) }
+      val expandRows = counts.flatMap { case (k, s) =>
+        saltGroupRows(s).map { case (r, gi, gj) => Row.fromSeq(k ++ Seq(r, gi, gj)) }
+      }
+      require(expandRows.length <= 2000000,
+        s"salt guard: expand table ${expandRows.length} rows exceeds the " +
+          "driver budget — raise targetCell")
+      val keyFields = keyCols.map { case (n0, t) => StructField(n0, t) }
+      import scala.jdk.CollectionConverters._
+      val sCounts = session.createDataFrame(
+        counts.map { case (k, s) => Row.fromSeq(k :+ s) }.asJava,
+        StructType(keyFields :+ StructField("__s", IntegerType)))
+      val expand = session.createDataFrame(expandRows.asJava,
+        StructType(keyFields ++ Seq(StructField("__salt", IntegerType),
+          StructField("__gi", IntegerType), StructField("__gj", IntegerType))))
+      Some((sCounts, expand))
+    }
+  }
 
   /** The assigned frame with its per-cell split depth applied: mask and
     * flip columns broadcast-joined from the O(nlist) depth table, the
@@ -587,20 +625,13 @@ object Similarity {
       // and the spec's equality-to-standalone-form both still hold).
       val saltAbove = 4L * math.max(targetCell, 1)
       val saltEnabled = !sys.props.get("graft.semdedup.salt").contains("off")
-      val over = if (saltEnabled) sizes.filter(_._2 > saltAbove)
-                 else Array.empty[(Int, Long)]
-      val salt: Option[(DataFrame, DataFrame)] =
-        if (over.isEmpty) None
-        else {
-          val session = df.sparkSession
-          import session.implicits._
-          val counts = over.map { case (cid, n) => (cid, saltCount(n, targetCell)) }
-          val expand = counts.flatMap { case (cid, s) =>
-            saltGroupRows(s).map { case (r, gi, gj) => (cid, r, gi, gj) }
-          }
-          Some((counts.toSeq.toDF("centroid", "__s"),
-            expand.toSeq.toDF("centroid", "__salt", "__gi", "__gj")))
-        }
+      val over: Seq[(Seq[Any], Long)] =
+        if (saltEnabled)
+          sizes.collect { case (cid, n) if n > saltAbove => (Seq[Any](cid), n) }.toSeq
+        else Seq.empty
+      val salt = saltTables(df.sparkSession,
+        Seq("centroid" -> org.apache.spark.sql.types.IntegerType),
+        over, targetCell)
       inCellPairsBetween(assigned, assigned, Seq("centroid"), threshold, salt)
     } else
       cappedPairsFromAssigned(assigned, sizes, threshold, targetCell,

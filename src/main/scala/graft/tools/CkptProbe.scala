@@ -31,11 +31,11 @@ object CkptProbe {
     cp3.count()
     println(s"rows=1000 evals_lazy_local=${acc3.value}")
     spark.stop()
-    def rm(p: java.nio.file.Path): Unit = {
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.list(p).forEach(rm(_))
-      java.nio.file.Files.deleteIfExists(p)
-    }
-    rm(ckptDir)
+    // Files.walk must be closed (it holds open directory handles);
+    // reverse order deletes children before parents
+    val walk = java.nio.file.Files.walk(ckptDir)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally walk.close()
   }
 }

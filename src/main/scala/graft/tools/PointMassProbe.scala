@@ -26,10 +26,12 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.tools.PointMassProbe <sfDir> [threshold] [targetCell] [arms] [route]
   * `arms` csv subset of salted,unsalted (default both); `route` is
-  * capped (default) or uncapped — the latter drives the auto entry with
-  * an unbounded budget, measuring the UNCAPPED branch's flooded-cell
-  * salting (whose single-task exposure is the whole cell's pair loop,
-  * not just the unsplittable residual's).
+  * capped (default), probed (probeSplitBits = 1 — flood detection and
+  * exposure stats key on the PROBE side's per-skey population, the
+  * Hamming-≤1 subcell neighborhood sum), or uncapped (drives the auto
+  * entry with an unbounded budget, measuring the UNCAPPED branch's
+  * flooded-cell salting, whose single-task exposure is the whole
+  * cell's pair loop, not just the unsplittable residual's).
   */
 object PointMassProbe {
   def main(args: Array[String]): Unit = {
@@ -42,8 +44,8 @@ object PointMassProbe {
     require(arms.nonEmpty && arms.subsetOf(Known),
       s"unknown arm(s) ${(arms -- Known).mkString(",")}; known: ${Known.mkString(",")}")
     val route = if (args.length > 4) args(4) else "capped"
-    require(route == "capped" || route == "uncapped",
-      s"route must be capped or uncapped, got $route")
+    require(Set("capped", "probed", "uncapped")(route),
+      s"route must be capped, probed or uncapped, got $route")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -61,22 +63,46 @@ object PointMassProbe {
 
     // the route's key populations (operator's own derivation): the
     // capped route pairs under (centroid, subcell); the uncapped route
-    // pairs under the bare cell
-    val keyed =
-      if (route == "capped")
-        Similarity.cappedSubcellKeys(emb, "vec_id", "embedding",
+    // under the bare cell; the probed route's flood-relevant population
+    // is the PROBE side's per-skey count — Σ of the Hamming-≤1 subcell
+    // neighborhood — and its per-task candidates are probePop × exactPop
+    val (maxSub, unsaltedTaskCand, totalCand) = route match {
+      case "probed" =>
+        val sc = Similarity.cappedSubcellKeys(emb, "vec_id", "embedding",
             centroids, targetCell = target, maxExtraBits = 8)
-          .groupBy("centroid", "subcell")
-      else
-        Similarity.IvfIndex.assign(emb, "embedding", centroids)
-          .groupBy("centroid")
-    val sizes = keyed.agg(count(lit(1)).as("n"))
-      .agg(max("n").cast("long"), sum(col("n") * (col("n") - 1) / 2).cast("long"))
-      .head()
-    val maxSub = sizes.getLong(0)
-    val totalCand = sizes.getLong(1)
-    val s = math.min(64L, (maxSub + target - 1) / math.max(target, 1))
-    val unsaltedTaskCand = maxSub * (maxSub - 1) / 2
+          .groupBy("centroid", "subcell").agg(count(lit(1)).as("n"))
+        val a = sc.select(col("centroid"), col("subcell").as("sa"), col("n").as("na"))
+        val b = sc.select(col("centroid"), col("subcell").as("sb"), col("n").as("nb"))
+        val perKey = a.join(b, Seq("centroid"))
+          .where(expr("bit_count(sa ^ sb)") <= 1)
+          .groupBy(col("centroid"), col("sb"), col("nb"))
+          .agg(sum("na").as("probe_pop"))
+        val r = perKey.agg(max("probe_pop").cast("long"),
+          max(col("probe_pop") * col("nb")).cast("long"),
+          sum(col("probe_pop") * col("nb")).cast("long")).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      case _ =>
+        val keyed =
+          if (route == "capped")
+            Similarity.cappedSubcellKeys(emb, "vec_id", "embedding",
+                centroids, targetCell = target, maxExtraBits = 8)
+              .groupBy("centroid", "subcell")
+          else
+            Similarity.IvfIndex.assign(emb, "embedding", centroids)
+              .groupBy("centroid")
+        val r = keyed.agg(count(lit(1)).as("n"))
+          .agg(max("n").cast("long"),
+            (max(col("n") * (col("n") - 1)) / 2).cast("long"),
+            sum(col("n") * (col("n") - 1) / 2).cast("long")).head()
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    // the s the PLAN uses: 1 below the 4·targetCell flood threshold (the
+    // guard does not fire there, and reporting a >1 spread would claim
+    // an A/B difference the timed arms never ran)
+    val s: Long =
+      if (maxSub > 4L * math.max(target, 1))
+        Similarity.saltCount(maxSub, target).toLong
+      else 1L
     val saltedTaskCand = if (s <= 1) unsaltedTaskCand else {
       val g = 2 * maxSub / s; g * g
     }
@@ -85,14 +111,19 @@ object PointMassProbe {
       if (!arms(name)) (-1.0, -1L)
       else {
         val t0 = System.nanoTime()
-        val c =
-          if (route == "capped")
+        val c = route match {
+          case "capped" =>
             Similarity.semanticNearDupPairsCapped(emb, "vec_id",
               "embedding", centroids, threshold, target, maxExtraBits = 8).count()
-          else
+          case "probed" =>
+            Similarity.semanticNearDupPairsCapped(emb, "vec_id",
+              "embedding", centroids, threshold, target, maxExtraBits = 8,
+              probeSplitBits = 1).count()
+          case _ =>
             Similarity.semanticNearDupPairsAuto(emb, "vec_id", "embedding",
               centroids, threshold, target, maxExtraBits = 8,
               cellPairBudget = Long.MaxValue).count()
+        }
         ((System.nanoTime() - t0) / 1e9, c)
       }
     val (tSalted, nSalted) = timed("salted")
