@@ -394,12 +394,23 @@ object Similarity {
       // probe rows × the neighbor's exact rows on one task if only the
       // blast's own key were salted). The probe side dominates (flip 0
       // replicates every exact row), so its count keys the salting —
-      // and both sides of a (cell, skey) match read the same s.
+      // and both sides of a (cell, skey) match read the same s. The
+      // flood threshold is (1 + k_cell)-aware: a HEALTHY key's probe
+      // population is ~(1+k)·subcell (each neighbor contributes once),
+      // so the flat threshold would salt most keys of a well-split
+      // corpus at scale and double their candidate volume for no
+      // straggler benefit; only populations beyond the (1+k)-scaled
+      // threshold are point-mass residuals.
+      val depths = splitDepths(sizes, targetCell, maxExtraBits)
       val oversized: Array[(Seq[Any], Long)] =
         if (!canFlood) Array.empty
         else probes.groupBy("centroid", "skey")
           .agg(count(lit(1)).as("n")).where(col("n") > saltAbove)
-          .collect().map(r => (Seq[Any](r.getInt(0), r.getLong(1)), r.getLong(2)))
+          .collect()
+          .map(r => (Seq[Any](r.getInt(0), r.getLong(1)), r.getLong(2)))
+          .filter { case (k, n) =>
+            n > saltAbove * (1 + depths(k.head.asInstanceOf[Int]))
+          }
       val salt = saltTables(session,
         Seq("centroid" -> org.apache.spark.sql.types.IntegerType,
           "skey" -> org.apache.spark.sql.types.LongType),
@@ -462,14 +473,22 @@ object Similarity {
     * Shared by [[cappedPairsFromAssigned]] and the scale checker's
     * bounded-subcell invariant ([[cappedSubcellKeys]]), so the checker
     * measures the ACTUAL keyed population, not a re-derivation. */
-  private def subcellFrame(assigned: DataFrame, sizes: Array[(Int, Long)],
-                           targetCell: Int, maxExtraBits: Int,
-                           probeSplitBits: Int): DataFrame = {
-    val kOf: Map[Int, Int] = sizes.map { case (cid, n) =>
+  /** Per-cell split depth: the smallest k with (|cell| >> k) ≤
+    * targetCell, capped at maxExtraBits — THE depth rule (integer
+    * shifts, mirrored by the oracles). private[graft] so PointMassProbe
+    * reports exposure under the same depths the plan uses. */
+  private[graft] def splitDepths(sizes: Array[(Int, Long)], targetCell: Int,
+                                 maxExtraBits: Int): Map[Int, Int] =
+    sizes.map { case (cid, n) =>
       var k = 0
       while (k < maxExtraBits && (n >> k) > targetCell) k += 1
       cid -> k
     }.toMap
+
+  private def subcellFrame(assigned: DataFrame, sizes: Array[(Int, Long)],
+                           targetCell: Int, maxExtraBits: Int,
+                           probeSplitBits: Int): DataFrame = {
+    val kOf: Map[Int, Int] = splitDepths(sizes, targetCell, maxExtraBits)
     val session = assigned.sparkSession
     import session.implicits._
     val masks = broadcast(kOf.toSeq

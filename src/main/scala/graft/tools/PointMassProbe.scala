@@ -66,8 +66,20 @@ object PointMassProbe {
     // under the bare cell; the probed route's flood-relevant population
     // is the PROBE side's per-skey count — Σ of the Hamming-≤1 subcell
     // neighborhood — and its per-task candidates are probePop × exactPop
-    val (maxSub, unsaltedTaskCand, totalCand) = route match {
+    // (maxKeyPop, worst single-task candidates, total candidates, and the
+    // s the PLAN actually uses — 1 when nothing crosses the route's
+    // flood threshold, so the JSON never claims a spread the timed arms
+    // didn't run)
+    val saltAbove = 4L * math.max(target, 1)
+    val (maxSub, unsaltedTaskCand, totalCand, s) = route match {
       case "probed" =>
+        // probe-side population per key = Hamming-≤1 subcell
+        // neighborhood sum; flood threshold is (1 + k_cell)-scaled,
+        // both mirroring the operator (shared splitDepths/saltCount)
+        val cells = Similarity.IvfIndex.assign(emb, "embedding", centroids)
+          .groupBy("centroid").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1))
+        val depths = Similarity.splitDepths(cells, target, 8)
         val sc = Similarity.cappedSubcellKeys(emb, "vec_id", "embedding",
             centroids, targetCell = target, maxExtraBits = 8)
           .groupBy("centroid", "subcell").agg(count(lit(1)).as("n"))
@@ -77,10 +89,16 @@ object PointMassProbe {
           .where(expr("bit_count(sa ^ sb)") <= 1)
           .groupBy(col("centroid"), col("sb"), col("nb"))
           .agg(sum("na").as("probe_pop"))
-        val r = perKey.agg(max("probe_pop").cast("long"),
-          max(col("probe_pop") * col("nb")).cast("long"),
-          sum(col("probe_pop") * col("nb")).cast("long")).head()
-        (r.getLong(0), r.getLong(1), r.getLong(2))
+          .collect()
+          .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+        val maxPop = perKey.map(_._3).max
+        val flooded = perKey.filter { case (cid, _, pop) =>
+          pop > saltAbove * (1 + depths(cid))
+        }
+        val sVal = if (flooded.isEmpty) 1L
+                   else Similarity.saltCount(flooded.map(_._3).max, target).toLong
+        (maxPop, perKey.map { case (_, nb, pop) => pop * nb }.max,
+          perKey.map { case (_, nb, pop) => pop * nb }.sum, sVal)
       case _ =>
         val keyed =
           if (route == "capped")
@@ -94,15 +112,11 @@ object PointMassProbe {
           .agg(max("n").cast("long"),
             (max(col("n") * (col("n") - 1)) / 2).cast("long"),
             sum(col("n") * (col("n") - 1) / 2).cast("long")).head()
-        (r.getLong(0), r.getLong(1), r.getLong(2))
+        val sVal = if (r.getLong(0) > saltAbove)
+                     Similarity.saltCount(r.getLong(0), target).toLong
+                   else 1L
+        (r.getLong(0), r.getLong(1), r.getLong(2), sVal)
     }
-    // the s the PLAN uses: 1 below the 4·targetCell flood threshold (the
-    // guard does not fire there, and reporting a >1 spread would claim
-    // an A/B difference the timed arms never ran)
-    val s: Long =
-      if (maxSub > 4L * math.max(target, 1))
-        Similarity.saltCount(maxSub, target).toLong
-      else 1L
     val saltedTaskCand = if (s <= 1) unsaltedTaskCand else {
       val g = 2 * maxSub / s; g * g
     }
