@@ -2499,11 +2499,21 @@ object Queries {
     * sub-Σ|cell|² budget flips the route and reproduces the capped
     * form's rows exactly. */
   def d11cSemanticDedupAuto(s: SparkSession, dir: String): DataFrame =
-    Similarity.semanticNearDupPairsAuto(
-        t(s, dir, "embeddings").where(col("vec_id") < 1000), "vec_id", "embedding",
-        centroids = Similarity.md5Centroids(8, 64), threshold = 0.4)
+    dSemanticPairGraph(s, dir)
       .withColumn("centroid", col("centroid").cast("long"))
       .sortSmall("id_a", "id_b")
+
+  /** The semantic pair-graph ARTIFACT the d11c/d12 rows share (the
+    * d2PairGraph pattern applied to embeddings): one quantizer-assign +
+    * pair pass per (process, corpus, centroids, params) — and, under
+    * `SPARK_GRAFT_PAIR_CACHE`, per corpus snapshot across processes —
+    * so detection and the pruning manifest can never disagree on the
+    * pair set, and neither recomputes the family's expensive stage. */
+  private def dSemanticPairGraph(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SemanticPairGraph.pairs(
+      t(s, dir, "embeddings").where(col("vec_id") < 1000), "vec_id", "embedding",
+      Similarity.md5Centroids(8, 64), s"$dir#embeddings_lt1000",
+      graft.operators.SemanticPairGraph.Params(threshold = 0.4))
 
   /** D11d — the capped SemDeDup with Hamming-≤1 subcell MULTI-PROBE
     * (probeSplitBits = 1): pairs split by exactly one of a cell's split
@@ -2538,9 +2548,11 @@ object Queries {
 
   /** D12 — the SemDeDup APPLY step (the paper's actual goal: PRUNE
     * semantic duplicates): connected components over the semantic pair
-    * graph ([[Similarity.semanticNearDupPairsAuto]] — the family's auto
-    * entry, so detection and clustering can never disagree on the pair
-    * set), then one survivor per cluster — the min-id member, which IS
+    * graph ARTIFACT ([[graft.operators.SemanticPairGraph]] — shared
+    * with the d11c detection row, so detection and clustering can never
+    * disagree on the pair set and the quantizer-assign + pair pass runs
+    * once per corpus), then one survivor per cluster — the min-id
+    * member, which IS
     * the component label — with how many vectors it absorbed and its
     * provenance label. The d8→d10 pattern applied to embeddings: label
     * propagation is the same operator ([[Dedup.connectedComponents]],
@@ -2552,9 +2564,7 @@ object Queries {
     * cannot drift between the d11 and d12 rows. */
   def d12SemanticClusters(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").where(col("vec_id") < 1000)
-    val pairs = Similarity.semanticNearDupPairsAuto(emb, "vec_id", "embedding",
-        centroids = Similarity.md5Centroids(8, 64), threshold = 0.4)
-      .select(col("id_a"), col("id_b"))
+    val pairs = dSemanticPairGraph(s, dir).select(col("id_a"), col("id_b"))
     val labels = Dedup.connectedComponents(emb.select(col("vec_id").as("id")), pairs)
     labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("n_vecs"))
