@@ -129,6 +129,7 @@ object Bench {
         // for pipeline mode explicitly; either way the mode rides in the
         // output JSON.
         if (!pairShared) { graft.operators.PairGraph.clearInProcess()
+          graft.operators.SemanticPairGraph.clearInProcess()
           graft.operators.GroupStats.clearInProcess() }
         // Outside the timed window: drop the query's lineage so the
         // ContextCleaner can reap its shuffle files and localCheckpoint
@@ -178,6 +179,7 @@ object Bench {
     // the warmup pass populated the pair-graph cache; timed passes must
     // start from the declared posture
     if (!pairShared) { graft.operators.PairGraph.clearInProcess()
+      graft.operators.SemanticPairGraph.clearInProcess()
       graft.operators.GroupStats.clearInProcess() }
     val pass1 = names.map(n => n -> timed(n)).toMap
     val results = names.map { n =>

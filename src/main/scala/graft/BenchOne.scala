@@ -49,6 +49,7 @@ object BenchOne {
       val rows = fn(spark, sfDir).count()
       (1 to repeats).foreach { i =>
         if (!pairShared) { graft.operators.PairGraph.clearInProcess()
+          graft.operators.SemanticPairGraph.clearInProcess()
           graft.operators.GroupStats.clearInProcess() }
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

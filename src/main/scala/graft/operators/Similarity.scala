@@ -389,28 +389,46 @@ object Similarity {
         .withColumn("skey", col("subcell").bitwiseXOR(col("f")))
       val exact = sub.withColumn("skey", col("subcell"))
       // the probe join keys on skey, and flood detection must count the
-      // PROBE side's population per key, not the exact subcell's: a
-      // blast's probe rows flood every Hamming-1 NEIGHBOR key too (n
+      // PROBE side's population per key, not just the exact subcell's:
+      // a blast's probe rows flood every Hamming-1 NEIGHBOR key too (n
       // probe rows × the neighbor's exact rows on one task if only the
       // blast's own key were salted). The probe side dominates (flip 0
       // replicates every exact row), so its count keys the salting —
-      // and both sides of a (cell, skey) match read the same s. The
-      // flood threshold is (1 + k_cell)-aware: a HEALTHY key's probe
-      // population is ~(1+k)·subcell (each neighbor contributes once),
-      // so the flat threshold would salt most keys of a well-split
-      // corpus at scale and double their candidate volume for no
-      // straggler benefit; only populations beyond the (1+k)-scaled
-      // threshold are point-mass residuals.
-      val depths = splitDepths(sizes, targetCell, maxExtraBits)
+      // and both sides of a (cell, skey) match read the same s. A key
+      // floods when EITHER
+      //  - its probe population exceeds the (1 + k_cell)-scaled
+      //    threshold (a HEALTHY key's probe population is ~(1+k)·
+      //    subcell — one contribution per neighbor — so the flat line
+      //    would salt most keys of a well-split corpus and double
+      //    their candidate volume for no straggler benefit), OR
+      //  - its exact population exceeds the flat threshold (a blast
+      //    whose neighbor keys are EMPTY has probe ≈ exact population,
+      //    which can sit under the scaled line while still being a
+      //    single n² task — the capped branch's own rule, kept).
+      // The scaled predicate is applied BEFORE the collect (broadcast
+      // threshold join), so the driver only ever sees true floods —
+      // healthy keys at scale would otherwise all pass the flat line.
       val oversized: Array[(Seq[Any], Long)] =
         if (!canFlood) Array.empty
-        else probes.groupBy("centroid", "skey")
-          .agg(count(lit(1)).as("n")).where(col("n") > saltAbove)
-          .collect()
-          .map(r => (Seq[Any](r.getInt(0), r.getLong(1)), r.getLong(2)))
-          .filter { case (k, n) =>
-            n > saltAbove * (1 + depths(k.head.asInstanceOf[Int]))
-          }
+        else {
+          val thr = broadcast(
+            splitDepths(sizes, targetCell, maxExtraBits).toSeq
+              .map { case (cid, k) => (cid, saltAbove * (1 + k)) }
+              .toDF("centroid", "__thr"))
+          val probeOver = probes.groupBy("centroid", "skey")
+            .agg(count(lit(1)).as("n"))
+            .join(thr, Seq("centroid")).where(col("n") > col("__thr"))
+            .collect()
+            .map(r => (Seq[Any](r.getInt(0), r.getLong(1)), r.getLong(2)))
+          val exactOver = sub.groupBy("centroid", "subcell")
+            .agg(count(lit(1)).as("n")).where(col("n") > saltAbove)
+            .collect()
+            .map(r => (Seq[Any](r.getInt(0), r.getLong(1)), r.getLong(2)))
+          // union by key; a key flooded both ways salts on the larger
+          // (probe-side) population
+          (probeOver ++ exactOver.filterNot(e =>
+            probeOver.exists(_._1 == e._1))).toArray
+        }
       val salt = saltTables(session,
         Seq("centroid" -> org.apache.spark.sql.types.IntegerType,
           "skey" -> org.apache.spark.sql.types.LongType),
@@ -467,12 +485,6 @@ object Similarity {
     }
   }
 
-  /** The assigned frame with its per-cell split depth applied: mask and
-    * flip columns broadcast-joined from the O(nlist) depth table, the
-    * (centroid, subcell) join key the capped pair pass runs under.
-    * Shared by [[cappedPairsFromAssigned]] and the scale checker's
-    * bounded-subcell invariant ([[cappedSubcellKeys]]), so the checker
-    * measures the ACTUAL keyed population, not a re-derivation. */
   /** Per-cell split depth: the smallest k with (|cell| >> k) ≤
     * targetCell, capped at maxExtraBits — THE depth rule (integer
     * shifts, mirrored by the oracles). private[graft] so PointMassProbe
@@ -485,6 +497,12 @@ object Similarity {
       cid -> k
     }.toMap
 
+  /** The assigned frame with its per-cell split depth applied: mask and
+    * flip columns broadcast-joined from the O(nlist) depth table, the
+    * (centroid, subcell) join key the capped pair pass runs under.
+    * Shared by [[cappedPairsFromAssigned]] and the scale checker's
+    * bounded-subcell invariant ([[cappedSubcellKeys]]), so the checker
+    * measures the ACTUAL keyed population, not a re-derivation. */
   private def subcellFrame(assigned: DataFrame, sizes: Array[(Int, Long)],
                            targetCell: Int, maxExtraBits: Int,
                            probeSplitBits: Int): DataFrame = {

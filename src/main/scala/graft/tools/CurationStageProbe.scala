@@ -43,6 +43,7 @@ object CurationStageProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.operators.PairGraph.clearInProcess()
+    graft.operators.SemanticPairGraph.clearInProcess()
     graft.operators.GroupStats.clearInProcess()
     graft.Queries.prewarmTables(spark, sfDir)
 

@@ -57,6 +57,7 @@ object PipelineBench {
     spark.sparkContext.setLogLevel("WARN")
 
     graft.operators.PairGraph.clearInProcess()
+    graft.operators.SemanticPairGraph.clearInProcess()
     graft.operators.GroupStats.clearInProcess()
     graft.Queries.prewarmTables(spark, sfDir)
 

@@ -71,18 +71,20 @@ object PointMassProbe {
     // flood threshold, so the JSON never claims a spread the timed arms
     // didn't run)
     val saltAbove = 4L * math.max(target, 1)
-    val (maxSub, unsaltedTaskCand, totalCand, s) = route match {
+    val (maxSub, unsaltedTaskCand, totalCand, s, worstSaltedOverride) = route match {
       case "probed" =>
         // probe-side population per key = Hamming-≤1 subcell
-        // neighborhood sum; flood threshold is (1 + k_cell)-scaled,
-        // both mirroring the operator (shared splitDepths/saltCount)
-        val cells = Similarity.IvfIndex.assign(emb, "embedding", centroids)
-          .groupBy("centroid").agg(count(lit(1)).as("n"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1))
-        val depths = Similarity.splitDepths(cells, target, 8)
+        // neighborhood sum; the flood rule mirrors the operator (shared
+        // splitDepths/saltCount): probe pop > (1+k_cell)-scaled line OR
+        // exact pop > the flat line. Cell sizes come from the subcell
+        // table itself — no second assignment pass over the corpus.
         val sc = Similarity.cappedSubcellKeys(emb, "vec_id", "embedding",
             centroids, targetCell = target, maxExtraBits = 8)
           .groupBy("centroid", "subcell").agg(count(lit(1)).as("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cells = sc.groupBy("centroid").agg(sum("n").as("cn"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1))
+        val depths = Similarity.splitDepths(cells, target, 8)
         val a = sc.select(col("centroid"), col("subcell").as("sa"), col("n").as("na"))
         val b = sc.select(col("centroid"), col("subcell").as("sb"), col("n").as("nb"))
         val perKey = a.join(b, Seq("centroid"))
@@ -91,14 +93,22 @@ object PointMassProbe {
           .agg(sum("na").as("probe_pop"))
           .collect()
           .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
-        val maxPop = perKey.map(_._3).max
-        val flooded = perKey.filter { case (cid, _, pop) =>
-          pop > saltAbove * (1 + depths(cid))
-        }
+        sc.unpersist()
+        def floods(cid: Int, nb: Long, pop: Long): Boolean =
+          pop > saltAbove * (1 + depths(cid)) || nb > saltAbove
+        val flooded = perKey.filter((floods _).tupled)
         val sVal = if (flooded.isEmpty) 1L
                    else Similarity.saltCount(flooded.map(_._3).max, target).toLong
-        (maxPop, perKey.map { case (_, nb, pop) => pop * nb }.max,
-          perKey.map { case (_, nb, pop) => pop * nb }.sum, sVal)
+        // honest per-key worst task: a flooded key spreads under ITS
+        // OWN s, an unflooded key keeps its full pop×exact product
+        val worstSalted = perKey.map { case (cid, nb, pop) =>
+          if (floods(cid, nb, pop)) {
+            val sk = Similarity.saltCount(pop, target)
+            (2 * pop / sk) * (2 * nb / sk)
+          } else pop * nb
+        }.max
+        (perKey.map(_._3).max, perKey.map { case (_, nb, pop) => pop * nb }.max,
+          perKey.map { case (_, nb, pop) => pop * nb }.sum, sVal, Some(worstSalted))
       case _ =>
         val keyed =
           if (route == "capped")
@@ -115,11 +125,10 @@ object PointMassProbe {
         val sVal = if (r.getLong(0) > saltAbove)
                      Similarity.saltCount(r.getLong(0), target).toLong
                    else 1L
-        (r.getLong(0), r.getLong(1), r.getLong(2), sVal)
+        (r.getLong(0), r.getLong(1), r.getLong(2), sVal, None)
     }
-    val saltedTaskCand = if (s <= 1) unsaltedTaskCand else {
-      val g = 2 * maxSub / s; g * g
-    }
+    val saltedTaskCand = worstSaltedOverride.getOrElse(
+      if (s <= 1) unsaltedTaskCand else { val g = 2 * maxSub / s; g * g })
 
     def timed(name: String): (Double, Long) =
       if (!arms(name)) (-1.0, -1L)

@@ -332,7 +332,14 @@ class DedupSimilaritySpec extends SparkSuite {
       .where(col("vec_id") < 300).select("vec_id", "embedding")
     val base = Array.tabulate(64)(i => (math.cos(i + 1) * 0.3).toFloat)
     val blast = (0 until 40).map(i => (9000L + i, base)).toDF("vec_id", "embedding")
-    val planted = emb.union(blast)
+    // a second, SMALLER blast sized for the probed rule's union case:
+    // its exact population (10) exceeds the flat 4·targetCell line but
+    // can sit under the (1+k)-scaled probe line when its neighbor keys
+    // are thin — the exact-side rule must still salt it, and the output
+    // contract below must hold either way
+    val base2 = Array.tabulate(64)(i => (math.sin(2 * i + 1) * 0.3).toFloat)
+    val blast2 = (0 until 10).map(i => (9500L + i, base2)).toDF("vec_id", "embedding")
+    val planted = emb.union(blast).union(blast2)
     val cents = Similarity.md5Centroids(4, 64)
     def rows(d: org.apache.spark.sql.DataFrame) =
       d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -347,10 +354,13 @@ class DedupSimilaritySpec extends SparkSuite {
     val capped = rows(Similarity.semanticNearDupPairsCapped(
       planted, "vec_id", "embedding", cents, 0.3, targetCell = 1, maxExtraBits = 8))
     assert(capped == expectCapped)
-    // every one of the blast's C(40,2) = 780 pairs is genuine (cos = 1.0)
-    // and none is lost to the salt spreading
-    val blastPairs = capped.filter { case (a, b, _) => a >= 9000L && b >= 9000L }
+    // every one of the blasts' C(40,2) = 780 and C(10,2) = 45 pairs is
+    // genuine (cos = 1.0) and none is lost to the salt spreading
+    val blastPairs = capped.filter { case (a, b, _) =>
+      a >= 9000L && a < 9500L && b >= 9000L && b < 9500L }
     assert(blastPairs.size == 780 && blastPairs.forall(_._3 == 1.0))
+    val blast2Pairs = capped.filter { case (a, b, _) => a >= 9500L && b >= 9500L }
+    assert(blast2Pairs.size == 45 && blast2Pairs.forall(_._3 == 1.0))
     // probed variant: pairs whose subcells differ in ≤ 1 bit of the
     // shared cell mask (both members carry the same k) — also salted,
     // also exactly the contract
