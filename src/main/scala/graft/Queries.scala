@@ -2438,12 +2438,35 @@ object Queries {
       .withColumn("centroid", col("centroid").cast("long"))
       .sortSmall("id_a", "id_b")
 
+  /** The cellplane CTE fragment (cpw/cpl/co/bits — md5 "cellplane"
+    * weights, per-(cell, plane) centering offsets, the centered sign
+    * bits at 3 planes), shared by d11bSql (adaptive-depth capped
+    * oracle) and st9Sql (fixed-depth streaming bucket oracle) so the
+    * bit derivation can never drift between the batch and streaming
+    * rows. References pl/c0/asn from [[d11CtesSql]] (d11bSql declares
+    * textually identical CTEs under the same names). */
+  private val d11CellplaneCtesSql: String = {
+    val dotProd = "list_reduce(list_transform(list_zip(%s, %s), s -> s[1] * s[2]), (a, b) -> a + b)"
+    val h8p = "list_reduce(list_transform(range(1, 9), i -> CAST(strpos('0123456789abcdef', substr(md5('cellplane:' || CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
+    s"""cpw AS (
+       |  SELECT p, d, CAST($h8p AS DOUBLE) / 4294967296.0 * 2 - 1 AS w
+       |  FROM range(3) pr(p), range(64) dr(d)),
+       |cpl AS (SELECT p, list(w ORDER BY d) AS wl FROM cpw GROUP BY p),
+       |co AS (
+       |  SELECT pl.c AS cid, cpl.p AS p, ${dotProd.format("cpl.wl", "pl.wl")} AS off
+       |  FROM pl, cpl),
+       |bits AS (
+       |  SELECT a.vec_id, CAST(SUM(CASE WHEN ${dotProd.format("cv", "cpl.wl")} >= co.off THEN (CAST(1 AS BIGINT) << cpl.p) ELSE 0 END) AS BIGINT) AS b
+       |  FROM asn a JOIN c0 ON c0.vec_id = a.vec_id
+       |  CROSS JOIN cpl JOIN co ON co.cid = a.cid AND co.p = cpl.p
+       |  GROUP BY a.vec_id)""".stripMargin
+  }
+
   val d11bSql: String = {
     val dotProd = "list_reduce(list_transform(list_zip(%s, %s), s -> s[1] * s[2]), (a, b) -> a + b)"
     def cosOf(v: String) =
       s"${dotProd.format(v, "wl")} / (sqrt(${dotProd.format(v, v)}) * sqrt(${dotProd.format("wl", "wl")}))"
     val h8c = "list_reduce(list_transform(range(1, 9), i -> CAST(strpos('0123456789abcdef', substr(md5('centroid:' || CAST(c AS VARCHAR) || ':' || CAST(d AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
-    val h8p = "list_reduce(list_transform(range(1, 9), i -> CAST(strpos('0123456789abcdef', substr(md5('cellplane:' || CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), CAST(i AS INTEGER), 1)) - 1 AS BIGINT)), (a, b) -> a * 16 + b)"
     s"""WITH pw AS (
        |  SELECT c, d, CAST($h8c AS DOUBLE) / 4294967296.0 * 2 - 1 AS w
        |  FROM range(8) cr(c), range(64) dr(d)),
@@ -2456,18 +2479,7 @@ object Queries {
        |  SELECT vec_id, cid FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM ca)
        |  WHERE rn = 1),
-       |cpw AS (
-       |  SELECT p, d, CAST($h8p AS DOUBLE) / 4294967296.0 * 2 - 1 AS w
-       |  FROM range(3) pr(p), range(64) dr(d)),
-       |cpl AS (SELECT p, list(w ORDER BY d) AS wl FROM cpw GROUP BY p),
-       |co AS (
-       |  SELECT pl.c AS cid, cpl.p AS p, ${dotProd.format("cpl.wl", "pl.wl")} AS off
-       |  FROM pl, cpl),
-       |bits AS (
-       |  SELECT a.vec_id, CAST(SUM(CASE WHEN ${dotProd.format("cv", "cpl.wl")} >= co.off THEN (CAST(1 AS BIGINT) << cpl.p) ELSE 0 END) AS BIGINT) AS b
-       |  FROM asn a JOIN c0 ON c0.vec_id = a.vec_id
-       |  CROSS JOIN cpl JOIN co ON co.cid = a.cid AND co.p = cpl.p
-       |  GROUP BY a.vec_id),
+       |$d11CellplaneCtesSql,
        |cells AS (SELECT cid, count(*) AS n FROM asn GROUP BY cid),
        |kk AS (
        |  SELECT cid, COALESCE(MIN(CASE WHEN (n >> i) <= 64 THEN i END), 3) AS k
@@ -3031,6 +3043,47 @@ object Queries {
         "text", "doc_id", p.threshold, p.shingleN)
       .sortSmall("id_a", "id_b")
   }
+
+  /** ST9 — STREAMING semantic-bucket dedup: the SemDeDup quantizer
+    * applied to a vector stream. Each arriving embedding is keyed by
+    * (centroid, subcell) — nearest md5 centroid + the low 3 centered
+    * cellplane sign bits ([[Similarity.semanticBuckets]], a pure
+    * projection + one stream-static broadcast join, so it is legal in
+    * a streaming plan; depth is FIXED because a stream has no
+    * cell-size table) — and the stateful dedup admits ONE
+    * representative per semantic bucket (dropDuplicates state, exactly
+    * st3's shape over a semantic key instead of an equality key). The
+    * bucket SET is arrival-order-independent, so the aggregate
+    * (count + checksum) is deterministic and the oracle recomputes the
+    * identical keys in batch SQL via d11b's shared cellplane CTEs. */
+  def st9StreamingSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val schema = t(s, dir, "embeddings").schema
+    val ss = streamSession(s, 4)
+    val stream = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .where(col("vec_id") < 1000)
+    val keys = Similarity.semanticBuckets(stream, "embedding",
+      Similarity.md5Centroids(8, 64), maxBits = 3)
+    val deduped = graft.streaming.EventStream.dedupKeys(keys, "centroid", "subcell")
+    val name = s"st9_sembuckets_${stQueryId.incrementAndGet()}"
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    ss.table(name)
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("centroid").cast("long") * 1024 + col("subcell"))
+          .cast("long").as("key_sum"))
+  }
+
+  val st9Sql: String =
+    s"""WITH $d11CtesSql,
+       |$d11CellplaneCtesSql,
+       |keys AS (
+       |  SELECT DISTINCT a.cid AS centroid, (ba.b & 7) AS subcell
+       |  FROM asn a JOIN bits ba ON ba.vec_id = a.vec_id)
+       |SELECT count(*) AS n_keys,
+       |  CAST(SUM(centroid * 1024 + subcell) AS BIGINT) AS key_sum FROM keys""".stripMargin
 
   /** E1 — as-of (point-in-time) join: each click picks up the most recent
     * purchase at-or-before it for the same user, via
@@ -4560,6 +4613,7 @@ object Queries {
     "s10_json_props" -> s10JsonProps,
     "st7_price_envelope" -> st7PriceEnvelope,
     "st8_streaming_neardup" -> st8StreamingNeardup,
+    "st9_streaming_semantic_dedup" -> st9StreamingSemanticDedup,
     "e3_band_join" -> e3BandJoin,
     "m4_frame_sample" -> m4FrameSample,
     "w2_retention_cohorts" -> w2RetentionCohorts
@@ -4671,6 +4725,7 @@ object Queries {
     // the streaming gate's accumulated pairs equal the batch candidate
     // set below the bucket cap, so d2's SQL twin verifies st8 end-to-end
     "st8_streaming_neardup" -> d2Sql,
+    "st9_streaming_semantic_dedup" -> st9Sql,
     "e3_band_join" -> e3Sql,
     "m4_frame_sample" -> m4Sql,
     "w2_retention_cohorts" -> w2Sql

@@ -278,32 +278,60 @@ object Similarity {
     * 4.47e8 with a 1.3k max subcell ≈ targetCell). The per-(cell, plane)
     * offset table is O(nlist·maxExtraBits) doubles, computed on the
     * driver from the centroid table and broadcast-joined. */
+  /** Adds the centered cellplane sign-bit column "bits" to a frame
+    * already carrying the double-widened vector "v" and its "centroid" —
+    * a PURE per-row projection plus one broadcast offsets join (no
+    * aggregation, no checkpoint), so it is legal inside a Structured
+    * Streaming plan. Shared by the batch artifact ([[assignedWithBits]])
+    * and the streaming bucket key ([[semanticBuckets]]). */
+  private def centeredBits(withV: DataFrame,
+                           centroids: Array[(Int, Array[Double])],
+                           maxExtraBits: Int): DataFrame = {
+    val dim = centroids.head._2.length
+    val planeW = Array.tabulate(maxExtraBits, dim)(
+      (p, d) => md5Weight("cellplane", p, d))
+    // ordered left-to-right fold over d, matching the oracle's
+    // list_reduce over d-ordered lists bit for bit
+    val offs = centroids.map { case (cid, cv) =>
+      (cid, planeW.map(pl => pl.zip(cv).map { case (w, x) => w * x }.sum).toSeq)
+    }.toSeq
+    val session = withV.sparkSession
+    import session.implicits._
+    val offsDf = broadcast(offs.toDF("centroid", "cp_offs"))
+    val bits = (0 until maxExtraBits).map { p =>
+      when(dot(col("v"), array(planeW(p).map(lit): _*)) >=
+             element_at(col("cp_offs"), p + 1),
+        lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    withV.join(offsDf, Seq("centroid")).withColumn("bits", bits).drop("cp_offs")
+  }
+
+  /** Streaming-safe semantic bucket key: (centroid, subcell) at a FIXED
+    * uniform split depth — quantizer assignment + centered sign bits as
+    * pure per-row expressions and one broadcast join, no aggregation or
+    * checkpoint, so it runs inside a streaming plan. Unlike the batch
+    * forms the depth is not size-adaptive (a stream has no cell-size
+    * table); `maxBits` sets the uniform subdivision. The st9 streaming
+    * semantic dedup keys its state on this. */
+  def semanticBuckets(df: DataFrame, vecCol: String,
+                      centroids: Array[(Int, Array[Double])],
+                      maxBits: Int): DataFrame = {
+    val base = IvfIndex.assign(df, vecCol, centroids)
+      .withColumn("v", asDouble(col(vecCol)))
+    val b = if (maxBits == 0) base.withColumn("bits", lit(0L))
+            else centeredBits(base, centroids, maxBits)
+    b.select(col("centroid"),
+      col("bits").bitwiseAND(lit((1L << maxBits) - 1)).as("subcell"))
+  }
+
   private def assignedWithBits(df: DataFrame, idCol: String, vecCol: String,
                                centroids: Array[(Int, Array[Double])],
                                maxExtraBits: Int): DataFrame = {
-    val dim = centroids.head._2.length
     val base = IvfIndex.assign(df, vecCol, centroids)
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"), col("centroid"))
     val withBits =
       if (maxExtraBits == 0) base.withColumn("bits", lit(0L))
-      else {
-        val planeW = Array.tabulate(maxExtraBits, dim)(
-          (p, d) => md5Weight("cellplane", p, d))
-        // ordered left-to-right fold over d, matching the oracle's
-        // list_reduce over d-ordered lists bit for bit
-        val offs = centroids.map { case (cid, cv) =>
-          (cid, planeW.map(pl => pl.zip(cv).map { case (w, x) => w * x }.sum).toSeq)
-        }.toSeq
-        val session = df.sparkSession
-        import session.implicits._
-        val offsDf = broadcast(offs.toDF("centroid", "cp_offs"))
-        val bits = (0 until maxExtraBits).map { p =>
-          when(dot(col("v"), array(planeW(p).map(lit): _*)) >=
-                 element_at(col("cp_offs"), p + 1),
-            lit(1L << p)).otherwise(lit(0L))
-        }.reduce(_ + _)
-        base.join(offsDf, Seq("centroid")).withColumn("bits", bits).drop("cp_offs")
-      }
+      else centeredBits(base, centroids, maxExtraBits)
     val a0 = withBits.withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val reliable = df.sparkSession.sparkContext.getCheckpointDir.isDefined
     // reliable mode must be EAGER: a lazy reliable checkpoint evaluates

@@ -295,6 +295,25 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(d7cAbove == probed)
   }
 
+  test("semanticBuckets (st9's key): fixed-depth buckets equal the batch " +
+      "route's subcell keys when every cell splits to full depth") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 300)
+    val cents = Similarity.md5Centroids(4, 64)
+    // targetCell=1 forces every (>= 2^3-sized) cell to the full 3-bit
+    // depth, so the adaptive batch keys coincide with the fixed-depth
+    // streaming projection — the parity that lets st9's oracle reuse
+    // d11b's cellplane CTEs
+    val batch = Similarity.cappedSubcellKeys(emb, "vec_id", "embedding",
+        cents, targetCell = 1, maxExtraBits = 3)
+      .select("centroid", "subcell").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    val streaming = Similarity.semanticBuckets(emb, "embedding", cents, maxBits = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(streaming == batch && streaming.nonEmpty)
+    assert(streaming.exists(_._2 != 0L)) // the split bits genuinely vary
+  }
+
   test("semantic dedup APPLY (d12): every vector absorbed exactly once, " +
       "survivor is its cluster's min id") {
     val spark0 = spark
