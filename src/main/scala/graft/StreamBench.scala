@@ -72,8 +72,10 @@ object StreamBench {
       val tsb = events.agg(min(tsSec).cast("long"), max(tsSec).cast("long"))
         .collect()(0)
       val (tsLo, tsHi) = (tsb.getLong(0), tsb.getLong(1))
-      // st8 streams DOCUMENTS (the near-dup ingestion gate), not events
+      // st8 streams DOCUMENTS (the near-dup ingestion gate), st9
+      // streams EMBEDDINGS (the semantic-bucket dedup), not events
       lazy val documents = spark.read.parquet(s"$sfDir/documents.parquet")
+      lazy val embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
       def chunkPred(shape: String, i: Int) = shape match {
         case "st6" =>
           val span = tsHi - tsLo + 1
@@ -81,11 +83,16 @@ object StreamBench {
           val hi = tsLo + span * (i + 1) / nBatches
           tsSec >= lo && tsSec < hi
         case "st8" => pmod(col("doc_id"), lit(nBatches)) === i
+        case "st9" => pmod(col("vec_id"), lit(nBatches)) === i
         case _ => pmod(col("event_id"), lit(nBatches)) === i
       }
 
       def timeShape(shape: String): (Double, Seq[Double]) = {
-        val src = if (shape == "st8") documents else events
+        val src = shape match {
+          case "st8" => documents
+          case "st9" => embeddings
+          case _ => events
+        }
         // stage this shape's chunks (deterministic assignment, untimed;
         // the source is persisted for the N filtered chunk writes — 50
         // batches would otherwise re-scan the parquet 50 times per shape)
@@ -170,6 +177,16 @@ object StreamBench {
                 .normalizeText(col("text"))) > 0),
               "text", "doc_id", p.bands, p.rowsPerBand, p.shingleN,
               p.maxBucket).toDF(), "append")
+          case "st9" =>
+            // semantic-bucket dedup per batch: each chunk's vectors are
+            // quantized + bit-split map-side and deduped against the
+            // accumulated bucket state — which is BOUNDED at
+            // nlist * 2^maxBits keys by construction (64 here), the one
+            // streaming shape whose state cannot grow with the corpus
+            (graft.streaming.EventStream.dedupKeys(
+              graft.operators.Similarity.semanticBuckets(stream, "embedding",
+                graft.operators.Similarity.md5Centroids(8, 64), maxBits = 3),
+              "centroid", "subcell"), "append")
           case _ =>
             (graft.streaming.EventStream.dedupKeys(
               stream.select((col("event_id") % 1000).as("k")), "k"), "append")
@@ -207,7 +224,7 @@ object StreamBench {
       // Unknown names fail FAST: a typo ('st-8') would otherwise filter
       // every shape out and emit an empty-but-successful-looking bench
       // record (r12 ADVICE).
-      val known = Seq("st2", "st3", "st5", "st6", "st7", "st8")
+      val known = Seq("st2", "st3", "st5", "st6", "st7", "st8", "st9")
       val wanted = sys.env.get("SPARK_GRAFT_STREAM_SHAPES")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         .getOrElse(known.toSet)
