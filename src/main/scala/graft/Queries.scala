@@ -2631,6 +2631,7 @@ object Queries {
     * probe/verify machinery, not just an empty set. The oracle mirrors
     * the candidate restriction exactly (same planes, buckets, masks), so
     * it is a full rows+schema+hash match. */
+  @annotation.nowarn("cat=deprecation") // intentional: d7b stays in the catalog as the bounded-fixture form
   def d7bNearDupLsh(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.cosineNearDupLshPairs(
         t(s, dir, "embeddings").where(col("vec_id") < 500), "vec_id", "embedding",

@@ -35,9 +35,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * additionally records the corpus row count and re-validates it on
   * load — a cheap one-column scan that catches the common staleness case
   * (data regenerated in place at a different size) without paying a
-  * content hash of 100 TB of text. A corpus EDITED at constant row count
-  * under an unchanged corpusKey is the caller's contract violation:
-  * clear the cache dir when the snapshot changes. The disk cache assumes
+  * content hash of 100 TB of text. With `SPARK_GRAFT_PAIR_DIGEST=1` the
+  * same scan also attests an order-insensitive id-set digest
+  * ([[FrameDiskCache.countAndDigest]]), catching constant-row-count
+  * edits that churn the id set. A corpus edited at constant row count
+  * under UNCHANGED ids and an unchanged corpusKey remains the caller's
+  * contract violation: clear the cache dir when the snapshot changes. The disk cache assumes
   * a SINGLE WRITER per key (a pipeline materializes each corpus
   * snapshot's artifact once); concurrent readers are safe — the manifest
   * is written via temp-file + atomic rename AFTER the parquet commit, so
@@ -117,12 +120,12 @@ object PairGraph {
   private def diskPairs(sess: SparkSession, df: DataFrame, textCol: String,
                         idCol: String, corpusKey: String, p: Params,
                         root: String): DataFrame = {
-    // one column-pruned scan of the corpus: feeds BOTH the staleness
-    // check and neardupPairs' plan choice (which would otherwise count
-    // again)
-    val nDocs = df.select(idCol).count()
+    // one column-pruned scan of the corpus: feeds the staleness check
+    // (count + optional id-set digest, same aggregate), and neardupPairs'
+    // plan choice (which would otherwise count again)
+    val (nDocs, digest) = FrameDiskCache.countAndDigest(df, idCol)
     FrameDiskCache.loadOrCompute(sess, root,
-      p.cacheKey(corpusKey, textCol, idCol), nDocs, "pairs.parquet") {
+      p.cacheKey(corpusKey, textCol, idCol), nDocs, "pairs.parquet", digest) {
       Dedup.neardupPairs(df, textCol, idCol, p.bands,
         p.rowsPerBand, p.threshold, p.shingleN, p.maxBucket,
         p.adaptiveMinDocs, numDocs = Some(nDocs), prefilterK = p.prefilterK)

@@ -147,6 +147,9 @@ object Similarity {
     * with candidates from centered-split quantizer cells, whose
     * per-key population stays bounded (AnnScaleCheck V6) — and is kept
     * for bounded corpora and as the d7b oracle's subject. */
+  @deprecated("subsumed at scale by cosineNearDupPairsAuto (d7c): origin-plane " +
+    "buckets track natural-cluster size (AnnScaleCheck V5/V6) — use this form " +
+    "only on bounded corpora", "r16")
   def cosineNearDupLshPairs(df: DataFrame, idCol: String, vecCol: String,
                             threshold: Double, numPlanes: Int, dim: Int,
                             probeBits: Int = 2): DataFrame = {
@@ -439,8 +442,8 @@ object Similarity {
       val oversized: Array[(Seq[Any], Long)] =
         if (!canFlood) Array.empty
         else {
-          val thr = broadcast(
-            splitDepths(sizes, targetCell, maxExtraBits).toSeq
+          val kOf = splitDepths(sizes, targetCell, maxExtraBits)
+          val thr = broadcast(kOf.toSeq
               .map { case (cid, k) => (cid, saltAbove * (1 + k)) }
               .toDF("centroid", "__thr"))
           val probeOver = probes.groupBy("centroid", "skey")
@@ -452,10 +455,24 @@ object Similarity {
             .agg(count(lit(1)).as("n")).where(col("n") > saltAbove)
             .collect()
             .map(r => (Seq[Any](r.getInt(0), r.getLong(1)), r.getLong(2)))
-          // union by key; a key flooded both ways salts on the larger
-          // (probe-side) population
-          (probeOver ++ exactOver.filterNot(e =>
-            probeOver.exists(_._1 == e._1))).toArray
+          // union by key — a key flooded both ways salts on the larger
+          // (probe-side) population. Hash-set membership, not a linear
+          // scan per element: both arrays are budget-capped at 100k keys
+          // and an O(P·E) filterNot would be ~10^10 Seq-equality
+          // comparisons at exactly the flood shapes the guard exists
+          // for. A key flooded ONLY by the exact rule still receives up
+          // to (1+k)× its exact population on the probe side (flip 0
+          // replicates every exact row, plus one contribution per
+          // populated neighbor), so its salt count is sized from the
+          // (1+k)-scaled population — mild over-salting when the
+          // neighbors are empty (probe ≈ exact), which only shrinks the
+          // groups; under-sizing would leave the probe-side groups
+          // proportionally oversized.
+          val probeKeys: Set[Seq[Any]] = probeOver.iterator.map(_._1).toSet
+          (probeOver ++ exactOver.collect {
+            case (k, n) if !probeKeys.contains(k) =>
+              (k, n * (1 + kOf.getOrElse(k.head.asInstanceOf[Int], 0)))
+          }).toArray
         }
       val salt = saltTables(session,
         Seq("centroid" -> org.apache.spark.sql.types.IntegerType,
@@ -495,12 +512,16 @@ object Similarity {
         s"salt guard: ${flooded.length} flooded keys exceeds the driver " +
           "budget — raise targetCell")
       val counts = flooded.map { case (k, n) => (k, saltCount(n, targetCell)) }
+      // budget-check the expand size ARITHMETICALLY before materializing:
+      // with 100k admitted keys at s=64 the row Seq would reach ~4e8 Row
+      // objects and OOM the driver before a post-hoc require could fire
+      val expandSize = counts.foldLeft(0L) { case (acc, (_, s)) => acc + s.toLong * s }
+      require(expandSize <= 2000000,
+        s"salt guard: expand table $expandSize rows exceeds the " +
+          "driver budget — raise targetCell")
       val expandRows = counts.flatMap { case (k, s) =>
         saltGroupRows(s).map { case (r, gi, gj) => Row.fromSeq(k ++ Seq(r, gi, gj)) }
       }
-      require(expandRows.length <= 2000000,
-        s"salt guard: expand table ${expandRows.length} rows exceeds the " +
-          "driver budget — raise targetCell")
       val keyFields = keyCols.map { case (n0, t) => StructField(n0, t) }
       import scala.jdk.CollectionConverters._
       val sCounts = session.createDataFrame(
@@ -677,7 +698,7 @@ object Similarity {
     val route = semanticRoute(sizes, cellPairBudget)
     log.info(s"semanticNearDupPairsAuto route=$route " +
       s"cells=${sizes.length} " +
-      s"cellPairVolume=${sizes.map { case (_, n) => n * n }.sum} " +
+      s"cellPairVolume=${cellPairVolume(sizes)} " +
       s"budget=$cellPairBudget probeSplitBits=$probeSplitBits")
     if (route == "uncapped") {
       // the budget bounds the branch's TOTAL candidate volume, not any
@@ -732,11 +753,28 @@ object Similarity {
       targetCell, maxExtraBits, cellPairBudget, probeSplitBits)
       .select("id_a", "id_b", "cos")
 
+  /** Σ n² over a cell-size table, SATURATED at Long.MaxValue: a single
+    * cell above ~3.04e9 rows overflows n*n, and an overflowed (negative
+    * or wrapped) volume would silently pass the ≤ budget test and route
+    * the one corpus that most needs the capped plan to the uncapped one.
+    * Saturation routes overflow to "capped", always. */
+  private[graft] def cellPairVolume(sizes: Array[(Int, Long)]): Long =
+    sizes.foldLeft(0L) { case (acc, (_, n)) =>
+      if (acc == Long.MaxValue) Long.MaxValue
+      else {
+        val sq =
+          try Math.multiplyExact(n, n)
+          catch { case _: ArithmeticException => Long.MaxValue }
+        try Math.addExact(acc, sq)
+        catch { case _: ArithmeticException => Long.MaxValue }
+      }
+    }
+
   /** The route [[semanticNearDupPairsAuto]] takes for a given cell-size
     * table — exposed for tests and telemetry. */
   private[graft] def semanticRoute(sizes: Array[(Int, Long)],
                                    cellPairBudget: Long = 1000000000L): String =
-    if (sizes.map { case (_, n) => n * n }.sum <= cellPairBudget) "uncapped"
+    if (cellPairVolume(sizes) <= cellPairBudget) "uncapped"
     else "capped"
 
   /** IVF (inverted-file) ANN index: a coarse quantizer of `nlist`

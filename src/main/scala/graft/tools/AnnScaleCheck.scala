@@ -202,6 +202,7 @@ object AnnScaleCheck {
     semProbe.unpersist()
 
     // V4 — LSH-bucketed near-dup on the slice
+    @annotation.nowarn("cat=deprecation") // V4/V5 measure d7b's exposure on purpose
     val lsh = Similarity.cosineNearDupLshPairs(slice, "vec_id", "embedding",
         threshold = 0.99, numPlanes = 16, dim = 64, probeBits = 1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

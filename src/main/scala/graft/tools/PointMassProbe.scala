@@ -149,6 +149,12 @@ object PointMassProbe {
         }
         ((System.nanoTime() - t0) / 1e9, c)
       }
+    // the "salted" arm relies on the JVM default (guard ON); if the
+    // probe were launched with -Dgraft.semdedup.salt=off already set,
+    // both arms would silently run unsalted and the output-equality
+    // require would pass vacuously — clear the property up front so the
+    // A/B always measures what it claims
+    sys.props -= "graft.semdedup.salt"
     val (tSalted, nSalted) = timed("salted")
     sys.props("graft.semdedup.salt") = "off"
     val (tUnsalted, nUnsalted) = try timed("unsalted")

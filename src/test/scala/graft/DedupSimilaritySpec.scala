@@ -234,6 +234,17 @@ class DedupSimilaritySpec extends SparkSuite {
     // the route function itself, at both sides of the default budget
     assert(Similarity.semanticRoute(Array(0 -> 300L)) == "uncapped")
     assert(Similarity.semanticRoute(Array(0 -> 100000L)) == "capped")
+    // overflow saturation: a cell above ~3.04e9 rows overflows n*n, and
+    // a wrapped (negative) volume would pass ≤ budget and route the one
+    // corpus that most needs the capped plan to uncapped — the volume
+    // must saturate at Long.MaxValue and route capped at any real budget
+    assert(Similarity.cellPairVolume(Array(0 -> 4000000000L)) == Long.MaxValue)
+    assert(Similarity.semanticRoute(Array(0 -> 4000000000L)) == "capped")
+    // per-cell squares that fit individually but overflow the SUM
+    assert(Similarity.cellPairVolume(
+      Array(0 -> 3000000000L, 1 -> 3000000000L)) == Long.MaxValue)
+    assert(Similarity.semanticRoute(
+      Array(0 -> 3000000000L, 1 -> 3000000000L)) == "capped")
   }
 
   test("semantic dedup probed: capped ⊆ probed ⊆ uncapped; one split plane " +
@@ -648,6 +659,7 @@ class DedupSimilaritySpec extends SparkSuite {
     val corpus = (0L to 49L).map(i => (i, Array.tabulate(16)(_ => rnd.nextFloat()))) :+
       ((50L, base.map(_ + 0.01f))) :+ ((51L, base))
     val df = corpus.toDF("vec_id", "embedding")
+    @annotation.nowarn("cat=deprecation") // d7b's own spec
     val pairs = Similarity.cosineNearDupLshPairs(df, "vec_id", "embedding",
       threshold = 0.9, numPlanes = 8, dim = 16, probeBits = 2).collect()
     assert(pairs.exists(r => r.getLong(0) == 50L && r.getLong(1) == 51L),
@@ -945,6 +957,7 @@ class DedupSimilaritySpec extends SparkSuite {
 
   test("LSH near-dup plan: candidates join on the bucket key, never a cartesian") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    @annotation.nowarn("cat=deprecation") // d7b's own plan spec
     val pairs = Similarity.cosineNearDupLshPairs(emb, "vec_id", "embedding",
       threshold = 0.3, numPlanes = 8, dim = 64, probeBits = 2)
     // equi-vs-nested-loop is decided at planning; walk the node tree

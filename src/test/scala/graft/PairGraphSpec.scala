@@ -127,4 +127,55 @@ class PairGraphSpec extends SparkSuite {
     assert(third == directShrunk && third != first)
     assert(scala.io.Source.fromFile(manifest).mkString != stamp1)
   }
+
+  test("id-set digest (SPARK_GRAFT_PAIR_DIGEST): a corpus edited at " +
+      "CONSTANT row count but with churned ids misses and recomputes; " +
+      "a digest-less artifact is refused by a digest-carrying reader") {
+    val root = tempDir("pairgraph-digest")
+    // digest OFF: the artifact's manifest carries no id attestation
+    PairGraph.clearInProcess()
+    PairGraph.pairs(corpus(), "text", "doc_id", "test#digest", p,
+      cacheDir = Some(root)).collect()
+    val sub = new java.io.File(root).listFiles().filter(_.isDirectory)
+    assert(sub.length == 1)
+    val manifest = new java.io.File(sub.head, "manifest.json")
+    val stamp0 = scala.io.Source.fromFile(manifest).mkString
+    assert(!stamp0.contains("id_digest"))
+
+    sys.props("graft.pair.digest") = "1"
+    try {
+      // safe-direction interop: the digest-on reader refuses the
+      // unattested artifact and recomputes with the digest recorded
+      PairGraph.clearInProcess()
+      val attested = PairGraph.pairs(corpus(), "text", "doc_id",
+        "test#digest", p, cacheDir = Some(root)).collect().map(_.toSeq).toSet
+      val stamp1 = scala.io.Source.fromFile(manifest).mkString
+      assert(stamp1.contains("id_digest") && stamp1 != stamp0)
+
+      // unchanged corpus: hit (manifest untouched)
+      PairGraph.clearInProcess()
+      val again = PairGraph.pairs(corpus(), "text", "doc_id",
+        "test#digest", p, cacheDir = Some(root)).collect().map(_.toSeq).toSet
+      assert(again == attested)
+      assert(scala.io.Source.fromFile(manifest).mkString == stamp1)
+
+      // the r15-verdict staleness gap: SAME row count, one id swapped
+      // (the exact-dup doc 4 becomes doc 6 — row count 5 either way).
+      // Row-count-only validation served the stale artifact here; the
+      // digest must miss and recompute against the edited corpus.
+      PairGraph.clearInProcess()
+      val edited = corpus().withColumn("doc_id",
+        when(col("doc_id") === 4L, 6L).otherwise(col("doc_id")))
+      assert(edited.count() == corpus().count())
+      val third = PairGraph.pairs(edited, "text", "doc_id",
+        "test#digest", p, cacheDir = Some(root)).collect().map(_.toSeq).toSet
+      val directEdited = Dedup.neardupPairs(edited, "text", "doc_id",
+          p.bands, p.rowsPerBand, p.threshold, p.shingleN, p.maxBucket,
+          p.adaptiveMinDocs)
+        .collect().map(_.toSeq).toSet
+      assert(third == directEdited && third != attested,
+        "digest must catch the constant-row-count id churn")
+      assert(scala.io.Source.fromFile(manifest).mkString != stamp1)
+    } finally sys.props -= "graft.pair.digest"
+  }
 }
