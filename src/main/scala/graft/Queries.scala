@@ -2462,6 +2462,18 @@ object Queries {
        |  GROUP BY a.vec_id)""".stripMargin
   }
 
+  /** The per-cell split-depth CTE fragment (cells/kk — cell sizes off
+    * `asn`, then THE depth rule: smallest k in 0..maxExtraBits with
+    * (n >> k) ≤ targetCell, at d11b's params targetCell=64,
+    * maxExtraBits=3), shared by d11bSql (batch capped oracle) and
+    * st9bSql (adaptive streaming bucket oracle) so the depth rule
+    * cannot drift between the two. */
+  private val d11DepthCtesSql: String =
+    """cells AS (SELECT cid, count(*) AS n FROM asn GROUP BY cid),
+      |kk AS (
+      |  SELECT cid, COALESCE(MIN(CASE WHEN (n >> i) <= 64 THEN i END), 3) AS k
+      |  FROM cells, range(4) r(i) GROUP BY cid)""".stripMargin
+
   val d11bSql: String = {
     val dotProd = "list_reduce(list_transform(list_zip(%s, %s), s -> s[1] * s[2]), (a, b) -> a + b)"
     def cosOf(v: String) =
@@ -2480,10 +2492,7 @@ object Queries {
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS rn FROM ca)
        |  WHERE rn = 1),
        |$d11CellplaneCtesSql,
-       |cells AS (SELECT cid, count(*) AS n FROM asn GROUP BY cid),
-       |kk AS (
-       |  SELECT cid, COALESCE(MIN(CASE WHEN (n >> i) <= 64 THEN i END), 3) AS k
-       |  FROM cells, range(4) r(i) GROUP BY cid),
+       |$d11DepthCtesSql,
        |p AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |    round(${dotProd.format("av.cv", "bv.cv")} / (sqrt(${dotProd.format("av.cv", "av.cv")}) * sqrt(${dotProd.format("bv.cv", "bv.cv")})), 4) AS cos,
@@ -3083,6 +3092,58 @@ object Queries {
        |keys AS (
        |  SELECT DISTINCT a.cid AS centroid, (ba.b & 7) AS subcell
        |  FROM asn a JOIN bits ba ON ba.vec_id = a.vec_id)
+       |SELECT count(*) AS n_keys,
+       |  CAST(SUM(centroid * 1024 + subcell) AS BIGINT) AS key_sum FROM keys""".stripMargin
+
+  /** ST9b — st9 with a PER-CELL ADAPTIVE split depth: the batch side
+    * already materializes the cell-size table (the SemDeDup routing /
+    * pair-graph build scans it anyway), so the stream takes that
+    * O(nlist) table as a STATIC broadcast artifact
+    * ([[Similarity.cellDepths]] → [[Similarity.semanticBucketsAdaptive]],
+    * the st5 stream-static pattern) instead of st9's fixed uniform
+    * depth — a small cell stays unsplit (no recall loss at its
+    * boundaries), a blast cell splits to full depth (state key bounded
+    * near targetCell instead of holding the whole cluster). Depth
+    * params (targetCell=64, maxExtraBits=3) are d11b's, so the oracle
+    * reuses d11b's cells/kk CTEs verbatim — THE depth rule, derived
+    * from the same cell sizes, gating the streaming keys end to end.
+    * The spec additionally pins per-id key parity with the batch
+    * capped route ([[Similarity.cappedSubcellKeys]]). */
+  def st9bStreamingSemanticDedupAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val cents = Similarity.md5Centroids(8, 64)
+    // the batch-side depth artifact (in a pipeline: refreshed with the
+    // centroids, served to the stream as a static table)
+    val depths = Similarity.cellDepths(
+      t(s, dir, "embeddings").where(col("vec_id") < 1000), "embedding",
+      cents, targetCell = 64, maxExtraBits = 3)
+    val schema = t(s, dir, "embeddings").schema
+    val ss = streamSession(s, 4)
+    val stream = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .where(col("vec_id") < 1000)
+    val keys = Similarity.semanticBucketsAdaptive(stream, "embedding",
+      cents, depths)
+    val deduped = graft.streaming.EventStream.dedupKeys(keys, "centroid", "subcell")
+    val name = s"st9b_sembuckets_${stQueryId.incrementAndGet()}"
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    ss.table(name)
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("centroid").cast("long") * 1024 + col("subcell"))
+          .cast("long").as("key_sum"))
+  }
+
+  val st9bSql: String =
+    s"""WITH $d11CtesSql,
+       |$d11CellplaneCtesSql,
+       |$d11DepthCtesSql,
+       |keys AS (
+       |  SELECT DISTINCT a.cid AS centroid,
+       |    (ba.b & ((CAST(1 AS BIGINT) << kk.k) - 1)) AS subcell
+       |  FROM asn a JOIN bits ba ON ba.vec_id = a.vec_id
+       |    JOIN kk ON kk.cid = a.cid)
        |SELECT count(*) AS n_keys,
        |  CAST(SUM(centroid * 1024 + subcell) AS BIGINT) AS key_sum FROM keys""".stripMargin
 
@@ -4615,6 +4676,7 @@ object Queries {
     "st7_price_envelope" -> st7PriceEnvelope,
     "st8_streaming_neardup" -> st8StreamingNeardup,
     "st9_streaming_semantic_dedup" -> st9StreamingSemanticDedup,
+    "st9b_streaming_semantic_adaptive" -> st9bStreamingSemanticDedupAdaptive,
     "e3_band_join" -> e3BandJoin,
     "m4_frame_sample" -> m4FrameSample,
     "w2_retention_cohorts" -> w2RetentionCohorts
@@ -4727,6 +4789,7 @@ object Queries {
     // set below the bucket cap, so d2's SQL twin verifies st8 end-to-end
     "st8_streaming_neardup" -> d2Sql,
     "st9_streaming_semantic_dedup" -> st9Sql,
+    "st9b_streaming_semantic_adaptive" -> st9bSql,
     "e3_band_join" -> e3Sql,
     "m4_frame_sample" -> m4Sql,
     "w2_retention_cohorts" -> w2Sql

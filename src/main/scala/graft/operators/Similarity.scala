@@ -312,10 +312,15 @@ object Similarity {
   /** Streaming-safe semantic bucket key: (centroid, subcell) at a FIXED
     * uniform split depth — quantizer assignment + centered sign bits as
     * pure per-row expressions and one broadcast join, no aggregation or
-    * checkpoint, so it runs inside a streaming plan. Unlike the batch
-    * forms the depth is not size-adaptive (a stream has no cell-size
-    * table); `maxBits` sets the uniform subdivision. The st9 streaming
-    * semantic dedup keys its state on this. */
+    * checkpoint, so it runs inside a streaming plan. The fixed depth is
+    * the zero-information form (no cell-size table at all): it
+    * over-splits small cells (recall loss at their boundaries) and
+    * under-splits blasts (one state key holding a whole cluster) —
+    * when ANY batch view of the corpus exists, derive a per-cell depth
+    * table with [[cellDepths]] and use [[semanticBucketsAdaptive]]
+    * instead; this form remains for the cold-start stream with no
+    * history. The st9 streaming semantic dedup keys its state on
+    * this; st9b on the adaptive form. */
   def semanticBuckets(df: DataFrame, vecCol: String,
                       centroids: Array[(Int, Array[Double])],
                       maxBits: Int): DataFrame = {
@@ -325,6 +330,53 @@ object Similarity {
             else centeredBits(base, centroids, maxBits)
     b.select(col("centroid"),
       col("bits").bitwiseAND(lit((1L << maxBits) - 1)).as("subcell"))
+  }
+
+  /** The per-cell split-depth ARTIFACT for the streaming semantic gate:
+    * one batch pass over a corpus sample (the stream's history, or the
+    * same snapshot the batch SemDeDup routing already scanned) →
+    * O(nlist) driver rows under THE depth rule ([[splitDepths]] — the
+    * identical integer-shift rule the batch capped route applies), so
+    * the stream's state keys and the batch subcells cannot drift. At
+    * 100 TB this is a tiny static table refreshed whenever the
+    * centroids are; the stream broadcast-joins it (the st5
+    * stream-static pattern). */
+  def cellDepths(df: DataFrame, vecCol: String,
+                 centroids: Array[(Int, Array[Double])],
+                 targetCell: Int, maxExtraBits: Int): Map[Int, Int] = {
+    val sizes = IvfIndex.assign(df, vecCol, centroids)
+      .groupBy("centroid").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    splitDepths(sizes, targetCell, maxExtraBits)
+  }
+
+  /** [[semanticBuckets]] with a PER-CELL adaptive depth (from
+    * [[cellDepths]] — batch-derived, so the stream splits exactly where
+    * the batch capped route does): still a pure projection plus two
+    * broadcast joins (offsets, masks) — no aggregation, no checkpoint —
+    * so it is legal inside a streaming plan. A cell the depth table
+    * never saw defaults to depth 0 (unsplit — the safe side: dedup
+    * state merely coarser there until the artifact refreshes). Returns
+    * the input columns plus (centroid, subcell), so a caller can key
+    * state on the pair while keeping its payload. */
+  def semanticBucketsAdaptive(df: DataFrame, vecCol: String,
+                              centroids: Array[(Int, Array[Double])],
+                              depths: Map[Int, Int]): DataFrame = {
+    val maxBits = if (depths.isEmpty) 0 else depths.values.max
+    val base = IvfIndex.assign(df, vecCol, centroids)
+      .withColumn("v", asDouble(col(vecCol)))
+    val b = if (maxBits == 0) base.withColumn("bits", lit(0L))
+            else centeredBits(base, centroids, maxBits)
+    val session = df.sparkSession
+    import session.implicits._
+    // mask table over the FULL centroid set (depth 0 where absent) so
+    // the join never drops a row of an unseen cell
+    val masks = broadcast(centroids.map { case (cid, _) =>
+      (cid, (1L << depths.getOrElse(cid, 0)) - 1)
+    }.toSeq.toDF("centroid", "mask"))
+    b.join(masks, Seq("centroid"))
+      .withColumn("subcell", col("bits").bitwiseAND(col("mask")))
+      .drop("v", "bits", "mask")
   }
 
   private def assignedWithBits(df: DataFrame, idCol: String, vecCol: String,

@@ -44,6 +44,12 @@ import org.apache.spark.sql.functions._
   *    operator's own subcell derivation — max subcell asserted ≤
   *    4·targetCell. The bounded-bucket property V5 shows the
   *    origin-plane buckets lack.
+  *  - V7 semantic APPLY (d12's shape) at the full corpus: connected
+  *    components over the d7c/auto pair set + survivor manifest —
+  *    tiling (Σ absorbed == n), min-id-survivor structure, ≥95% of
+  *    planted pairs same-labeled, survivor count ≤ n − merged planted
+  *    pairs; pair-pass and CC wall-clocks reported separately so the
+  *    APPLY step's scale cost is priced on its own.
   *
   * Usage: runMain graft.tools.AnnScaleCheck <sfDir>
   */
@@ -247,6 +253,52 @@ object AnnScaleCheck {
       s"n=$nVecs max_subcell=$subMax (bound 4*targetCell=4000) " +
         s"subcell_pairs=$subPairs vs uncapped_cell_pairs=$cellPairs " +
         s"vs lsh16_max_bucket=$bucketMax target=1000 maxBits=8")
+
+    // V7 — the APPLY step (d12's shape) at the FULL corpus: connected
+    // components over the d7c/auto pair set + the survivor manifest.
+    // The pair set is materialized FIRST so the reported cc_s prices
+    // label propagation + manifest alone — the step the catalog's d12
+    // row measures only at fixture size. Invariants:
+    //  - tiling: Σ absorbed == n (nothing dropped or double-counted)
+    //  - min-id survivor: no pair's LARGER member is ever a survivor
+    //    (its component holds a smaller id by construction)
+    //  - planted merge: ≥95% of the vertex-disjoint planted pairs end
+    //    up same-labeled (bounded by the pair set's own recall, V3b/c)
+    //  - cluster count: each same-labeled planted pair merges two
+    //    distinct vertices, so n_survivors ≤ n − samePlanted
+    val pairsT0 = System.nanoTime()
+    val autoPairs = Similarity.cosineNearDupPairsAuto(actual, "vec_id",
+        "embedding", centroids, threshold = 0.99, targetCell = 1000,
+        maxExtraBits = 8)
+      .select("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nAutoPairs = autoPairs.count()
+    val pairsSec = (System.nanoTime() - pairsT0) / 1e9
+    val ccT0 = System.nanoTime()
+    val labels = graft.operators.Dedup.connectedComponents(
+        actual.select(col("vec_id").as("id")), autoPairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val manifest = labels.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_vecs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nSurv = manifest.count()
+    val ccSec = (System.nanoTime() - ccT0) / 1e9
+    val absorbed = manifest.agg(sum("n_vecs")).head().getLong(0)
+    val badSurv = autoPairs
+      .join(manifest.select(col("cluster_id").as("id_b")), "id_b").count()
+    val samePlanted = plantedB.withColumn("id_a", col("id_b") - 1)
+      .join(labels.select(col("id").as("id_a"), col("cluster_id").as("ca")), "id_a")
+      .join(labels.select(col("id").as("id_b"), col("cluster_id").as("cb")), "id_b")
+      .where(col("ca") === col("cb")).count()
+    val sameFrac = if (nPlanted == 0) 1.0 else samePlanted.toDouble / nPlanted
+    check("V7_semantic_apply_full",
+      absorbed == nVecs && badSurv == 0 && sameFrac >= 0.95 &&
+        nSurv <= nVecs - samePlanted,
+      f"n=$nVecs pairs=$nAutoPairs survivors=$nSurv absorbed=$absorbed " +
+        f"bad_survivors=$badSurv planted_same_label=$sameFrac%.4f " +
+        f"($samePlanted/$nPlanted) pairs_s=$pairsSec%.1f cc_s=$ccSec%.1f " +
+        s"t=0.99 target=1000 maxBits=8 (auto route, d7c defaults)")
+    manifest.unpersist(); labels.unpersist(); autoPairs.unpersist()
 
     plantedB.unpersist(); actual.unpersist()
     val ok = failures.isEmpty

@@ -325,6 +325,57 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(streaming.exists(_._2 != 0L)) // the split bits genuinely vary
   }
 
+  test("semanticBucketsAdaptive (st9b's key): per-id key parity with the " +
+      "batch capped route under PER-CELL depths; differs from fixed depth") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 300)
+    val cents = Similarity.md5Centroids(4, 64)
+    // pick a targetCell the fixture's cells STRADDLE (the smallest cell's
+    // size): that cell stays at depth 0 while bigger ones split, so the
+    // test genuinely exercises per-cell variation rather than a uniform
+    // depth that the fixed-depth form would reproduce anyway
+    val minCell = Similarity.IvfIndex.assign(emb, "embedding", cents)
+      .groupBy("centroid").count().collect().map(_.getLong(1)).min.toInt
+    val depths = Similarity.cellDepths(emb, "embedding", cents,
+      targetCell = minCell, maxExtraBits = 3)
+    assert(depths.values.toSet.size > 1,
+      s"fixture must exercise varying depths, got $depths (targetCell=$minCell)")
+    // PER-ID parity with the batch capped route's (centroid, subcell) —
+    // the invariant that makes the streaming state keys exactly the
+    // batch plan's pair-join keys
+    val batch = Similarity.cappedSubcellKeys(emb, "vec_id", "embedding",
+        cents, targetCell = minCell, maxExtraBits = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val adaptive = Similarity.semanticBucketsAdaptive(emb, "embedding",
+        cents, depths)
+      .select("vec_id", "centroid", "subcell")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(adaptive == batch && adaptive.nonEmpty)
+    // and the adaptive key genuinely DIFFERS from the fixed full-depth
+    // one where a cell's depth was reduced: every id in a k<3 cell whose
+    // high bits are set maps to a coarser subcell than fixed depth 3
+    // gives it (per-id comparison against the full-depth batch keys)
+    val fixedFull = Similarity.cappedSubcellKeys(emb, "vec_id", "embedding",
+        cents, targetCell = 1, maxExtraBits = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    val reduced = adaptive.filter { case (id, (cid, sub)) =>
+      depths(cid) < 3 && fixedFull(id)._2 != sub }
+    assert(reduced.nonEmpty,
+      "expected at least one id whose reduced-depth key is coarser than " +
+        "its fixed full-depth key")
+    // coarsening only MERGES keys — an adaptive subcell is the fixed
+    // subcell masked to the cell's depth, never a new value
+    assert(adaptive.forall { case (id, (cid, sub)) =>
+      (fixedFull(id)._2 & ((1L << depths(cid)) - 1)) == sub })
+    // unseen-cell default: an empty depth map degrades to unsplit keys,
+    // never dropped rows
+    val unsplit = Similarity.semanticBucketsAdaptive(emb, "embedding",
+      cents, Map.empty)
+    assert(unsplit.count() == emb.count())
+    assert(unsplit.select("subcell").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(0L))
+  }
+
   test("semantic dedup APPLY (d12): every vector absorbed exactly once, " +
       "survivor is its cluster's min id") {
     val spark0 = spark
