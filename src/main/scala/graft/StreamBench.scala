@@ -83,14 +83,14 @@ object StreamBench {
           val hi = tsLo + span * (i + 1) / nBatches
           tsSec >= lo && tsSec < hi
         case "st8" => pmod(col("doc_id"), lit(nBatches)) === i
-        case "st9" => pmod(col("vec_id"), lit(nBatches)) === i
+        case "st9" | "st9b" => pmod(col("vec_id"), lit(nBatches)) === i
         case _ => pmod(col("event_id"), lit(nBatches)) === i
       }
 
       def timeShape(shape: String): (Double, Seq[Double]) = {
         val src = shape match {
           case "st8" => documents
-          case "st9" => embeddings
+          case "st9" | "st9b" => embeddings
           case _ => events
         }
         // stage this shape's chunks (deterministic assignment, untimed;
@@ -187,6 +187,21 @@ object StreamBench {
               graft.operators.Similarity.semanticBuckets(stream, "embedding",
                 graft.operators.Similarity.md5Centroids(8, 64), maxBits = 3),
               "centroid", "subcell"), "append")
+          case "st9b" =>
+            // the ADAPTIVE semantic gate per batch: per-cell depths come
+            // from the batch cell-size artifact (one untimed O(nlist)
+            // derivation over the staged corpus — in production, the
+            // same table the batch SemDeDup routing already collected),
+            // broadcast-joined inside the streaming plan; state stays
+            // bounded at Σ_cell 2^depth keys
+            val cents = graft.operators.Similarity.md5Centroids(8, 64)
+            val depths = graft.operators.Similarity.cellDepths(
+              embeddings, "embedding", cents, targetCell = 64, maxExtraBits = 3)
+            (graft.streaming.EventStream.dedupKeys(
+              graft.operators.Similarity.semanticBucketsAdaptive(
+                stream, "embedding", cents, depths)
+                .select("centroid", "subcell"),
+              "centroid", "subcell"), "append")
           case _ =>
             (graft.streaming.EventStream.dedupKeys(
               stream.select((col("event_id") % 1000).as("k")), "k"), "append")
@@ -224,7 +239,7 @@ object StreamBench {
       // Unknown names fail FAST: a typo ('st-8') would otherwise filter
       // every shape out and emit an empty-but-successful-looking bench
       // record (r12 ADVICE).
-      val known = Seq("st2", "st3", "st5", "st6", "st7", "st8", "st9")
+      val known = Seq("st2", "st3", "st5", "st6", "st7", "st8", "st9", "st9b")
       val wanted = sys.env.get("SPARK_GRAFT_STREAM_SHAPES")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
         .getOrElse(known.toSet)

@@ -465,7 +465,7 @@ object Similarity {
       val salt = saltTables(session,
         Seq("centroid" -> org.apache.spark.sql.types.IntegerType,
           "subcell" -> org.apache.spark.sql.types.LongType),
-        oversized, targetCell)
+        oversized, targetCell, sizes.map(_._2).sum)
       inCellPairsBetween(sub, sub, Seq("centroid", "subcell"), threshold, salt)
     } else {
       val probes = sub.withColumn("f", explode(col("flips")))
@@ -529,7 +529,7 @@ object Similarity {
       val salt = saltTables(session,
         Seq("centroid" -> org.apache.spark.sql.types.IntegerType,
           "skey" -> org.apache.spark.sql.types.LongType),
-        oversized, targetCell)
+        oversized, targetCell, sizes.map(_._2).sum)
       inCellPairsBetween(probes, exact, Seq("centroid", "skey"), threshold, salt)
     }
   }
@@ -555,7 +555,8 @@ object Similarity {
   private def saltTables(session: org.apache.spark.sql.SparkSession,
                          keyCols: Seq[(String, org.apache.spark.sql.types.DataType)],
                          flooded: Seq[(Seq[Any], Long)],
-                         targetCell: Int): Option[(DataFrame, DataFrame)] = {
+                         targetCell: Int,
+                         corpusRows: Long = 0L): Option[(DataFrame, DataFrame)] = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     if (flooded.isEmpty) None
@@ -564,6 +565,27 @@ object Similarity {
         s"salt guard: ${flooded.length} flooded keys exceeds the driver " +
           "budget — raise targetCell")
       val counts = flooded.map { case (k, n) => (k, saltCount(n, targetCell)) }
+      // flood-MAJORITY telemetry: the guard is built for isolated point
+      // masses — a residual blast here and there, replicated s-fold onto
+      // a triangle of tasks at negligible total cost. When most of the
+      // corpus sits in flooded keys the quantizer itself is failing to
+      // split (measured r16 at 2.4M vectors under UNTRAINED md5
+      // centroids: 93% of rows flooded, max subcell 197k, and the s=64
+      // replication meant ~230 GB of shuffle). Output stays correct
+      // either way — the warn names the actual fix (a quantizer that
+      // matches the corpus), because no salting scheme can spread an n²
+      // loop over T tasks with less than ~√T-fold row replication.
+      val replRows = flooded.zip(counts).foldLeft(0L) {
+        case (acc, ((_, n), (_, s))) => acc + n * s
+      }
+      if (corpusRows > 0 && replRows > 3L * corpusRows)
+        log.warn(s"salt guard: ${flooded.length} flooded keys hold " +
+          s"${flooded.map(_._2).sum} rows of a $corpusRows-row corpus; " +
+          s"salting will shuffle ~$replRows replicated rows " +
+          f"(${replRows.toDouble / corpusRows}%.1fx the corpus). The " +
+          "quantizer is not splitting this corpus — train centroids on " +
+          "it (IvfIndex.train) and size nlist to the corpus; raising " +
+          "targetCell only hides the imbalance. Output is unaffected.")
       // budget-check the expand size ARITHMETICALLY before materializing:
       // with 100k admitted keys at s=64 the row Seq would reach ~4e8 Row
       // objects and OOM the driver before a post-hoc require could fire
@@ -769,7 +791,7 @@ object Similarity {
         else Seq.empty
       val salt = saltTables(df.sparkSession,
         Seq("centroid" -> org.apache.spark.sql.types.IntegerType),
-        over, targetCell)
+        over, targetCell, sizes.map(_._2).sum)
       inCellPairsBetween(assigned, assigned, Seq("centroid"), threshold, salt)
     } else
       cappedPairsFromAssigned(assigned, sizes, threshold, targetCell,

@@ -18,20 +18,29 @@ import org.apache.spark.sql.functions._
   *    EQUAL (the guard is a task-shape change, not a semantics change;
   *    asserted here at scale, as the spec asserts it at fixture size).
   *
-  * Centroids are the fixed md5 table, not trained: Lloyd's
-  * deterministic init seeds from the first nlist rows by id, which in a
-  * blast corpus are all the same vector — the degenerate quantizer
-  * would put the WHOLE corpus in one cell and measure the quantizer's
-  * failure, not the guard.
+  * Centroids: the fixed md5 table by default — Lloyd's deterministic
+  * init seeds from the first nlist rows by id, which in a BLAST corpus
+  * are all the same vector, so the trained quantizer would degenerate
+  * (whole corpus in one cell) and measure the quantizer's failure, not
+  * the guard. Pass `trained` for NATURAL corpora: there the md5 table
+  * is the degenerate config — a random centroid is far from the cell's
+  * actual population, the cell-CENTERED planes stop bisecting, and at
+  * 2.4M vectors 93% of the corpus sat in >4·targetCell keys (measured
+  * r16: max subcell 196,956 vs the 1,000 target; the salted arm's
+  * s-fold triangle replication then wrote ~230 GB of shuffle and
+  * filled the disk). The operator's scale contract is trained
+  * centroids with nlist ∝ corpus; a natural-corpus probe must honor it.
   *
-  * Usage: runMain graft.tools.PointMassProbe <sfDir> [threshold] [targetCell] [arms] [route]
+  * Usage: runMain graft.tools.PointMassProbe <sfDir> [threshold] [targetCell] [arms] [route] [centroids]
   * `arms` csv subset of salted,unsalted (default both); `route` is
   * capped (default), probed (probeSplitBits = 1 — flood detection and
   * exposure stats key on the PROBE side's per-skey population, the
   * Hamming-≤1 subcell neighborhood sum), or uncapped (drives the auto
   * entry with an unbounded budget, measuring the UNCAPPED branch's
   * flooded-cell salting, whose single-task exposure is the whole
-  * cell's pair loop, not just the unsplittable residual's).
+  * cell's pair loop, not just the unsplittable residual's);
+  * `centroids` is md5 (default — blast corpora) or trained (natural
+  * corpora; IvfIndex.train nlist=64, 2 iters, untimed).
   */
 object PointMassProbe {
   def main(args: Array[String]): Unit = {
@@ -56,10 +65,16 @@ object PointMassProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val centMode = if (args.length > 5) args(5) else "md5"
+    require(Set("md5", "trained")(centMode),
+      s"centroids must be md5 or trained, got $centMode")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = emb.count()
-    val centroids = Similarity.md5Centroids(64, 64)
+    val centroids =
+      if (centMode == "trained")
+        Similarity.IvfIndex.train(emb, "vec_id", "embedding", nlist = 64, iters = 2)
+      else Similarity.md5Centroids(64, 64)
 
     // the route's key populations (operator's own derivation): the
     // capped route pairs under (centroid, subcell); the uncapped route
@@ -163,7 +178,7 @@ object PointMassProbe {
       s"guard changed the output: salted=$nSalted unsalted=$nUnsalted")
     val armsJson = Seq("salted", "unsalted").filter(arms)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"tool":"PointMassProbe","sf_dir":"$sfDir","route":"$route","arms":$armsJson,"n_vecs":$n,"threshold":$threshold,"target_cell":$target,"max_subcell":$maxSub,"salt_s":$s,"unsalted_task_candidates":$unsaltedTaskCand,"salted_task_candidates":$saltedTaskCand,"total_candidates":$totalCand,"salted_s":$tSalted%.1f,"salted_pairs":$nSalted,"unsalted_s":$tUnsalted%.1f,"unsalted_pairs":$nUnsalted}""")
+    println(f"""{"tool":"PointMassProbe","sf_dir":"$sfDir","route":"$route","arms":$armsJson,"centroids":"$centMode","n_vecs":$n,"threshold":$threshold,"target_cell":$target,"max_subcell":$maxSub,"salt_s":$s,"unsalted_task_candidates":$unsaltedTaskCand,"salted_task_candidates":$saltedTaskCand,"total_candidates":$totalCand,"salted_s":$tSalted%.1f,"salted_pairs":$nSalted,"unsalted_s":$tUnsalted%.1f,"unsalted_pairs":$nUnsalted}""")
     spark.stop()
   }
 }
