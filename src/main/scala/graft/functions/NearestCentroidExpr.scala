@@ -1,0 +1,114 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
+
+/** Nearest-centroid id by cosine similarity, as ONE compiled loop over a
+  * centroid table carried as a plan REFERENCE OBJECT — the large-nlist
+  * form of [[graft.operators.Similarity.IvfIndex.assign]]'s quantizer
+  * step.
+  *
+  * Why it exists: the literal formulation — `least(struct(-cosine(v,
+  * array(lit…)), lit(cid)) …)` over nlist struct branches — embeds
+  * nlist·dim literals in the expression tree. That is the right plan at
+  * catalog nlist (tens: whole-stage codegen, constant-folded norms), but
+  * nlist must GROW with the corpus (cells ∝ corpus / targetCell), and a
+  * plan tree of 10⁴–10⁵ branches breaks down long before 100 TB:
+  * analysis and codegen go superlinear in tree size, the generated
+  * method blows the JIT limit and falls back to interpretation, and
+  * every task binary re-ships the tree. Here the table is ONE object
+  * (ids + vectors + precomputed norms), referenced once per task via
+  * `addReferenceObj`, and the per-row work is the same nlist·dim
+  * multiply-adds inside a single JIT-compiled method.
+  *
+  * Bit-compatibility with the literal path (asserted by spec): the
+  * per-centroid cosine is the identical sequential left-to-right fold
+  * [[VecDot]] computes (norms included — precomputed once here, but the
+  * same double either way), and selection minimizes (-cos, cid)
+  * lexicographically exactly as `least(struct(negcos, cid))` does:
+  * ascending-cid iteration keeping strict improvements — ties keep the
+  * smaller cid. One deliberate divergence: a ZERO vector yields NaN
+  * cosines here (Java 0/0) and resolves to the minimum cid, where the
+  * literal path's SQL Divide THROWS under ANSI mode — embeddings are
+  * non-zero by construction, and not failing the whole 100 TB job on
+  * one degenerate row is the right side of that divergence.
+  *
+  * Scale envelope: the reference object rides the task binary, so this
+  * form is right up to centroid tables of ~10⁷ doubles (tens of MB);
+  * beyond that the next rung is an explicit broadcast + mapPartitions.
+  */
+case class NearestCentroid(child: Expression,
+                           ids: Array[Int],
+                           vecs: Array[Array[Double]]) extends UnaryExpression {
+  require(ids.length == vecs.length && ids.nonEmpty,
+    s"centroid table: ${ids.length} ids vs ${vecs.length} vectors")
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_nearest_centroid"
+
+  @transient private lazy val childFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // sqrt of the same sequential fold the literal path's norm(c) computes
+  @transient private lazy val norms: Array[Double] = vecs.map { c =>
+    var acc = 0.0; var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  def nearest(v: ArrayData): Int = {
+    val n = v.numElements()
+    var vn = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (childFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      vn += x * x
+      i += 1
+    }
+    val vnorm = math.sqrt(vn)
+    var bestCos = Double.NaN
+    var bestCid = ids(0)
+    var k = 0
+    while (k < vecs.length) {
+      val c = vecs(k)
+      val m = math.min(n, c.length)
+      var dot = 0.0
+      i = 0
+      while (i < m) {
+        val x = if (childFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        dot += x * c(i)
+        i += 1
+      }
+      val cos = dot / (vnorm * norms(k))
+      // strict improvement only: ties (and NaN, which compares false)
+      // keep the earlier = smaller cid, as least(struct(-cos, cid)) does
+      if (k == 0 || cos > bestCos) { bestCos = cos; bestCid = ids(k) }
+      k += 1
+    }
+    bestCid
+  }
+
+  override def nullSafeEval(v: Any): Any = nearest(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroid", this,
+      classOf[NearestCentroid].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.nearest($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+}
+
+object NearestCentroid {
+  def column(vec: Column, centroids: Array[(Int, Array[Double])]): Column = {
+    // ascending-cid iteration is what makes "keep strict improvements"
+    // equal the literal path's lexicographic min over (negcos, cid) —
+    // sort here so the equivalence holds for ANY caller's table order
+    val sorted = centroids.sortBy(_._1)
+    GraftBridge.column(NearestCentroid(GraftBridge.expression(vec),
+      sorted.map(_._1), sorted.map(_._2)))
+  }
+}

