@@ -894,38 +894,36 @@ object Similarity {
       centroids
     }
 
-    /** Above this nlist the literal `least(struct(…))` formulation stops
-      * being the right plan: the expression tree carries nlist·dim
-      * literals, so analysis cost, codegen size (JIT limit → interpreted
-      * fallback) and task-binary size all grow with the table. The
-      * compiled [[graft.functions.NearestCentroid]] loop takes over —
-      * same doubles, same tie rule (spec-asserted), one reference
-      * object. Catalog fixtures (nlist ≤ 64) always take the literal
-      * path, so every oracle's plan is unchanged. */
-    private[graft] val literalAssignMaxNlist = 256
-
-    /** Nearest-centroid assignment. Small tables ride as plan literals
-      * (whole-stage codegen, constant-folded norms); tables past
-      * [[literalAssignMaxNlist]] — nlist must grow with the corpus, so
-      * the 100 TB regime lives here — switch to the single compiled
-      * loop over ONE referenced table object. Results are identical
-      * doubles in both forms. */
+    /** Nearest-centroid assignment: the compiled
+      * [[graft.functions.NearestCentroid]] loop — the whole centroid
+      * table as ONE referenced object, one JIT-compiled method per row.
+      * The original formulation (`least(struct(-cos, cid) …)` over
+      * nlist literal-array branches, kept as [[assignLiteral]] — the
+      * reference implementation the spec and AssignProbe pin this form
+      * against) produces the IDENTICAL assignment (same sequential-fold
+      * doubles, same tie rule; 0 disagreements over 600k real vectors
+      * at nlist 64 and 256) but is the wrong plan in both directions:
+      * at catalog nlist its branch-per-centroid expression tree is
+      * 2–3× slower (measured 22.5 vs 7.2 s at nlist=64, 43.2 vs 26.2 s
+      * at 256, 600k vectors — AssignProbe r16), and past a few hundred
+      * centroids the tree breaks analysis cost, codegen size (JIT
+      * fallback) and task-binary size outright, while nlist must GROW
+      * with the corpus (cells ∝ corpus/targetCell). The compiled form
+      * runs nlist=1024 in 42.7 s at the same corpus. */
     def assign(df: DataFrame, vecCol: String,
                centroids: Array[(Int, Array[Double])]): DataFrame =
-      if (centroids.length <= literalAssignMaxNlist) {
-        val best = centroids.map { case (cid, cvec) =>
-          struct((-cosine(col(vecCol),
-            array(cvec.map(lit): _*))).as("negcos"), lit(cid).as("cid"))
-        }
-        df.withColumn("centroid", least(best: _*).getField("cid"))
-      } else assignCompiled(df, vecCol, centroids)
-
-    /** The compiled-loop form of [[assign]] — exposed so the spec can
-      * pin bit-equality against the literal form at fixture nlist. */
-    private[graft] def assignCompiled(df: DataFrame, vecCol: String,
-                                      centroids: Array[(Int, Array[Double])]): DataFrame =
       df.withColumn("centroid",
         graft.functions.NearestCentroid.column(col(vecCol), centroids))
+
+    /** The literal-expression reference form of [[assign]] (see there). */
+    private[graft] def assignLiteral(df: DataFrame, vecCol: String,
+                                     centroids: Array[(Int, Array[Double])]): DataFrame = {
+      val best = centroids.map { case (cid, cvec) =>
+        struct((-cosine(col(vecCol),
+          array(cvec.map(lit): _*))).as("negcos"), lit(cid).as("cid"))
+      }
+      df.withColumn("centroid", least(best: _*).getField("cid"))
+    }
 
     /** Query: probe the nprobe nearest centroid lists, exact cosine + rank
       * within the probed fraction of the corpus. */

@@ -306,8 +306,8 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(d7cAbove == probed)
   }
 
-  test("assign routes on nlist: the compiled NearestCentroid loop equals " +
-      "the literal least(struct) form per id, ties and table order included") {
+  test("assign (the compiled NearestCentroid loop) equals the literal " +
+      "least(struct) reference form per id, ties and table order included") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .where(col("vec_id") < 500)
     def byId(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
@@ -315,8 +315,8 @@ class DedupSimilaritySpec extends SparkSuite {
         .map(r => r.getLong(0) -> r.getInt(1)).toMap
     for (cents <- Seq(Similarity.md5Centroids(64, 64),
         Similarity.IvfIndex.train(emb, "vec_id", "embedding", nlist = 16))) {
-      val literal = byId(Similarity.IvfIndex.assign(emb, "embedding", cents))
-      val compiled = byId(Similarity.IvfIndex.assignCompiled(emb, "embedding", cents))
+      val literal = byId(Similarity.IvfIndex.assignLiteral(emb, "embedding", cents))
+      val compiled = byId(Similarity.IvfIndex.assign(emb, "embedding", cents))
       assert(compiled == literal && literal.values.toSet.size > 1)
     }
     // edge rows: an exact-centroid vector (cos ties at 1.0 when two
@@ -333,25 +333,22 @@ class DedupSimilaritySpec extends SparkSuite {
       (1L, c0.map(_.toFloat))
     ).toDF("vec_id", "embedding")
     val dupCents = Array(0 -> Array.fill(8)(-0.5), 1 -> c0, 2 -> c0)
-    val litEdge = byId(Similarity.IvfIndex.assign(edge, "embedding", dupCents))
-    val cmpEdge = byId(Similarity.IvfIndex.assignCompiled(edge, "embedding", dupCents))
+    val litEdge = byId(Similarity.IvfIndex.assignLiteral(edge, "embedding", dupCents))
+    val cmpEdge = byId(Similarity.IvfIndex.assign(edge, "embedding", dupCents))
     assert(cmpEdge == litEdge)
     assert(litEdge(1L) == 1, s"tie must keep the smaller cid, got $litEdge")
     // an unsorted centroid table must not change the tie rule
     val shuffled = dupCents.reverse
-    assert(byId(Similarity.IvfIndex.assignCompiled(edge, "embedding", shuffled)) == litEdge)
-    // the routing threshold: past literalAssignMaxNlist the plan carries
-    // the single compiled expression, not an nlist-branch least()
+    assert(byId(Similarity.IvfIndex.assign(edge, "embedding", shuffled)) == litEdge)
+    // the plan really is the single compiled expression, not an
+    // nlist-branch least() — and a table past any literal-plan reach
+    // (nlist=300) assigns without growing the tree
     val big = Similarity.md5Centroids(300, 8)
     val routed = Similarity.IvfIndex.assign(edge, "embedding", big)
     assert(routed.queryExecution.analyzed.toString.contains("graft_nearest_centroid"))
-    val small = Similarity.IvfIndex.assign(edge, "embedding", dupCents)
-    assert(!small.queryExecution.analyzed.toString.contains("graft_nearest_centroid"))
-    // and the routed form still equals the compiled form (trivially) and
-    // a DOWN-SAMPLED literal check: big-table assignment on the planted
-    // rows agrees with a direct literal evaluation over the same table
-    val litBig = byId(Similarity.IvfIndex.assignCompiled(edge, "embedding", big))
-    assert(byId(routed) == litBig)
+    assert(!Similarity.IvfIndex.assignLiteral(edge, "embedding", dupCents)
+      .queryExecution.analyzed.toString.contains("graft_nearest_centroid"))
+    assert(byId(routed).size == 2)
   }
 
   test("semanticBuckets (st9's key): fixed-depth buckets equal the batch " +
