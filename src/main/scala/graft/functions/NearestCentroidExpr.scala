@@ -112,3 +112,97 @@ object NearestCentroid {
       sorted.map(_._1), sorted.map(_._2)))
   }
 }
+
+/** The k nearest centroid ids by cosine, ordered by (cos desc, cid asc)
+  * — [[NearestCentroid]]'s top-k sibling, for the IVF QUERY side's probe
+  * list ([[graft.operators.Similarity.IvfIndex.topK]]). The literal
+  * formulation there — `slice(sort_array(array(struct(-cos, cid) …)),
+  * 1, nprobe)` — sorts an nlist-element struct array built from
+  * nlist·dim plan literals per row: correct at catalog nlist, breaks
+  * down past a few hundred centroids exactly like the assignment tree.
+  * Here: one referenced table, one compiled loop, an insertion buffer
+  * of k slots (k = nprobe, small). Same doubles, same order (equal
+  * cosines resolve to the smaller cid because insertion is strict and
+  * iteration is ascending-cid). Same zero-vector divergence note as
+  * [[NearestCentroid]]. */
+case class TopCentroids(child: Expression,
+                        ids: Array[Int],
+                        vecs: Array[Array[Double]],
+                        k: Int) extends UnaryExpression {
+  require(ids.length == vecs.length && ids.nonEmpty && k >= 1,
+    s"centroid table: ${ids.length} ids vs ${vecs.length} vectors, k=$k")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_top_centroids"
+
+  @transient private lazy val childFloat =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  @transient private lazy val norms: Array[Double] = vecs.map { c =>
+    var acc = 0.0; var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  def top(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    var vn = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (childFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      vn += x * x
+      i += 1
+    }
+    val vnorm = math.sqrt(vn)
+    val kk = math.min(k, ids.length)
+    val bufCos = new Array[Double](kk)
+    val bufCid = new Array[Int](kk)
+    var size = 0
+    var c = 0
+    while (c < vecs.length) {
+      val cv = vecs(c)
+      val m = math.min(n, cv.length)
+      var dot = 0.0
+      i = 0
+      while (i < m) {
+        val x = if (childFloat) v.getFloat(i).toDouble else v.getDouble(i)
+        dot += x * cv(i)
+        i += 1
+      }
+      val cos = dot / (vnorm * norms(c))
+      // first slot whose cosine this STRICTLY beats: equal cosines keep
+      // the earlier (smaller-cid) entry ahead, NaN beats nothing
+      var pos = 0
+      while (pos < size && !(cos > bufCos(pos))) pos += 1
+      if (pos < kk) {
+        val last = math.min(size, kk - 1)
+        var j = last
+        while (j > pos) { bufCos(j) = bufCos(j - 1); bufCid(j) = bufCid(j - 1); j -= 1 }
+        bufCos(pos) = cos
+        bufCid(pos) = ids(c)
+        if (size < kk) size += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bufCid, size))
+  }
+
+  override def nullSafeEval(v: Any): Any = top(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("topCentroids", this,
+      classOf[TopCentroids].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.top($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TopCentroids =
+    copy(child = newChild)
+}
+
+object TopCentroids {
+  def column(vec: Column, centroids: Array[(Int, Array[Double])], k: Int): Column = {
+    val sorted = centroids.sortBy(_._1)
+    GraftBridge.column(TopCentroids(GraftBridge.expression(vec),
+      sorted.map(_._1), sorted.map(_._2), k))
+  }
+}

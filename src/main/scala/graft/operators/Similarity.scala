@@ -932,17 +932,17 @@ object Similarity {
              nprobe: Int): DataFrame = {
       val assigned = assign(corpus, vecCol, centroids)
         .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid"))
-      val probes = centroids.map { case (cid, cvec) =>
-        struct((-cosine(col(vecCol), array(cvec.map(lit): _*))).as("negcos"),
-          lit(cid).as("cid"))
-      }
-      // sort_array (native SortArray) not array_sort (lambda-comparator
-      // HOF, CodegenFallback) — identical order on non-null struct
-      // elements; pr.cid = GetArrayStructFields, not a transform() lambda
+      // probe list via the compiled TopCentroids loop — identical probe
+      // ids in identical order to the literal
+      // slice(sort_array(array(struct(-cos, cid)…)), 1, nprobe)
+      // formulation ([[probeListLiteral]], the spec's reference form),
+      // without the nlist-branch expression tree that breaks down as
+      // nlist grows with the corpus
       val q = broadcast(queries
         .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-          slice(sort_array(array(probes: _*)), 1, nprobe).as("pr"))
-        .withColumn("centroid", explode(col("pr.cid")))
+          graft.functions.TopCentroids.column(col(vecCol), centroids, nprobe)
+            .as("pr"))
+        .withColumn("centroid", explode(col("pr")))
         .drop("pr"))
       // each corpus vector is assigned to exactly ONE centroid and the
       // query probes nprobe DISTINCT centroids, so a (query, neighbor)
@@ -955,6 +955,22 @@ object Similarity {
       scored.select("query_id", "neighbor_id", "cos")
         .withColumn("rank", row_number().over(w))
         .where(col("rank") <= k)
+    }
+
+    /** The literal-expression reference form of [[topK]]'s probe list
+      * (sort_array over nlist struct branches, sliced to nprobe) — kept
+      * so the spec can pin the compiled [[graft.functions.TopCentroids]]
+      * order against it at fixture nlist. */
+    private[graft] def probeListLiteral(queries: DataFrame, idCol: String,
+                                        vecCol: String,
+                                        centroids: Array[(Int, Array[Double])],
+                                        nprobe: Int): DataFrame = {
+      val probes = centroids.map { case (cid, cvec) =>
+        struct((-cosine(col(vecCol), array(cvec.map(lit): _*))).as("negcos"),
+          lit(cid).as("cid"))
+      }
+      queries.select(col(idCol).as("query_id"),
+        slice(sort_array(array(probes: _*)), 1, nprobe).getField("cid").as("pr"))
     }
   }
 

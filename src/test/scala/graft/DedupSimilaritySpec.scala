@@ -351,6 +351,34 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(byId(routed).size == 2)
   }
 
+  test("TopCentroids (topK's probe list) equals the literal " +
+      "sort_array/slice reference form per query, order included") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 300)
+    for (nlist <- Seq(8, 64); nprobe <- Seq(1, 3, 8)) {
+      val cents = Similarity.md5Centroids(nlist, 64)
+      val lit0 = Similarity.IvfIndex.probeListLiteral(emb, "vec_id",
+          "embedding", cents, nprobe)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+      val cmp = emb.select(col("vec_id"),
+          graft.functions.TopCentroids.column(col("embedding"), cents, nprobe)
+            .as("pr"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+      assert(cmp == lit0, s"nlist=$nlist nprobe=$nprobe")
+      assert(lit0.values.forall(_.length == math.min(nprobe, nlist)))
+    }
+    // equal-cosine tie: duplicated centroid — the smaller cid must come
+    // first in both forms
+    val spark0 = spark
+    import spark0.implicits._
+    val c0 = Array.fill(8)(0.5)
+    val q = Seq((1L, c0.map(_.toFloat))).toDF("vec_id", "embedding")
+    val dupCents = Array(2 -> c0, 0 -> Array.fill(8)(-0.5), 1 -> c0)
+    val tie = q.select(graft.functions.TopCentroids.column(
+        col("embedding"), dupCents, 3)).head().getSeq[Int](0).toList
+    assert(tie == List(1, 2, 0), s"expected (1,2,0) by (cos desc, cid asc), got $tie")
+  }
+
   test("semanticBuckets (st9's key): fixed-depth buckets equal the batch " +
       "route's subcell keys when every cell splits to full depth") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
