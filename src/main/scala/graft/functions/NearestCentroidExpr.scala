@@ -31,11 +31,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * same double either way), and selection minimizes (-cos, cid)
   * lexicographically exactly as `least(struct(negcos, cid))` does:
   * ascending-cid iteration keeping strict improvements — ties keep the
-  * smaller cid. One deliberate divergence: a ZERO vector yields NaN
-  * cosines here (Java 0/0) and resolves to the minimum cid, where the
-  * literal path's SQL Divide THROWS under ANSI mode — embeddings are
-  * non-zero by construction, and not failing the whole 100 TB job on
-  * one degenerate row is the right side of that divergence.
+  * smaller cid.
+  *
+  * NaN rule: a NaN cosine — 0/0 in Java arithmetic, possible only from
+  * a zero-NORM centroid in a caller-supplied table or a zero input
+  * vector — ranks BELOW every real cosine (it is skipped unless every
+  * cosine is NaN, in which case the minimum cid wins). This is a
+  * DELIBERATE divergence from both literal modes, which are unusable
+  * references on degenerate inputs (measured, DedupSimilaritySpec):
+  * under ANSI the literal's SQL Divide THROWS on the 0/0; with ANSI
+  * off it yields NULL — not NaN — and a NULL struct field sorts FIRST
+  * in `least`, so the literal/non-ANSI form assigns EVERY row to the
+  * degenerate centroid (precisely the all-rows flood the salt guard's
+  * "train the quantizer" warning exists to catch). Ranking the
+  * degenerate centroid last is the only ordering under which real
+  * centroids keep winning; on well-formed tables (all norms non-zero,
+  * the operator's contract) no NaN arises and the two forms are
+  * bit-identical.
   *
   * Scale envelope: the reference object rides the task binary, so this
   * form is right up to centroid tables of ~10⁷ doubles (tens of MB);
@@ -82,9 +94,15 @@ case class NearestCentroid(child: Expression,
         i += 1
       }
       val cos = dot / (vnorm * norms(k))
-      // strict improvement only: ties (and NaN, which compares false)
-      // keep the earlier = smaller cid, as least(struct(-cos, cid)) does
-      if (k == 0 || cos > bestCos) { bestCos = cos; bestCid = ids(k) }
+      // strict improvement only: ties keep the earlier = smaller cid, as
+      // least(struct(-cos, cid)) does. A NaN cosine ranks below every
+      // real one (SQL NaN-sorts-greatest on the negated cosine): a real
+      // cosine displaces a NaN best (second disjunct), a NaN candidate
+      // never displaces anything (both disjuncts false), and an all-NaN
+      // row keeps the initial minimum cid — matching the literal form
+      // for ANY centroid table, zero-norm entries included
+      if (cos > bestCos || (java.lang.Double.isNaN(bestCos) &&
+            !java.lang.Double.isNaN(cos))) { bestCos = cos; bestCid = ids(k) }
       k += 1
     }
     bestCid
@@ -123,8 +141,9 @@ object NearestCentroid {
   * Here: one referenced table, one compiled loop, an insertion buffer
   * of k slots (k = nprobe, small). Same doubles, same order (equal
   * cosines resolve to the smaller cid because insertion is strict and
-  * iteration is ascending-cid). Same zero-vector divergence note as
-  * [[NearestCentroid]]. */
+  * iteration is ascending-cid). Same NaN rule as [[NearestCentroid]]:
+  * a NaN cosine ranks below every real one, so degenerate zero-norm
+  * centroids fill trailing probe slots (cid order) only. */
 case class TopCentroids(child: Expression,
                         ids: Array[Int],
                         vecs: Array[Array[Double]],
@@ -170,9 +189,16 @@ case class TopCentroids(child: Expression,
       }
       val cos = dot / (vnorm * norms(c))
       // first slot whose cosine this STRICTLY beats: equal cosines keep
-      // the earlier (smaller-cid) entry ahead, NaN beats nothing
+      // the earlier (smaller-cid) entry ahead. "Beats" ranks NaN below
+      // every real cosine (see NearestCentroid's NaN rule): a NaN
+      // candidate beats nothing — it fills trailing slots only, after
+      // earlier NaNs (cid order among them) — and a real candidate
+      // displaces a NaN buffer entry, so a degenerate zero-norm
+      // centroid can never occupy a probe slot ahead of a real one
       var pos = 0
-      while (pos < size && !(cos > bufCos(pos))) pos += 1
+      while (pos < size && !(cos > bufCos(pos) ||
+               (java.lang.Double.isNaN(bufCos(pos)) &&
+                 !java.lang.Double.isNaN(cos)))) pos += 1
       if (pos < kk) {
         val last = math.min(size, kk - 1)
         var j = last

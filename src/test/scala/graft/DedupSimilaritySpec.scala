@@ -379,6 +379,58 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(tie == List(1, 2, 0), s"expected (1,2,0) by (cos desc, cid asc), got $tie")
   }
 
+  test("NaN rule: a zero-norm centroid's NaN cosine ranks below every real " +
+      "cosine in both compiled loops — it never wins assignment and fills " +
+      "trailing probe slots only") {
+    // Neither literal mode is a usable reference on this table: under
+    // ANSI the literal's SQL Divide throws on the 0/0; with ANSI off it
+    // yields NULL (not NaN), and a NULL struct field sorts FIRST in
+    // least/sort_array — the literal/non-ANSI form assigns EVERY row to
+    // the degenerate centroid (asserted below: the measured behavior
+    // that makes NaN-ranks-last the only ordering keeping real winners).
+    val spark0 = spark
+    import spark0.implicits._
+    val zero = Array.fill(8)(0.0)
+    val cents = Array(0 -> Array.fill(8)(-0.5), 1 -> zero, 2 -> Array.fill(8)(0.5))
+    val rows = Seq(
+      (0L, Array.tabulate(8)(i => 0.1f * (i + 1))),
+      (1L, Array.fill(8)(-1.0f)),
+      (2L, Array.fill(8)(0.25f))).toDF("vec_id", "embedding")
+    def byId(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select("vec_id", "centroid").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val assigned = byId(Similarity.IvfIndex.assign(rows, "embedding", cents))
+    // the NaN centroid never wins; each row goes to its true nearest
+    assert(assigned == Map(0L -> 2, 1L -> 0, 2L -> 2), s"got $assigned")
+    // probe list: the NaN centroid occupies exactly the LAST slot
+    val probes = rows.select(col("vec_id"),
+        graft.functions.TopCentroids.column(col("embedding"), cents, 3).as("pr"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(probes.values.forall(pr => pr.length == 3 && pr.last == 1 &&
+      !pr.init.contains(1)), s"got $probes")
+    assert(probes(0L) == List(2, 0, 1) && probes(1L) == List(0, 2, 1))
+    // two zero-norm centroids: trailing slots in ascending-cid order
+    val cents2 = Array(0 -> zero, 1 -> Array.fill(8)(0.5), 2 -> zero)
+    val pr2 = rows.where(col("vec_id") === 0L).select(
+        graft.functions.TopCentroids.column(col("embedding"), cents2, 3))
+      .head().getSeq[Int](0).toList
+    assert(pr2 == List(1, 0, 2), s"got $pr2")
+    // all-NaN row (every centroid zero-norm): minimum cid wins, and the
+    // probe order is ascending cid — the documented degenerate-table rule
+    val allZero = Array(3 -> zero, 1 -> zero, 2 -> zero)
+    assert(byId(Similarity.IvfIndex.assign(rows, "embedding", allZero))
+      .values.forall(_ == 1))
+    // the literal/non-ANSI reference really is unusable here: NULL (not
+    // NaN) negcos sorts first, flooding every row onto the degenerate
+    // centroid — the measured fact the compiled NaN rule diverges from
+    val prevAnsi = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val litFlood = byId(Similarity.IvfIndex.assignLiteral(rows, "embedding", cents))
+      assert(litFlood.values.forall(_ == 1), s"got $litFlood")
+    } finally spark.conf.set("spark.sql.ansi.enabled", prevAnsi)
+  }
+
   test("semanticBuckets (st9's key): fixed-depth buckets equal the batch " +
       "route's subcell keys when every cell splits to full depth") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
