@@ -178,4 +178,89 @@ class PairGraphSpec extends SparkSuite {
       assert(scala.io.Source.fromFile(manifest).mkString != stamp1)
     } finally sys.props -= "graft.pair.digest"
   }
+
+  test("digest xor-cancellation closed: swapping a PAIR of duplicate ids " +
+      "(xor cancels) still misses via the sum digest") {
+    val root = tempDir("pairgraph-digest-sum")
+    // two rows SHARE id 4 — the duplicate-id corpus where an id swap
+    // (both 4s → both 6s) leaves bit_xor unchanged: h(4)⊕h(4) = 0 =
+    // h(6)⊕h(6). Row count is constant too. Only the modular-sum
+    // aggregate moves (by 2·(h(6)−h(4)) mod 2⁶⁴).
+    def dupCorpus(id: Long) = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (id, "entirely different text about spark shuffles and joins"),
+      (id, "the quick brown fox jumps over the lazy dog"),
+      (5L, "completely unrelated words nothing shared here at all")
+    ).toDF("doc_id", "text")
+    sys.props("graft.pair.digest") = "1"
+    try {
+      PairGraph.clearInProcess()
+      val first = PairGraph.pairs(dupCorpus(4L), "text", "doc_id",
+        "test#xorcancel", p, cacheDir = Some(root)).collect().map(_.toSeq).toSet
+      // sanity: the xor really does cancel on this edit (the blind spot
+      // this test pins closed), while the sum moves
+      val (n4, d4) = graft.operators.FrameDiskCache.countAndDigest(
+        dupCorpus(4L), "doc_id")
+      val (n6, d6) = graft.operators.FrameDiskCache.countAndDigest(
+        dupCorpus(6L), "doc_id")
+      assert(n4 == n6 && d4.get.xorHash == d6.get.xorHash,
+        "fixture must xor-cancel — ids no longer duplicated?")
+      assert(d4.get.sumHash != d6.get.sumHash)
+      PairGraph.clearInProcess()
+      val swapped = PairGraph.pairs(dupCorpus(6L), "text", "doc_id",
+        "test#xorcancel", p, cacheDir = Some(root)).collect().map(_.toSeq).toSet
+      val directSwapped = Dedup.neardupPairs(dupCorpus(6L), "text", "doc_id",
+          p.bands, p.rowsPerBand, p.threshold, p.shingleN, p.maxBucket,
+          p.adaptiveMinDocs)
+        .collect().map(_.toSeq).toSet
+      assert(swapped == directSwapped && swapped != first,
+        "sum digest must catch the xor-cancelling duplicate-pair swap")
+    } finally sys.props -= "graft.pair.digest"
+  }
+
+  test("manifest validation is parsed JSON, not substring search: a key " +
+      "whose text embeds another field's serialization cannot satisfy it") {
+    import graft.operators.FrameDiskCache
+    val root = tempDir("pairgraph-manifest-json")
+    // the ADVICE shape: the quoted key is part of the manifest text, so
+    // under substring matching a key embedding '"corpus_rows":42,'
+    // satisfied the row-count check for corpusRows=42 regardless of the
+    // manifest's true corpus_rows field
+    val evilKey = """k1|"corpus_rows":42,|"id_digest":7,|"id_digest_sum":9,"""
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    FrameDiskCache.loadOrCompute(spark, root, evilKey, corpusRows = 5L,
+      "data.parquet")(df)
+    // true rows (5) still hit; the embedded 42 must NOT
+    assert(FrameDiskCache.load(spark, root, evilKey, 5L, "data.parquet").isDefined)
+    assert(FrameDiskCache.load(spark, root, evilKey, 42L, "data.parquet").isEmpty)
+    // embedded digest text cannot attest a digest either
+    assert(FrameDiskCache.load(spark, root, evilKey, 5L, "data.parquet",
+      Some(FrameDiskCache.IdDigest(7L, 9L))).isEmpty)
+    // a digest-carrying reader refuses an OLD xor-only manifest (id set
+    // never fully attested under the two-aggregate scheme)
+    val dir = new java.io.File(root).listFiles().filter(_.isDirectory).head
+    val mf = new java.io.File(dir, "manifest.json")
+    val (_, trueDigest) = {
+      sys.props("graft.pair.digest") = "1"
+      try FrameDiskCache.countAndDigest(df, "id")
+      finally sys.props -= "graft.pair.digest"
+    }
+    def rewrite(content: String): Unit = {
+      // drop the local-FS checksum sibling too, or the hand-edited
+      // manifest fails the Hadoop CRC on read instead of parsing
+      new java.io.File(dir, ".manifest.json.crc").delete()
+      java.nio.file.Files.write(mf.toPath, content.getBytes("UTF-8"))
+    }
+    rewrite(s"""{"key":${"\"" + evilKey.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\""},"corpus_rows":5,""" +
+      s""""id_digest":${trueDigest.get.xorHash},"created_ms":1}""")
+    assert(FrameDiskCache.load(spark, root, evilKey, 5L, "data.parquet",
+      trueDigest).isEmpty)
+    // while a digest-less reader still accepts it (safe-direction interop)
+    assert(FrameDiskCache.load(spark, root, evilKey, 5L, "data.parquet").isDefined)
+    // a corrupt manifest is a MISS, not an error
+    rewrite("{not json")
+    assert(FrameDiskCache.load(spark, root, evilKey, 5L, "data.parquet").isEmpty)
+  }
 }
