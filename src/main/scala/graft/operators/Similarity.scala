@@ -564,48 +564,117 @@ object Similarity {
       require(flooded.length <= 100000,
         s"salt guard: ${flooded.length} flooded keys exceeds the driver " +
           "budget — raise targetCell")
-      val counts = flooded.map { case (k, n) => (k, saltCount(n, targetCell)) }
-      // flood-MAJORITY telemetry: the guard is built for isolated point
+      val countsFull = flooded.map { case (k, n) => (k, saltCount(n, targetCell)) }
+      // flood-MAJORITY guard: the salt is built for isolated point
       // masses — a residual blast here and there, replicated s-fold onto
       // a triangle of tasks at negligible total cost. When most of the
       // corpus sits in flooded keys the quantizer itself is failing to
       // split (measured r16 at 2.4M vectors under UNTRAINED md5
-      // centroids: 93% of rows flooded, max subcell 197k, and the s=64
-      // replication meant ~230 GB of shuffle). Output stays correct
-      // either way — the warn names the actual fix (a quantizer that
-      // matches the corpus), because no salting scheme can spread an n²
-      // loop over T tasks with less than ~√T-fold row replication.
-      val replRows = flooded.zip(counts).foldLeft(0L) {
+      // centroids: 93% of rows flooded, max subcell 197k — and the s=64
+      // replication meant ~230 GB of shuffle, which FILLED THE DISK and
+      // killed the job the guard exists to protect). So the replication
+      // estimate is now a BUDGET, not telemetry: past floodBudgetMult ×
+      // corpus replicated rows, per-key salt factors are clamped — worst
+      // keys first, see [[clampSaltCounts]] — so the shuffle stays
+      // inside the budget and the job degrades to the unsalted
+      // stragglers it would have had anyway instead of dying on disk
+      // (output identical either way; no salting scheme can spread an
+      // n² loop over T tasks with less than ~√T-fold replication, so
+      // above the budget stragglers are inherent — the warn names the
+      // actual fix, a quantizer that matches the corpus). Opt-outs for
+      // pipelines that prefer other behavior: -Dgraft.semdedup.flood=
+      // fail (clean error naming the fix) or =warn (r16's proceed-
+      // unclamped behavior, for A/B measurement of the clamp itself).
+      val replRows = flooded.zip(countsFull).foldLeft(0L) {
         case (acc, ((_, n), (_, s))) => acc + n * s
       }
-      if (corpusRows > 0 && replRows > 3L * corpusRows)
-        log.warn(s"salt guard: ${flooded.length} flooded keys hold " +
-          s"${flooded.map(_._2).sum} rows of a $corpusRows-row corpus; " +
-          s"salting will shuffle ~$replRows replicated rows " +
-          f"(${replRows.toDouble / corpusRows}%.1fx the corpus). The " +
-          "quantizer is not splitting this corpus — train centroids on " +
-          "it (IvfIndex.train) and size nlist to the corpus; raising " +
-          "targetCell only hides the imbalance. Output is unaffected.")
-      // budget-check the expand size ARITHMETICALLY before materializing:
-      // with 100k admitted keys at s=64 the row Seq would reach ~4e8 Row
-      // objects and OOM the driver before a post-hoc require could fire
-      val expandSize = counts.foldLeft(0L) { case (acc, (_, s)) => acc + s.toLong * s }
-      require(expandSize <= 2000000,
-        s"salt guard: expand table $expandSize rows exceeds the " +
-          "driver budget — raise targetCell")
-      val expandRows = counts.flatMap { case (k, s) =>
-        saltGroupRows(s).map { case (r, gi, gj) => Row.fromSeq(k ++ Seq(r, gi, gj)) }
+      val budget = (floodBudgetMult * corpusRows).toLong
+      val overBudget = corpusRows > 0 && replRows > budget
+      val counts =
+        if (!overBudget) countsFull
+        else {
+          val detail = s"salt guard: ${flooded.length} flooded keys hold " +
+            s"${flooded.map(_._2).sum} rows of a $corpusRows-row corpus; " +
+            s"unclamped salting would shuffle ~$replRows replicated rows " +
+            f"(${replRows.toDouble / corpusRows}%.1fx the corpus, budget " +
+            f"${floodBudgetMult}%.1fx). The quantizer is not splitting " +
+            "this corpus — train centroids on it (IvfIndex.train) and " +
+            "size nlist to the corpus; raising targetCell only hides " +
+            "the imbalance."
+          sys.props.getOrElse("graft.semdedup.flood", "clamp") match {
+            case "fail" => throw new IllegalStateException(
+              detail + " (-Dgraft.semdedup.flood=fail requested a clean " +
+                "error instead of a clamped run)")
+            case "warn" =>
+              log.warn(detail + " Proceeding UNCLAMPED " +
+                "(-Dgraft.semdedup.flood=warn). Output is unaffected.")
+              countsFull
+            case _ =>
+              log.warn(detail + " Clamping per-key salt factors to the " +
+                "replication budget (worst keys first); keys past the " +
+                "budget run unsalted. Output is unaffected.")
+              clampSaltCounts(flooded, targetCell, budget)
+          }
+        }
+      // a clamped-to-1 key is identity salting — drop it from the tables
+      // so its rows take the plain-join path instead of paying the
+      // broadcast joins for nothing (unclamped counts are always ≥ 5:
+      // n > 4·targetCell ⇒ saltCount ≥ 5)
+      val active = counts.filter(_._2 >= 2)
+      if (active.isEmpty) None
+      else {
+        // budget-check the expand size ARITHMETICALLY before materializing:
+        // with 100k admitted keys at s=64 the row Seq would reach ~4e8 Row
+        // objects and OOM the driver before a post-hoc require could fire
+        val expandSize = active.foldLeft(0L) { case (acc, (_, s)) => acc + s.toLong * s }
+        require(expandSize <= 2000000,
+          s"salt guard: expand table $expandSize rows exceeds the " +
+            "driver budget — raise targetCell")
+        val expandRows = active.flatMap { case (k, s) =>
+          saltGroupRows(s).map { case (r, gi, gj) => Row.fromSeq(k ++ Seq(r, gi, gj)) }
+        }
+        val keyFields = keyCols.map { case (n0, t) => StructField(n0, t) }
+        import scala.jdk.CollectionConverters._
+        val sCounts = session.createDataFrame(
+          active.map { case (k, s) => Row.fromSeq(k :+ s) }.asJava,
+          StructType(keyFields :+ StructField("__s", IntegerType)))
+        val expand = session.createDataFrame(expandRows.asJava,
+          StructType(keyFields ++ Seq(StructField("__salt", IntegerType),
+            StructField("__gi", IntegerType), StructField("__gj", IntegerType))))
+        Some((sCounts, expand))
       }
-      val keyFields = keyCols.map { case (n0, t) => StructField(n0, t) }
-      import scala.jdk.CollectionConverters._
-      val sCounts = session.createDataFrame(
-        counts.map { case (k, s) => Row.fromSeq(k :+ s) }.asJava,
-        StructType(keyFields :+ StructField("__s", IntegerType)))
-      val expand = session.createDataFrame(expandRows.asJava,
-        StructType(keyFields ++ Seq(StructField("__salt", IntegerType),
-          StructField("__gi", IntegerType), StructField("__gj", IntegerType))))
-      Some((sCounts, expand))
     }
+  }
+
+  /** Default replication-budget multiplier for the flood-majority clamp
+    * (budget = multiplier × corpus rows); override with
+    * -Dgraft.semdedup.flood.budget. The 3× line is the r16-measured
+    * boundary between "isolated point masses" (well under it) and
+    * "quantizer failing to split" (30×+ over it). */
+  private def floodBudgetMult: Double =
+    sys.props.get("graft.semdedup.flood.budget").map(_.toDouble).getOrElse(3.0)
+
+  /** Clamp per-key salt factors so total replicated rows Σ n·s stay
+    * inside `budgetRows`, spending the budget on the WORST keys first
+    * (largest population — the biggest single-task stragglers, where a
+    * unit of replication buys the most spread). Each key in descending-
+    * population order gets min(its full [[saltCount]], what the
+    * remaining budget affords); a key the budget cannot give even 2
+    * groups runs unsalted (s = 1) — exactly the straggler it would have
+    * been with no guard at all. Population ties break on the key's
+    * rendering so the plan is deterministic across collect orders.
+    * private[graft] for the spec and PointMassProbe (which must report
+    * the same s values the plan uses). */
+  private[graft] def clampSaltCounts(flooded: Seq[(Seq[Any], Long)],
+                                     targetCell: Int,
+                                     budgetRows: Long): Seq[(Seq[Any], Int)] = {
+    var remaining = budgetRows
+    flooded.sortBy { case (k, n) => (-n, k.mkString(",")) }
+      .map { case (k, n) =>
+        val s = math.min(saltCount(n, targetCell).toLong, remaining / math.max(n, 1L))
+        if (s >= 2) { remaining -= n * s; (k, s.toInt) }
+        else (k, 1)
+      }
   }
 
   /** Per-cell split depth: the smallest k with (|cell| >> k) ≤

@@ -581,6 +581,70 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(expectCapped.subsetOf(expectProbed))
   }
 
+  test("flood-majority clamp: past the replication budget per-key salt " +
+      "factors are clamped worst-first; clamped, unclamped and unsalted " +
+      "runs emit identical pairs; flood=fail throws") {
+    // same blast shape as the point-mass test, sized so Σ n·saltCount
+    // over flooded keys exceeds the 3×-corpus replication budget — the
+    // planted flood-MAJORITY regime (r16 measured it at 2.4M vectors /
+    // untrained centroids: 93% flooded, s=64, ~230 GB shuffle, disk
+    // full; the clamp exists so that job completes instead)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 300).select("vec_id", "embedding")
+    val base = Array.tabulate(64)(i => (math.cos(i + 1) * 0.3).toFloat)
+    val blast = (0 until 40).map(i => (9000L + i, base)).toDF("vec_id", "embedding")
+    val base2 = Array.tabulate(64)(i => (math.sin(2 * i + 1) * 0.3).toFloat)
+    val blast2 = (0 until 10).map(i => (9500L + i, base2)).toDF("vec_id", "embedding")
+    val planted = emb.union(blast).union(blast2)
+    val corpusRows = planted.count()
+    val cents = Similarity.md5Centroids(4, 64)
+    // the fixture genuinely exceeds the budget under the plan's own rules
+    val floodedPops = Similarity.cappedSubcellKeys(planted, "vec_id",
+        "embedding", cents, targetCell = 1, maxExtraBits = 8)
+      .groupBy("centroid", "subcell").count()
+      .collect().map(_.getLong(2)).filter(_ > 4L)
+    val unclampedRepl = floodedPops
+      .map(n => n * Similarity.saltCount(n, 1)).sum
+    assert(unclampedRepl > 3L * corpusRows,
+      s"fixture must exceed the budget: repl=$unclampedRepl corpus=$corpusRows")
+    def withProp[T](k: String, v: String)(f: => T): T = {
+      val prev = sys.props.get(k); sys.props(k) = v
+      try f finally { prev match {
+        case Some(p) => sys.props(k) = p; case None => sys.props -= k } }
+    }
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def run(probeBits: Int) = rows(Similarity.semanticNearDupPairsCapped(
+      planted, "vec_id", "embedding", cents, 0.3, targetCell = 1,
+      maxExtraBits = 8, probeSplitBits = probeBits))
+    for (pb <- Seq(0, 1)) {
+      val clamped = run(pb) // default mode
+      val unclamped = withProp("graft.semdedup.flood", "warn")(run(pb))
+      val unsalted = withProp("graft.semdedup.salt", "off")(run(pb))
+      assert(clamped == unsalted && clamped.nonEmpty,
+        s"probeBits=$pb: clamp changed the output")
+      assert(unclamped == unsalted, s"probeBits=$pb")
+    }
+    // fail mode: a clean error naming the fix, raised at plan time
+    val ex = withProp("graft.semdedup.flood", "fail")(
+      intercept[IllegalStateException](run(0)))
+    assert(ex.getMessage.contains("train centroids"))
+    // clampSaltCounts invariants: worst key served first at its full or
+    // afforded factor, Σ n·s inside the budget, exhausted keys at s=1
+    val flooded: Seq[(Seq[Any], Long)] =
+      Seq(Seq[Any](0) -> 40L, Seq[Any](1) -> 10L, Seq[Any](2) -> 6L)
+    val clamped = Similarity.clampSaltCounts(flooded, 1, budgetRows = 150L).toMap
+    // worst key (40): full saltCount is 40, budget affords 150/40 = 3
+    assert(clamped(Seq[Any](0)) == 3)
+    // remaining 30: key 10 affords exactly 3 groups; key 6 the leftover 0
+    assert(clamped(Seq[Any](1)) == 3 && clamped(Seq[Any](2)) == 1)
+    val spent = flooded.collect { case (k, n) if clamped(k) >= 2 => n * clamped(k) }.sum
+    assert(spent <= 150L)
+    // an unconstrained budget reproduces the full factors
+    val full = Similarity.clampSaltCounts(flooded, 1, Long.MaxValue).toMap
+    assert(full == Map(Seq[Any](0) -> 40, Seq[Any](1) -> 10, Seq[Any](2) -> 6))
+  }
+
   test("adaptive refinement: flooded buckets split instead of dropping pairs") {
     // 10 distinct 3-word subsets of a 5-word vocabulary, 4 copies each:
     // with ONE band of ONE minhash row, every doc keys on the min-hash of
