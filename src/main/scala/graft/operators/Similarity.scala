@@ -379,6 +379,47 @@ object Similarity {
       .drop("v", "bits", "mask")
   }
 
+  /** [[semanticBucketsAdaptive]] with the depth artifact served LIVE
+    * from a path instead of baked into the plan as a literal broadcast:
+    * the Map form fixes the depths at plan time, so on a long-running
+    * stream a centroid/depth refresh could only land via a query
+    * restart. Here the (centroid, depth) table is read through
+    * [[graft.sources.DepthArtifact]] — a driver-local O(nlist) scan
+    * re-planned at every micro-batch — so rewriting the artifact
+    * (atomically, [[graft.sources.DepthArtifact.write]]) is picked up
+    * by the NEXT batch with no restart: the true 100 TB operating mode
+    * ("the artifact is refreshed whenever the centroids are"). Each
+    * batch joins one consistent artifact version. Semantics at a fixed
+    * artifact are IDENTICAL to the Map form (spec-pinned): a cell the
+    * artifact doesn't name — including the missing-artifact cold start
+    * — defaults to depth 0 via the left join's coalesce (coarser keys,
+    * never a dropped row). Split bits are computed to `maxExtraBits`
+    * (the depth RULE's cap, a config constant) and masked per row by
+    * the artifact's depth.
+    *
+    * The CENTROIDS remain plan literals here: changing them changes
+    * cell identity, which invalidates downstream dedup state keyed on
+    * (centroid, subcell) — a centroid refresh is a new stream (or a
+    * state migration), while a DEPTH refresh only re-partitions future
+    * keys within unchanged cells (coarsening/refining, the
+    * merge/split-safe direction the spec pins). */
+  def semanticBucketsAdaptiveLive(df: DataFrame, vecCol: String,
+                                  centroids: Array[(Int, Array[Double])],
+                                  depthPath: String,
+                                  maxExtraBits: Int): DataFrame = {
+    val base = IvfIndex.assign(df, vecCol, centroids)
+      .withColumn("v", asDouble(col(vecCol)))
+    val b = if (maxExtraBits == 0) base.withColumn("bits", lit(0L))
+            else centeredBits(base, centroids, maxExtraBits)
+    val masks = graft.sources.DepthArtifact.table(df.sparkSession, depthPath)
+      .select(col("centroid"),
+        (expr("shiftleft(CAST(1 AS BIGINT), depth)") - 1).as("mask"))
+    b.join(broadcast(masks), Seq("centroid"), "left")
+      .withColumn("subcell",
+        col("bits").bitwiseAND(coalesce(col("mask"), lit(0L))))
+      .drop("v", "bits", "mask")
+  }
+
   private def assignedWithBits(df: DataFrame, idCol: String, vecCol: String,
                                centroids: Array[(Int, Array[Double])],
                                maxExtraBits: Int): DataFrame = {
@@ -978,11 +1019,17 @@ object Similarity {
       * centroids the tree breaks analysis cost, codegen size (JIT
       * fallback) and task-binary size outright, while nlist must GROW
       * with the corpus (cells ∝ corpus/targetCell). The compiled form
-      * runs nlist=1024 in 42.7 s at the same corpus. */
+      * runs nlist=1024 in 42.7 s at the same corpus. Past the
+      * reference-object envelope (tables over
+      * [[graft.functions.CentroidRouting.bcastDoubles]] doubles) the
+      * same loop runs with the table behind a TorrentBroadcast
+      * ([[graft.functions.NearestCentroidBcast]]) so task binaries stay
+      * fixed-size while nlist grows — `auto` routes on table size. */
     def assign(df: DataFrame, vecCol: String,
                centroids: Array[(Int, Array[Double])]): DataFrame =
       df.withColumn("centroid",
-        graft.functions.NearestCentroid.column(col(vecCol), centroids))
+        graft.functions.NearestCentroid.auto(col(vecCol), centroids,
+          df.sparkSession))
 
     /** The literal-expression reference form of [[assign]] (see there). */
     private[graft] def assignLiteral(df: DataFrame, vecCol: String,
@@ -1009,8 +1056,8 @@ object Similarity {
       // nlist grows with the corpus
       val q = broadcast(queries
         .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-          graft.functions.TopCentroids.column(col(vecCol), centroids, nprobe)
-            .as("pr"))
+          graft.functions.TopCentroids.auto(col(vecCol), centroids, nprobe,
+            queries.sparkSession).as("pr"))
         .withColumn("centroid", explode(col("pr")))
         .drop("pr"))
       // each corpus vector is assigned to exactly ONE centroid and the

@@ -351,6 +351,62 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(byId(routed).size == 2)
   }
 
+  test("broadcast centroid carrier: bit-identical assignment and probe " +
+      "list to the reference-object form; the expression serializes to a " +
+      "fixed-size handle; auto routes on table size") {
+    import graft.functions.{CentroidRouting, CentroidTable, NearestCentroid,
+      NearestCentroidBcast, TopCentroids}
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 500)
+    val cents = Similarity.md5Centroids(64, 64)
+    def withProp[T](k: String, v: String)(f: => T): T = {
+      val prev = sys.props.get(k); sys.props(k) = v
+      try f finally { prev match {
+        case Some(p) => sys.props(k) = p; case None => sys.props -= k } }
+    }
+    def byId(df: org.apache.spark.sql.DataFrame): Map[Long, Int] =
+      df.select("vec_id", "centroid").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaExpr = withProp("graft.ann.assign", "expr")(
+      byId(Similarity.IvfIndex.assign(emb, "embedding", cents)))
+    val viaBcast = withProp("graft.ann.assign", "broadcast")(
+      byId(Similarity.IvfIndex.assign(emb, "embedding", cents)))
+    assert(viaBcast == viaExpr && viaExpr.values.toSet.size > 1)
+    def probes(): Map[Long, List[Int]] = emb.select(col("vec_id"),
+        TopCentroids.auto(col("embedding"), cents, 5, spark).as("pr"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val prExpr = withProp("graft.ann.assign", "expr")(probes())
+    val prBcast = withProp("graft.ann.assign", "broadcast")(probes())
+    assert(prBcast == prExpr)
+    // the broadcast plan really uses the bcast expression
+    val planned = withProp("graft.ann.assign", "broadcast")(
+      Similarity.IvfIndex.assign(emb, "embedding", cents))
+    assert(planned.queryExecution.analyzed.toString
+      .contains("graft_nearest_centroid_bcast"))
+    // the handle is what rides the task binary: at nlist=4096×64 the
+    // reference-object expression java-serializes with the whole table
+    // (~2 MB); the broadcast expression stays a fixed-size handle
+    def serSize(o: AnyRef): Int = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(o); oos.close(); bos.size()
+    }
+    val big = Similarity.md5Centroids(4096, 64)
+    val t = CentroidTable.sorted(big)
+    val child = org.apache.spark.sql.GraftBridge.expression(col("embedding"))
+    val exprBytes = serSize(NearestCentroid(child, t.ids, t.vecs))
+    val bcastBytes = serSize(NearestCentroidBcast(child,
+      spark.sparkContext.broadcast(t)))
+    assert(exprBytes > 2000000, s"table no longer rides the expression? $exprBytes")
+    assert(bcastBytes < 20000, s"handle form must stay small: $bcastBytes")
+    // auto threshold: 2^18 doubles — 4096×64 sits AT the line (expr),
+    // 8192×64 above it (broadcast)
+    assert(!CentroidRouting.useBroadcast(4096L * 64))
+    assert(CentroidRouting.useBroadcast(8192L * 64))
+    assert(!CentroidRouting.useBroadcast(Similarity.md5Centroids(64, 64)
+      .length.toLong * 64))
+  }
+
   test("TopCentroids (topK's probe list) equals the literal " +
       "sort_array/slice reference form per query, order included") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
