@@ -363,6 +363,79 @@ class StreamingSpec extends SparkSuite {
     }
   }
 
+  test("live depth artifact: a mid-stream rewrite is picked up by the next " +
+      "micro-batch without a restart; a fixed artifact matches the Map form; " +
+      "missing cells and missing artifact default to depth 0") {
+    import graft.operators.Similarity
+    import graft.sources.DepthArtifact
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .where(col("vec_id") < 200)
+    val cents = Similarity.md5Centroids(4, 64)
+    // targetCell=16 over ~50-vector cells → real nonzero depths
+    val depths1 = Similarity.cellDepths(emb, "embedding", cents,
+      targetCell = 16, maxExtraBits = 3)
+    assert(depths1.values.exists(_ > 0), s"fixture depths all zero: $depths1")
+    val path = tempDir("depth-artifact") + "/depths.json"
+    DepthArtifact.write(spark, path, depths1)
+    assert(DepthArtifact.read(spark, path) == depths1) // atomic round-trip
+    def keyed(d: org.apache.spark.sql.DataFrame) =
+      d.select("vec_id", "centroid", "subcell").collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    // fixed artifact ⇒ BATCH semantics identical to the Map form
+    val viaMap = keyed(Similarity.semanticBucketsAdaptive(
+      emb, "embedding", cents, depths1))
+    val viaLive = keyed(Similarity.semanticBucketsAdaptiveLive(
+      emb, "embedding", cents, path, maxExtraBits = 3))
+    assert(viaLive == viaMap && viaLive.nonEmpty)
+    // streaming: batch 1 under depths1, rewrite, batch 2 under depths2 —
+    // no restart between them
+    val rows = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val stream = Similarity.semanticBucketsAdaptiveLive(
+      mem.toDF().toDF("vec_id", "embedding"), "embedding", cents, path,
+      maxExtraBits = 3).select("vec_id", "centroid", "subcell")
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("st9live").start()
+    val (b1, b2) = rows.splitAt(100)
+    mem.addData(b1: _*); q.processAllAvailable()
+    def sink() = spark.table("st9live").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    val after1 = sink()
+    assert(after1 == b1.map(r => r._1 -> viaMap(r._1)).toMap,
+      "batch 1 must key under the v1 artifact")
+    // the refresh: coarsen every cell to depth 0 — rewritten MID-STREAM
+    val depths2 = depths1.map { case (c, _) => c -> 0 }
+    DepthArtifact.write(spark, path, depths2)
+    mem.addData(b2: _*); q.processAllAvailable()
+    val after2 = sink()
+    q.stop()
+    val viaMap2 = keyed(Similarity.semanticBucketsAdaptive(
+      emb, "embedding", cents, depths2))
+    val b1Ids = b1.map(_._1).toSet
+    assert(after2.filter(kv => b1Ids(kv._1)) == after1.filter(kv => b1Ids(kv._1)),
+      "batch-1 rows are already emitted — unchanged")
+    assert(after2.filter(kv => !b1Ids(kv._1)) ==
+      b2.map(r => r._1 -> viaMap2(r._1)).toMap,
+      "batch 2 must key under the REWRITTEN artifact, without a restart")
+    assert(b2.exists(r => viaMap2(r._1) != viaMap(r._1)),
+      "fixture rewrite changed no key — test is vacuous")
+    // a cell the artifact doesn't name defaults to depth 0 (left-join
+    // coalesce), exactly the Map form's getOrElse(0)
+    val partial = depths1.filter(_._2 > 0).take(1)
+    DepthArtifact.write(spark, path, partial)
+    assert(keyed(Similarity.semanticBucketsAdaptiveLive(
+      emb, "embedding", cents, path, maxExtraBits = 3)) ==
+      keyed(Similarity.semanticBucketsAdaptive(emb, "embedding", cents, partial)))
+    // missing artifact = empty map = every cell depth 0 (cold start)
+    val ghost = tempDir("depth-artifact-missing") + "/none.json"
+    assert(DepthArtifact.read(spark, ghost).isEmpty)
+    assert(keyed(Similarity.semanticBucketsAdaptiveLive(
+      emb, "embedding", cents, ghost, maxExtraBits = 3)).values
+      .forall(_._2 == 0L))
+  }
+
   test("streaming file source ingests scrape drops incrementally") {
     val raw = tempDir("stream_raw")
     java.nio.file.Files.write(java.nio.file.Paths.get(raw, "drop1.json"),
