@@ -3147,6 +3147,43 @@ object Queries {
        |SELECT count(*) AS n_keys,
        |  CAST(SUM(centroid * 1024 + subcell) AS BIGINT) AS key_sum FROM keys""".stripMargin
 
+  /** ST9c — st9b with the depth artifact served LIVE from a path
+    * ([[graft.sources.DepthArtifact]] +
+    * [[Similarity.semanticBucketsAdaptiveLive]]): the batch job writes
+    * the O(nlist) depth table as an atomic file artifact, and the
+    * stream's per-micro-batch scan planning re-reads it — so a
+    * centroid/depth refresh lands on the NEXT batch with no query
+    * restart (the mid-stream rewrite itself is pinned by StreamingSpec;
+    * this catalog row runs the fixed-artifact case, which is
+    * bit-identical to st9b's Map form and shares its oracle — THE depth
+    * rule end to end through one more indirection). */
+  def st9cStreamingSemanticDedupLive(s: SparkSession, dir: String): DataFrame = {
+    val cents = Similarity.md5Centroids(8, 64)
+    val depths = Similarity.cellDepths(
+      t(s, dir, "embeddings").where(col("vec_id") < 1000), "embedding",
+      cents, targetCell = 64, maxExtraBits = 3)
+    val artifact = java.nio.file.Files
+      .createTempDirectory("st9c_depths").toString + "/depths.json"
+    graft.sources.DepthArtifact.write(s, artifact, depths)
+    val schema = t(s, dir, "embeddings").schema
+    val ss = streamSession(s, 4)
+    val stream = ss.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      .where(col("vec_id") < 1000)
+    val keys = Similarity.semanticBucketsAdaptiveLive(stream, "embedding",
+      cents, artifact, maxExtraBits = 3)
+    val deduped = graft.streaming.EventStream.dedupKeys(keys, "centroid", "subcell")
+    val name = s"st9c_sembuckets_${stQueryId.incrementAndGet()}"
+    val q = deduped.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    ss.table(name)
+      .agg(count(lit(1)).as("n_keys"),
+        sum(col("centroid").cast("long") * 1024 + col("subcell"))
+          .cast("long").as("key_sum"))
+  }
+
   /** E1 — as-of (point-in-time) join: each click picks up the most recent
     * purchase at-or-before it for the same user, via
     * [[graft.operators.TemporalJoin.asOf]] — a tagged union + ONE window
@@ -4677,6 +4714,7 @@ object Queries {
     "st8_streaming_neardup" -> st8StreamingNeardup,
     "st9_streaming_semantic_dedup" -> st9StreamingSemanticDedup,
     "st9b_streaming_semantic_adaptive" -> st9bStreamingSemanticDedupAdaptive,
+    "st9c_streaming_semantic_live" -> st9cStreamingSemanticDedupLive,
     "e3_band_join" -> e3BandJoin,
     "m4_frame_sample" -> m4FrameSample,
     "w2_retention_cohorts" -> w2RetentionCohorts
@@ -4790,6 +4828,9 @@ object Queries {
     "st8_streaming_neardup" -> d2Sql,
     "st9_streaming_semantic_dedup" -> st9Sql,
     "st9b_streaming_semantic_adaptive" -> st9bSql,
+    // identical depth rule through the live-artifact indirection — the
+    // fixed-artifact stream is bit-identical to st9b's Map form
+    "st9c_streaming_semantic_live" -> st9bSql,
     "e3_band_join" -> e3Sql,
     "m4_frame_sample" -> m4Sql,
     "w2_retention_cohorts" -> w2Sql
