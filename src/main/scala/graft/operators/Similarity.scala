@@ -696,26 +696,37 @@ object Similarity {
     sys.props.get("graft.semdedup.flood.budget").map(_.toDouble).getOrElse(3.0)
 
   /** Clamp per-key salt factors so total replicated rows Σ n·s stay
-    * inside `budgetRows`, spending the budget on the WORST keys first
-    * (largest population — the biggest single-task stragglers, where a
-    * unit of replication buys the most spread). Each key in descending-
-    * population order gets min(its full [[saltCount]], what the
-    * remaining budget affords); a key the budget cannot give even 2
-    * groups runs unsalted (s = 1) — exactly the straggler it would have
-    * been with no guard at all. Population ties break on the key's
-    * rendering so the plan is deterministic across collect orders.
-    * private[graft] for the spec and PointMassProbe (which must report
-    * the same s values the plan uses). */
+    * inside `budgetRows`, by WATER-FILLING: find the smallest per-group
+    * population target T ≥ targetCell whose replication fits the budget
+    * (binary search — Σ n·ceil(n/T) over keys still getting ≥ 2 groups
+    * is non-increasing in T), then give every key s = min(its full
+    * [[saltCount]], ceil(n/T)). The largest keys — the biggest
+    * single-task stragglers — therefore get the most groups, and the
+    * worst post-clamp task is minimized for the budget (a greedy
+    * worst-key-first spend would hand the entire budget to key #1 and
+    * leave a nearly-as-large key #2 fully unsalted — a strictly worse
+    * maximum). A key the budget cannot give even 2 groups runs unsalted
+    * (s = 1), exactly the straggler it would have been with no guard at
+    * all. T is a pure function of the population multiset, so the plan
+    * is deterministic across collect orders. private[graft] for the
+    * spec and PointMassProbe (which must report the same s values the
+    * plan uses). */
   private[graft] def clampSaltCounts(flooded: Seq[(Seq[Any], Long)],
                                      targetCell: Int,
                                      budgetRows: Long): Seq[(Seq[Any], Int)] = {
-    var remaining = budgetRows
-    flooded.sortBy { case (k, n) => (-n, k.mkString(",")) }
-      .map { case (k, n) =>
-        val s = math.min(saltCount(n, targetCell).toLong, remaining / math.max(n, 1L))
-        if (s >= 2) { remaining -= n * s; (k, s.toInt) }
-        else (k, 1)
-      }
+    def sOf(n: Long, t: Long): Int =
+      math.min(saltCount(n, targetCell).toLong, (n + t - 1) / t).toInt
+    def repl(t: Long): Long = flooded.foldLeft(0L) { case (acc, (_, n)) =>
+      val s = sOf(n, t); if (s >= 2) acc + n * s else acc
+    }
+    var lo = math.max(targetCell.toLong, 1L)
+    var hi = math.max(flooded.map(_._2).max, lo) // repl(hi) = 0: always feasible
+    if (repl(lo) <= budgetRows) hi = lo
+    while (lo < hi) {
+      val mid = lo + (hi - lo) / 2
+      if (repl(mid) <= budgetRows) hi = mid else lo = mid + 1
+    }
+    flooded.map { case (k, n) => (k, math.max(sOf(n, hi), 1)) }
   }
 
   /** Per-cell split depth: the smallest k with (|cell| >> k) ≤

@@ -685,17 +685,30 @@ class DedupSimilaritySpec extends SparkSuite {
     val ex = withProp("graft.semdedup.flood", "fail")(
       intercept[IllegalStateException](run(0)))
     assert(ex.getMessage.contains("train centroids"))
-    // clampSaltCounts invariants: worst key served first at its full or
-    // afforded factor, Σ n·s inside the budget, exhausted keys at s=1
+    // clampSaltCounts invariants (water-filling): the smallest feasible
+    // per-group target T serves the LARGEST keys the most groups, Σ n·s
+    // stays inside the budget, keys below 2 groups run unsalted
     val flooded: Seq[(Seq[Any], Long)] =
       Seq(Seq[Any](0) -> 40L, Seq[Any](1) -> 10L, Seq[Any](2) -> 6L)
     val clamped = Similarity.clampSaltCounts(flooded, 1, budgetRows = 150L).toMap
-    // worst key (40): full saltCount is 40, budget affords 150/40 = 3
+    // T=14 is the smallest feasible target: s(40)=ceil(40/14)=3 costs
+    // 120 ≤ 150, while T=13 gives s(40)=4 → 160 over budget; the small
+    // keys fall under 2 groups at that T and run unsalted
     assert(clamped(Seq[Any](0)) == 3)
-    // remaining 30: key 10 affords exactly 3 groups; key 6 the leftover 0
-    assert(clamped(Seq[Any](1)) == 3 && clamped(Seq[Any](2)) == 1)
+    assert(clamped(Seq[Any](1)) == 1 && clamped(Seq[Any](2)) == 1)
     val spent = flooded.collect { case (k, n) if clamped(k) >= 2 => n * clamped(k) }.sum
     assert(spent <= 150L)
+    // balance: comparable keys get comparable spread — the budget is
+    // NOT spent greedily on key #1 leaving a near-equal #2 unsalted
+    val near: Seq[(Seq[Any], Long)] =
+      Seq(Seq[Any](0) -> 400L, Seq[Any](1) -> 350L, Seq[Any](2) -> 300L)
+    val balanced = Similarity.clampSaltCounts(near, 1, budgetRows = 2000L).toMap
+    assert(balanced(Seq[Any](0)) >= 2 && balanced(Seq[Any](1)) >= 2,
+      s"near-equal top keys must share the budget: $balanced")
+    assert(balanced(Seq[Any](0)) >= balanced(Seq[Any](1)) &&
+      balanced(Seq[Any](1)) >= balanced(Seq[Any](2)))
+    assert(near.collect { case (k, n) if balanced(k) >= 2 => n * balanced(k) }
+      .sum <= 2000L)
     // an unconstrained budget reproduces the full factors
     val full = Similarity.clampSaltCounts(flooded, 1, Long.MaxValue).toMap
     assert(full == Map(Seq[Any](0) -> 40, Seq[Any](1) -> 10, Seq[Any](2) -> 6))
