@@ -615,8 +615,9 @@ object Similarity {
       // replication meant ~230 GB of shuffle, which FILLED THE DISK and
       // killed the job the guard exists to protect). So the replication
       // estimate is now a BUDGET, not telemetry: past floodBudgetMult ×
-      // corpus replicated rows, per-key salt factors are clamped — worst
-      // keys first, see [[clampSaltCounts]] — so the shuffle stays
+      // corpus replicated rows, per-key salt factors are clamped —
+      // water-filled so the largest keys get the most groups, see
+      // [[clampSaltCounts]] — so the shuffle stays
       // inside the budget and the job degrades to the unsalted
       // stragglers it would have had anyway instead of dying on disk
       // (output identical either way; no salting scheme can spread an
@@ -652,8 +653,9 @@ object Similarity {
               countsFull
             case _ =>
               log.warn(detail + " Clamping per-key salt factors to the " +
-                "replication budget (worst keys first); keys past the " +
-                "budget run unsalted. Output is unaffected.")
+                "replication budget (water-filled: largest keys get the " +
+                "most groups); keys the budget cannot spread run " +
+                "unsalted. Output is unaffected.")
               clampSaltCounts(flooded, targetCell, budget)
           }
         }

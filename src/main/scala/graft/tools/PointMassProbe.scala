@@ -86,6 +86,17 @@ object PointMassProbe {
     // flood threshold, so the JSON never claims a spread the timed arms
     // didn't run)
     val saltAbove = 4L * math.max(target, 1)
+    // plan-true salt factors: the operator clamps per-key s to the flood
+    // replication budget (Similarity.clampSaltCounts, water-filled), so
+    // the probe must report the s values the plan ACTUALLY uses — an
+    // unclamped saltCount here would claim a spread the timed arms never
+    // ran (exactly the flood-majority regime this probe measures)
+    val budgetMult = sys.props.get("graft.semdedup.flood.budget")
+      .map(_.toDouble).getOrElse(3.0)
+    def clampedS(flooded: Seq[(Seq[Any], Long)]): Map[Seq[Any], Int] =
+      if (flooded.isEmpty) Map.empty
+      else Similarity.clampSaltCounts(flooded, target,
+        (budgetMult * n).toLong).toMap
     val (maxSub, unsaltedTaskCand, totalCand, s, worstSaltedOverride) = route match {
       case "probed" =>
         // probe-side population per key = Hamming-≤1 subcell
@@ -107,39 +118,52 @@ object PointMassProbe {
           .groupBy(col("centroid"), col("sb"), col("nb"))
           .agg(sum("na").as("probe_pop"))
           .collect()
-          .map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         sc.unpersist()
         def floods(cid: Int, nb: Long, pop: Long): Boolean =
           pop > saltAbove * (1 + depths(cid)) || nb > saltAbove
-        val flooded = perKey.filter((floods _).tupled)
+        val flooded = perKey.collect {
+          case (cid, sb, nb, pop) if floods(cid, nb, pop) =>
+            (Seq[Any](cid, sb), pop)
+        }
+        val sOf = clampedS(flooded.toSeq)
         val sVal = if (flooded.isEmpty) 1L
-                   else Similarity.saltCount(flooded.map(_._3).max, target).toLong
-        // honest per-key worst task: a flooded key spreads under ITS
-        // OWN s, an unflooded key keeps its full pop×exact product
-        val worstSalted = perKey.map { case (cid, nb, pop) =>
-          if (floods(cid, nb, pop)) {
-            val sk = Similarity.saltCount(pop, target)
-            (2 * pop / sk) * (2 * nb / sk)
-          } else pop * nb
+                   else sOf(flooded.maxBy(_._2)._1).toLong
+        // honest per-key worst task: a flooded key spreads under ITS OWN
+        // (clamped) s — a key the budget left at s=1 keeps its full
+        // product; an unflooded key keeps its full pop×exact product
+        val worstSalted = perKey.map { case (cid, sb, nb, pop) =>
+          val sk = if (floods(cid, nb, pop))
+            math.max(sOf(Seq[Any](cid, sb)), 1) else 1
+          if (sk <= 1) pop * nb else (2 * pop / sk) * (2 * nb / sk)
         }.max
-        (perKey.map(_._3).max, perKey.map { case (_, nb, pop) => pop * nb }.max,
-          perKey.map { case (_, nb, pop) => pop * nb }.sum, sVal, Some(worstSalted))
+        (perKey.map(_._4).max,
+          perKey.map { case (_, _, nb, pop) => pop * nb }.max,
+          perKey.map { case (_, _, nb, pop) => pop * nb }.sum, sVal,
+          Some(worstSalted))
       case _ =>
         val keyed =
           if (route == "capped")
             Similarity.cappedSubcellKeys(emb, "vec_id", "embedding",
                 centroids, targetCell = target, maxExtraBits = 8)
-              .groupBy("centroid", "subcell")
+              .groupBy("centroid", "subcell").agg(count(lit(1)).as("n"))
+              .select(col("n"))
           else
             Similarity.IvfIndex.assign(emb, "embedding", centroids)
-              .groupBy("centroid")
-        val r = keyed.agg(count(lit(1)).as("n"))
+              .groupBy("centroid").agg(count(lit(1)).as("n"))
+              .select(col("n"))
+        val r = keyed
           .agg(max("n").cast("long"),
             (max(col("n") * (col("n") - 1)) / 2).cast("long"),
             sum(col("n") * (col("n") - 1) / 2).cast("long")).head()
-        val sVal = if (r.getLong(0) > saltAbove)
-                     Similarity.saltCount(r.getLong(0), target).toLong
-                   else 1L
+        // plan-true s for the LARGEST key: collect the flooded key sizes
+        // (driver-bounded, same class as the plan's own collect) and run
+        // them through the identical clamp
+        val floodedSizes = keyed.where(col("n") > saltAbove)
+          .collect().zipWithIndex
+          .map { case (row, i) => (Seq[Any](i), row.getLong(0)) }.toSeq
+        val sVal = if (floodedSizes.isEmpty) 1L
+                   else clampedS(floodedSizes)(floodedSizes.maxBy(_._2)._1).toLong
         (r.getLong(0), r.getLong(1), r.getLong(2), sVal, None)
     }
     val saltedTaskCand = worstSaltedOverride.getOrElse(
@@ -178,7 +202,7 @@ object PointMassProbe {
       s"guard changed the output: salted=$nSalted unsalted=$nUnsalted")
     val armsJson = Seq("salted", "unsalted").filter(arms)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"tool":"PointMassProbe","sf_dir":"$sfDir","route":"$route","arms":$armsJson,"centroids":"$centMode","n_vecs":$n,"threshold":$threshold,"target_cell":$target,"max_subcell":$maxSub,"salt_s":$s,"unsalted_task_candidates":$unsaltedTaskCand,"salted_task_candidates":$saltedTaskCand,"total_candidates":$totalCand,"salted_s":$tSalted%.1f,"salted_pairs":$nSalted,"unsalted_s":$tUnsalted%.1f,"unsalted_pairs":$nUnsalted}""")
+    println(f"""{"tool":"PointMassProbe","sf_dir":"$sfDir","route":"$route","arms":$armsJson,"centroids":"$centMode","n_vecs":$n,"threshold":$threshold,"target_cell":$target,"max_subcell":$maxSub,"salt_s":$s,"flood_budget_mult":$budgetMult,"unsalted_task_candidates":$unsaltedTaskCand,"salted_task_candidates":$saltedTaskCand,"total_candidates":$totalCand,"salted_s":$tSalted%.1f,"salted_pairs":$nSalted,"unsalted_s":$tUnsalted%.1f,"unsalted_pairs":$nUnsalted}""")
     spark.stop()
   }
 }
