@@ -613,24 +613,49 @@ object Dedup {
     val reliable = ids.sparkSession.sparkContext.getCheckpointDir.isDefined
     def cut(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
-    var labels = cut(edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")))
+    // FUSED FIRST ROUND: starting from label(v)=v, round 1 would compute
+    // min(v, min over neighbors) — exactly one groupBy over the symmetric
+    // edge set, no join/union needed. Initializing with that value costs
+    // the same single exchange the old `distinct()` init paid and saves a
+    // whole propagation round (join + union + groupBy + lineage cut +
+    // convergence probe) for every graph of diameter ≥ 1 — the common
+    // near-clique case often converges after ZERO loop rounds now (the
+    // loop still runs one confirming round to prove the fixpoint). Labels
+    // are mins over distance-≤1 reachable sets, so every later round and
+    // the fixpoint are unchanged (r17 optimization, A/B in
+    // OPTIMIZATION_r17.md).
+    var labels = cut(edges.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("label")))
     // convergence: carry each node's previous label through the same
     // aggregation (labels only ever decrease, so unchanged ⟺ fixpoint).
-    // An exact emptiness probe on the materialized round result — works
-    // for any id type (string doc ids included), no driver-side numeric
-    // fold
+    // The change count rides the SAME job that materializes the round
+    // (`observe` + a CollectMetrics accumulator read back from the
+    // executed plan) instead of a second scan job per round; the exact
+    // emptiness probe on the materialized result is kept as the fallback
+    // when the metric is unavailable. Works for any id type (string doc
+    // ids included), no driver-side numeric fold.
     var converged = false
     var rounds = 0
     while (!converged && rounds < lpMaxRounds) {
       val propagated = edges
         .join(labels.withColumnRenamed("id", "src").select("src", "label"), "src")
         .select(col("dst").as("id"), col("label"))
-      val next = cut(labels
+      val next0 = labels
         .select(col("id"), col("label"), col("label").as("prev"))
         .union(propagated.select(col("id"), col("label"), lit(null).as("prev")))
-        .groupBy("id").agg(min("label").as("label"), max("prev").as("prev")))
-      converged = next.where(col("label") =!= col("prev")).isEmpty
+        .groupBy("id").agg(min("label").as("label"), max("prev").as("prev"))
+        .observe(s"cc_round_$rounds",
+          sum(when(col("label") =!= col("prev"), 1L).otherwise(0L)).as("changed"))
+      val next = cut(next0)
+      converged = next0.queryExecution.observedMetrics
+        .get(s"cc_round_$rounds") match {
+          case Some(row) if !row.isNullAt(0) => row.getLong(0) == 0L
+          // defensive fallback only — the eager cut above always executes
+          // the observed plan; an all-null round (impossible: every id has
+          // a labels row, so prev is never null post-agg) or a missing
+          // metric falls back to the exact probe
+          case _ => next.where(col("label") =!= col("prev")).isEmpty
+        }
       // `next` is materialized — the previous round's blocks can go now
       // rather than waiting for ContextCleaner GC (reliable-checkpoint
       // FILES follow spark.cleaner.referenceTracking.cleanCheckpoints)
