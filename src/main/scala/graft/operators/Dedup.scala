@@ -504,16 +504,30 @@ object Dedup {
             sideTexts(historyTexts.withColumnRenamed("id", idCol), "h")),
           textCol, shingleN, maxBucket, refineRows)
       } else banded0
-    def capped(tag: String) = {
-      val b = banded.where(col("doc.side") === tag)
-        .select(col("doc.id").as("doc"), col("band"), col("key"))
-      val ok = b.groupBy("band", "key").agg(count(lit(1)).as("n"))
-        .where(col("n") <= maxBucket).drop("n")
-      b.join(ok, Seq("band", "key"))
-    }
-    val cands = capped("n").withColumnRenamed("doc", "id_a")
-      .join(capped("h").withColumnRenamed("doc", "id_b"), Seq("band", "key"))
-      .select("id_a", "id_b").distinct()
+    // Bucket-local cross-side pair generation in ONE grouped pass: the old
+    // formulation ran a per-side groupBy(count) + join-back + an
+    // (band,key) equi-join of the two capped sides — four exchanges, and
+    // each side's banded rows (minhash + band explode) evaluated twice
+    // (once under the count, once under the join). Collecting both sides'
+    // member lists in one aggregation applies the SAME per-side cap
+    // (collect_list over ≤2·maxBucket rows per bucket — bounded exactly
+    // like pairsFromGroups' buckets), then explodes the n×h cross product
+    // bucket-locally. Identical candidate set: a bucket contributes iff
+    // both sides are non-empty and each side's occupancy is ≤ maxBucket,
+    // the same predicate the join-back applied (r17 optimization, A/B in
+    // OPTIMIZATION_r17.md). The explode is spread explicitly for the same
+    // reason pairsFromGroups does it — byte-based AQE coalescing judges
+    // the tiny bucket rows, not their quadratic fan-out.
+    val buckets = banded.groupBy("band", "key")
+      .agg(collect_list(when(col("doc.side") === "n", col("doc.id"))).as("new_ids"),
+        collect_list(when(col("doc.side") === "h", col("doc.id"))).as("hist_ids"))
+      .where(size(col("new_ids")).between(1, maxBucket) &&
+        size(col("hist_ids")).between(1, maxBucket))
+    val cands = buckets
+      .repartition(banded.sparkSession.sparkContext.defaultParallelism)
+      .select(explode(col("new_ids")).as("id_a"), col("hist_ids"))
+      .select(col("id_a"), explode(col("hist_ids")).as("id_b"))
+      .distinct()
     // verify each side against ITS OWN gram-set table (not a union keyed
     // on idCol): the two id spaces may overlap — a re-ingested document
     // id legitimately exists in both batch and history — and a unioned
