@@ -2759,9 +2759,13 @@ object Queries {
     }))
     true
   }
-  private def tempSinkDir(prefix: String): java.nio.file.Path = {
+  private def tempSinkDir(prefix: String,
+                          root: Option[java.nio.file.Path] = None): java.nio.file.Path = {
     require(tempSinkHookInstalled)
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+    val p = root match {
+      case Some(r) => java.nio.file.Files.createTempDirectory(r, prefix)
+      case None    => java.nio.file.Files.createTempDirectory(prefix)
+    }
     val evicted = new java.util.concurrent.atomic.AtomicReference[List[java.io.File]](Nil)
     tempSinkByPrefix.compute(prefix, (_, prev) => {
       val kept = p.toFile :: (if (prev == null) Nil else prev).take(1)
@@ -2771,6 +2775,21 @@ object Queries {
     evicted.get().foreach { old => tempSinkDirs.remove(old); rmTreeQuiet(old) }
     tempSinkDirs.add(p.toFile)
     p
+  }
+
+  /** Checkpoint dir for the parquet-sink streaming queries (st6/st8):
+    * same retention machinery as [[tempSinkDir]], but rooted on tmpfs
+    * when the host has one. The checkpoint carries only the stream's
+    * offset/commit WAL and state — small but fsync-bound (the same
+    * reason Bench puts the session-default checkpoint location on
+    * /dev/shm; a cluster puts it on fast shared storage) — while the
+    * DATA sink stays on real disk: st8's candidate sink is
+    * corpus-proportional and must never compete with executor memory
+    * for RAM. */
+  private def tempCkptDir(prefix: String): java.nio.file.Path = {
+    val shm = new java.io.File("/dev/shm")
+    tempSinkDir(prefix,
+      if (shm.isDirectory) Some(shm.toPath) else None)
   }
 
   /** ST2 — the SAME hourly aggregation as st1, executed through the real
@@ -2939,9 +2958,10 @@ object Queries {
     // collect the events-proportional join output onto the driver —
     // the st8 lesson applied to the other corpus-sized stream output)
     val base = tempSinkDir("graft-st6")
+    val ckpt = tempCkptDir("graft-st6-ckpt")
     val q = joined.writeStream.outputMode("append").format("parquet")
       .option("path", s"$base/pairs")
-      .option("checkpointLocation", s"$base/ckpt").start()
+      .option("checkpointLocation", s"$ckpt/ckpt").start()
     q.processAllAvailable()
     q.stop()
     // explicit schema: a zero-pair run leaves the sink with no parquet
@@ -3038,10 +3058,11 @@ object Queries {
     // corpus-proportional candidate stream onto the driver (measured
     // 1.2 GiB at 50k docs → maxResultSize abort)
     val base = tempSinkDir("graft-st8")
+    val ckpt = tempCkptDir("graft-st8-ckpt")
     val candsDf = cands.toDF()
     val q = candsDf.writeStream.outputMode("append").format("parquet")
       .option("path", s"$base/cands")
-      .option("checkpointLocation", s"$base/ckpt").start()
+      .option("checkpointLocation", s"$ckpt/ckpt").start()
     q.processAllAvailable()
     q.stop()
     val d = ss.read.parquet(s"$dir/documents.parquet")
